@@ -1,0 +1,597 @@
+"""Number verbalization without the num2words dependency.
+
+The reference verbalizes via ``num2words(n, to=cardinal|ordinal|year|digits|
+currency)`` (reference gruut/text_processor.py:2108-2421).  num2words is not
+installable in this sandbox, so the subset the engine needs is re-implemented
+here with output identical to num2words for the supported languages (verified
+against the reference's vendored test expectations, e.g. tests/test_en.py).
+
+English is complete (cardinal incl. "and"/comma joins, ordinal, year with
+"oh", currency with pluralization); de/fr/es/ru/zh get cardinals (+ simple
+ordinals/years where the formats need them).  Unsupported (lang, to) pairs
+raise :class:`NumberVerbalizeError`, mirroring num2words raising
+``NotImplementedError`` for unknown languages (the caller then leaves the
+token unexpanded, reference text_processor.py:2147-2153).
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+
+class NumberVerbalizeError(NotImplementedError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# English — mirrors num2words lang_EN merge semantics exactly
+# ---------------------------------------------------------------------------
+
+_EN_ONES = [
+    "zero", "one", "two", "three", "four", "five", "six", "seven", "eight",
+    "nine", "ten", "eleven", "twelve", "thirteen", "fourteen", "fifteen",
+    "sixteen", "seventeen", "eighteen", "nineteen",
+]
+_EN_TENS = {
+    2: "twenty", 3: "thirty", 4: "forty", 5: "fifty",
+    6: "sixty", 7: "seventy", 8: "eighty", 9: "ninety",
+}
+_EN_SCALES = [
+    (10 ** 15, "quadrillion"),
+    (10 ** 12, "trillion"),
+    (10 ** 9, "billion"),
+    (10 ** 6, "million"),
+    (10 ** 3, "thousand"),
+]
+_EN_ORDINAL_MAP = {
+    "one": "first", "two": "second", "three": "third", "five": "fifth",
+    "eight": "eighth", "nine": "ninth", "twelve": "twelfth",
+}
+
+
+def _en_under_100(n: int) -> str:
+    if n < 20:
+        return _EN_ONES[n]
+    tens, ones = divmod(n, 10)
+    if ones == 0:
+        return _EN_TENS[tens]
+    return f"{_EN_TENS[tens]}-{_EN_ONES[ones]}"
+
+
+def _en_under_1000(n: int) -> str:
+    hundreds, rem = divmod(n, 100)
+    if hundreds == 0:
+        return _en_under_100(rem)
+    text = f"{_EN_ONES[hundreds]} hundred"
+    if rem:
+        text += f" and {_en_under_100(rem)}"
+    return text
+
+
+def en_cardinal_int(n: int) -> str:
+    if n < 0:
+        return "minus " + en_cardinal_int(-n)
+    if n < 1000:
+        return _en_under_1000(n)
+    parts = []  # (text, value) per scale group, high to low
+    rem = n
+    for scale, name in _EN_SCALES:
+        group, rem = divmod(rem, scale)
+        if group:
+            parts.append((f"{en_cardinal_int(group)} {name}", group * scale))
+    out = ""
+    for text, _value in parts:
+        out = text if not out else f"{out}, {text}"
+    if rem:
+        # num2words joins a trailing <100 group with " and ", >=100 with ", "
+        joiner = " and " if rem < 100 else ", "
+        out = _en_under_1000(rem) if not out else f"{out}{joiner}{_en_under_1000(rem)}"
+    return out or "zero"
+
+
+def _digits_after_point(num: Decimal) -> str:
+    s = format(num.normalize(), "f")
+    if "." not in s:
+        return ""
+    return s.split(".", 1)[1]
+
+
+def _point_words(num: Decimal, int_word_fn, digit_words) -> str:
+    """"1.5" -> "<one> point <five>" (num2words float handling)."""
+    int_part = int(num)
+    frac = _digits_after_point(abs(num))
+    text = int_word_fn(int_part)
+    if frac:
+        text += " point " + " ".join(digit_words[int(d)] for d in frac)
+    return text
+
+
+def en_cardinal(num: Decimal) -> str:
+    if num == num.to_integral_value():
+        return en_cardinal_int(int(num))
+    sign = "minus " if num < 0 else ""
+    return sign + _point_words(abs(num), en_cardinal_int, _EN_ONES)
+
+
+def en_ordinal(n: int) -> str:
+    """Cardinal with the final word made ordinal (num2words to_ordinal)."""
+    card = en_cardinal_int(n)
+    head, sep, last = card.rpartition(" ")
+    lhead, lsep, llast = last.rpartition("-")
+    if llast in _EN_ORDINAL_MAP:
+        llast = _EN_ORDINAL_MAP[llast]
+    elif llast.endswith("y"):
+        llast = llast[:-1] + "ieth"
+    else:
+        llast = llast + "th"
+    return f"{head}{sep}{lhead}{lsep}{llast}"
+
+
+def en_year(n: int) -> str:
+    """num2words to_year: 1999 -> nineteen ninety-nine, 2020 -> twenty
+    twenty, 2005 -> two thousand and five, 1905 -> nineteen oh-five."""
+    if n < 0:
+        return en_cardinal_int(n)
+    high, low = divmod(n, 100)
+    if high == 0 or (high % 10 == 0 and low < 10) or high >= 100:
+        return en_cardinal_int(n)
+    if low == 0:
+        low_text = "hundred"
+    elif low < 10:
+        low_text = f"oh-{en_cardinal_int(low)}"
+    else:
+        low_text = _en_under_100(low)
+    return f"{en_cardinal_int(high)} {low_text}"
+
+
+_EN_CURRENCY_FORMS = {
+    # code: ((unit singular, unit plural), (cent singular, cent plural))
+    "USD": (("dollar", "dollars"), ("cent", "cents")),
+    "EUR": (("euro", "euro"), ("cent", "cents")),
+    "GBP": (("pound sterling", "pounds sterling"), ("penny", "pence")),
+    "JPY": (("yen", "yen"), ("sen", "sen")),
+    "RUB": (("rouble", "roubles"), ("kopek", "kopeks")),
+}
+
+
+def en_currency(num: Decimal, currency: str, separator: str) -> str:
+    """num2words to_currency with custom separator: the caller splits on the
+    separator to drop 'zero cents' (reference text_processor.py:2381-2398)."""
+    forms = _EN_CURRENCY_FORMS.get(currency)
+    if forms is None:
+        raise NumberVerbalizeError(f"currency {currency}")
+    (unit_s, unit_p), (cent_s, cent_p) = forms
+    minus = "minus " if num < 0 else ""
+    num = abs(num)
+    units = int(num)
+    cents = int((num * 100).to_integral_value()) % 100
+    unit_word = unit_s if units == 1 else unit_p
+    cent_word = cent_s if cents == 1 else cent_p
+    return (
+        f"{minus}{en_cardinal_int(units)} {unit_word}{separator} "
+        f"{en_cardinal_int(cents)} {cent_word}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# German
+# ---------------------------------------------------------------------------
+
+_DE_ONES = [
+    "null", "eins", "zwei", "drei", "vier", "fünf", "sechs", "sieben",
+    "acht", "neun", "zehn", "elf", "zwölf", "dreizehn", "vierzehn",
+    "fünfzehn", "sechzehn", "siebzehn", "achtzehn", "neunzehn",
+]
+_DE_ONES_PREFIX = ["", "ein", "zwei", "drei", "vier", "fünf", "sechs",
+                   "sieben", "acht", "neun"]
+_DE_TENS = {2: "zwanzig", 3: "dreißig", 4: "vierzig", 5: "fünfzig",
+            6: "sechzig", 7: "siebzig", 8: "achtzig", 9: "neunzig"}
+
+
+def _de_under_100(n: int, as_prefix: bool = False) -> str:
+    if n < 20:
+        if n == 1 and as_prefix:
+            return "ein"
+        return _DE_ONES[n]
+    tens, ones = divmod(n, 10)
+    if ones == 0:
+        return _DE_TENS[tens]
+    return f"{_DE_ONES_PREFIX[ones]}und{_DE_TENS[tens]}"
+
+
+def _de_under_1000(n: int, as_prefix: bool = False) -> str:
+    hundreds, rem = divmod(n, 100)
+    if hundreds == 0:
+        return _de_under_100(rem, as_prefix)
+    text = f"{_DE_ONES_PREFIX[hundreds]}hundert"
+    if rem:
+        text += _de_under_100(rem, as_prefix=True) if rem != 1 else "eins"
+    return text
+
+
+def de_cardinal_int(n: int) -> str:
+    if n < 0:
+        return "minus " + de_cardinal_int(-n)
+    if n < 1000:
+        return _de_under_1000(n)
+    out = ""
+    for scale, singular, plural in (
+        (10 ** 9, "eine Milliarde", "Milliarden"),
+        (10 ** 6, "eine Million", "Millionen"),
+    ):
+        group, n = divmod(n, scale)
+        if group:
+            text = singular if group == 1 else f"{_de_under_1000(group)} {plural}"
+            out = text if not out else f"{out} {text}"
+    thousands, rem = divmod(n, 1000)
+    if thousands:
+        text = f"{_de_under_1000(thousands, as_prefix=True)}tausend"
+        out = text if not out else f"{out} {text}"
+    if rem:
+        text = _de_under_1000(rem)
+        out = text if not out else f"{out}{text}" if " " not in out else f"{out} {text}"
+    return out or "null"
+
+
+def de_year(n: int) -> str:
+    high, low = divmod(n, 100)
+    if 11 <= high <= 19:
+        text = f"{_de_under_100(high)}hundert"
+        if low:
+            text += _de_under_100(low, as_prefix=True) if low != 1 else "eins"
+        return text
+    return de_cardinal_int(n)
+
+
+def de_ordinal(n: int) -> str:
+    irregular = {1: "erste", 3: "dritte", 7: "siebte", 8: "achte"}
+    if n in irregular:
+        return irregular[n]
+    card = de_cardinal_int(n)
+    return card + ("te" if n < 20 else "ste")
+
+
+# ---------------------------------------------------------------------------
+# French
+# ---------------------------------------------------------------------------
+
+_FR_ONES = [
+    "zéro", "un", "deux", "trois", "quatre", "cinq", "six", "sept", "huit",
+    "neuf", "dix", "onze", "douze", "treize", "quatorze", "quinze", "seize",
+    "dix-sept", "dix-huit", "dix-neuf",
+]
+_FR_TENS = {2: "vingt", 3: "trente", 4: "quarante", 5: "cinquante",
+            6: "soixante"}
+
+
+def _fr_under_100(n: int) -> str:
+    if n < 20:
+        return _FR_ONES[n]
+    if n < 70:
+        tens, ones = divmod(n, 10)
+        base = _FR_TENS[tens]
+        if ones == 0:
+            return base
+        if ones == 1:
+            return f"{base} et un"
+        return f"{base}-{_FR_ONES[ones]}"
+    if n < 80:
+        if n == 71:
+            return "soixante et onze"
+        return f"soixante-{_FR_ONES[n - 60]}"
+    if n == 80:
+        return "quatre-vingts"
+    if n < 100:
+        return f"quatre-vingt-{_FR_ONES[n - 80]}"
+    raise AssertionError(n)
+
+
+def _fr_under_1000(n: int) -> str:
+    hundreds, rem = divmod(n, 100)
+    if hundreds == 0:
+        return _fr_under_100(rem)
+    if hundreds == 1:
+        text = "cent"
+    else:
+        text = f"{_FR_ONES[hundreds]} cents" if rem == 0 else f"{_FR_ONES[hundreds]} cent"
+    if rem:
+        text += f" {_fr_under_100(rem)}"
+    return text
+
+
+def fr_cardinal_int(n: int) -> str:
+    if n < 0:
+        return "moins " + fr_cardinal_int(-n)
+    if n < 1000:
+        return _fr_under_1000(n)
+    out = ""
+    for scale, singular, plural in (
+        (10 ** 9, "un milliard", "milliards"),
+        (10 ** 6, "un million", "millions"),
+    ):
+        group, n = divmod(n, scale)
+        if group:
+            text = singular if group == 1 else f"{_fr_under_1000(group)} {plural}"
+            out = text if not out else f"{out} {text}"
+    thousands, rem = divmod(n, 1000)
+    if thousands:
+        text = "mille" if thousands == 1 else f"{_fr_under_1000(thousands)} mille"
+        out = text if not out else f"{out} {text}"
+    if rem:
+        text = _fr_under_1000(rem)
+        out = text if not out else f"{out} {text}"
+    return out or "zéro"
+
+
+def fr_ordinal(n: int) -> str:
+    if n == 1:
+        return "premier"
+    card = fr_cardinal_int(n)
+    if card.endswith("e"):
+        card = card[:-1]
+    elif card.endswith("cinq"):
+        card += "u"
+    elif card.endswith("neuf"):
+        card = card[:-1] + "v"
+    elif card.endswith("vingts"):
+        card = card[:-1]
+    return card + "ième"
+
+
+# ---------------------------------------------------------------------------
+# Spanish
+# ---------------------------------------------------------------------------
+
+_ES_ONES = [
+    "cero", "uno", "dos", "tres", "cuatro", "cinco", "seis", "siete",
+    "ocho", "nueve", "diez", "once", "doce", "trece", "catorce", "quince",
+    "dieciséis", "diecisiete", "dieciocho", "diecinueve",
+]
+_ES_TENS = {2: "veinte", 3: "treinta", 4: "cuarenta", 5: "cincuenta",
+            6: "sesenta", 7: "setenta", 8: "ochenta", 9: "noventa"}
+_ES_TWENTIES = {
+    21: "veintiuno", 22: "veintidós", 23: "veintitrés", 24: "veinticuatro",
+    25: "veinticinco", 26: "veintiséis", 27: "veintisiete",
+    28: "veintiocho", 29: "veintinueve",
+}
+_ES_HUNDREDS = {
+    1: "ciento", 2: "doscientos", 3: "trescientos", 4: "cuatrocientos",
+    5: "quinientos", 6: "seiscientos", 7: "setecientos", 8: "ochocientos",
+    9: "novecientos",
+}
+
+
+def _es_under_100(n: int) -> str:
+    if n < 20:
+        return _ES_ONES[n]
+    if n in _ES_TWENTIES:
+        return _ES_TWENTIES[n]
+    tens, ones = divmod(n, 10)
+    if ones == 0:
+        return _ES_TENS[tens]
+    return f"{_ES_TENS[tens]} y {_ES_ONES[ones]}"
+
+
+def _es_under_1000(n: int) -> str:
+    if n == 100:
+        return "cien"
+    hundreds, rem = divmod(n, 100)
+    if hundreds == 0:
+        return _es_under_100(rem)
+    text = _ES_HUNDREDS[hundreds]
+    if rem:
+        text += f" {_es_under_100(rem)}"
+    return text
+
+
+def es_cardinal_int(n: int) -> str:
+    if n < 0:
+        return "menos " + es_cardinal_int(-n)
+    if n < 1000:
+        return _es_under_1000(n)
+    out = ""
+    for scale, singular, plural in (
+        (10 ** 9, "mil millones", "mil millones"),
+        (10 ** 6, "un millón", "millones"),
+    ):
+        group, n = divmod(n, scale)
+        if group:
+            text = singular if group == 1 else f"{_es_under_1000(group)} {plural}"
+            out = text if not out else f"{out} {text}"
+    thousands, rem = divmod(n, 1000)
+    if thousands:
+        text = "mil" if thousands == 1 else f"{_es_under_1000(thousands)} mil"
+        out = text if not out else f"{out} {text}"
+    if rem:
+        text = _es_under_1000(rem)
+        out = text if not out else f"{out} {text}"
+    return out or "cero"
+
+
+# ---------------------------------------------------------------------------
+# Russian (nominative cardinals)
+# ---------------------------------------------------------------------------
+
+_RU_ONES = [
+    "ноль", "один", "два", "три", "четыре", "пять", "шесть", "семь",
+    "восемь", "девять", "десять", "одиннадцать", "двенадцать",
+    "тринадцать", "четырнадцать", "пятнадцать", "шестнадцать",
+    "семнадцать", "восемнадцать", "девятнадцать",
+]
+_RU_TENS = {2: "двадцать", 3: "тридцать", 4: "сорок", 5: "пятьдесят",
+            6: "шестьдесят", 7: "семьдесят", 8: "восемьдесят",
+            9: "девяносто"}
+_RU_HUNDREDS = {1: "сто", 2: "двести", 3: "триста", 4: "четыреста",
+                5: "пятьсот", 6: "шестьсот", 7: "семьсот",
+                8: "восемьсот", 9: "девятьсот"}
+
+
+def _ru_under_1000(n: int, feminine: bool = False) -> str:
+    parts = []
+    hundreds, rem = divmod(n, 100)
+    if hundreds:
+        parts.append(_RU_HUNDREDS[hundreds])
+    if rem >= 20:
+        tens, ones = divmod(rem, 10)
+        parts.append(_RU_TENS[tens])
+        rem = ones
+    if rem:
+        if feminine and rem == 1:
+            parts.append("одна")
+        elif feminine and rem == 2:
+            parts.append("две")
+        else:
+            parts.append(_RU_ONES[rem])
+    return " ".join(parts)
+
+
+def _ru_plural(n: int, forms) -> str:
+    if n % 100 in (11, 12, 13, 14):
+        return forms[2]
+    if n % 10 == 1:
+        return forms[0]
+    if n % 10 in (2, 3, 4):
+        return forms[1]
+    return forms[2]
+
+
+def ru_cardinal_int(n: int) -> str:
+    if n < 0:
+        return "минус " + ru_cardinal_int(-n)
+    if n == 0:
+        return "ноль"
+    parts = []
+    for scale, forms, fem in (
+        (10 ** 9, ("миллиард", "миллиарда", "миллиардов"), False),
+        (10 ** 6, ("миллион", "миллиона", "миллионов"), False),
+        (10 ** 3, ("тысяча", "тысячи", "тысяч"), True),
+    ):
+        group, n = divmod(n, scale)
+        if group:
+            parts.append(f"{_ru_under_1000(group, feminine=fem)} {_ru_plural(group, forms)}")
+    if n:
+        parts.append(_ru_under_1000(n))
+    return " ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Chinese
+# ---------------------------------------------------------------------------
+
+_ZH_DIGITS = "零一二三四五六七八九"
+
+
+def zh_cardinal_int(n: int) -> str:
+    if n < 0:
+        return "负" + zh_cardinal_int(-n)
+    if n < 10:
+        return _ZH_DIGITS[n]
+
+    def under_10000(m: int) -> str:
+        out = []
+        units = [(1000, "千"), (100, "百"), (10, "十")]
+        started = False
+        pending_zero = False
+        for val, name in units:
+            d, m = divmod(m, val)
+            if d:
+                if pending_zero:
+                    out.append("零")
+                    pending_zero = False
+                if d == 1 and val == 10 and not started:
+                    out.append(name)  # 10..19: 十, 十一
+                else:
+                    out.append(_ZH_DIGITS[d] + name)
+                started = True
+            elif started:
+                pending_zero = True
+        if m:
+            if pending_zero:
+                out.append("零")
+            out.append(_ZH_DIGITS[m])
+        return "".join(out)
+
+    parts = []
+    for scale, name in ((10 ** 8, "亿"), (10 ** 4, "万")):
+        group, n = divmod(n, scale)
+        if group:
+            parts.append(under_10000(group) + name)
+    if n:
+        if parts and n < 1000:
+            parts.append("零")
+        parts.append(under_10000(n))
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+_CARDINAL_INT = {
+    "en": en_cardinal_int,
+    "de": de_cardinal_int,
+    "fr": fr_cardinal_int,
+    "es": es_cardinal_int,
+    "ru": ru_cardinal_int,
+    "zh": zh_cardinal_int,
+}
+_ORDINAL = {"en": en_ordinal, "de": de_ordinal, "fr": fr_ordinal}
+_YEAR = {"en": en_year, "de": de_year}
+_DIGIT_WORDS = {
+    "en": _EN_ONES, "de": _DE_ONES, "fr": _FR_ONES, "es": _ES_ONES,
+    "ru": _RU_ONES, "zh": list(_ZH_DIGITS),
+}
+
+
+def _short_lang(lang: str) -> str:
+    return lang.split("-", 1)[0].split("_", 1)[0].lower()
+
+
+# Magnitude bounds per language: the largest value the scale tables verbalize
+# correctly.  Beyond them we raise (num2words raises OverflowError similarly);
+# the caller leaves the token unexpanded instead of crashing mid-batch.
+_MAX_MAGNITUDE = {"en": 10 ** 18}
+_DEFAULT_MAX_MAGNITUDE = 10 ** 12
+
+
+def num_to_words(num: Decimal, lang: str, to: str = "cardinal",
+                 currency: str = "USD", separator: str = "|") -> str:
+    """Dispatch mirroring ``num2words(num, lang=..., to=...)``."""
+    sl = _short_lang(lang)
+    if abs(num) >= _MAX_MAGNITUDE.get(sl, _DEFAULT_MAX_MAGNITUDE):
+        raise NumberVerbalizeError(f"{sl}: magnitude {num} out of range")
+    if to == "currency":
+        if sl == "en":
+            return en_currency(num, currency, separator)
+        raise NumberVerbalizeError(f"{sl}:currency")
+    if to == "year":
+        fn = _YEAR.get(sl)
+        if fn is None:
+            # num2words falls back to cardinal for languages without to_year
+            return num_to_words(num, lang, to="cardinal")
+        return fn(int(num))
+    if to == "ordinal":
+        fn = _ORDINAL.get(sl)
+        if fn is None:
+            raise NumberVerbalizeError(f"{sl}:ordinal")
+        return fn(int(num))
+    # cardinal
+    card = _CARDINAL_INT.get(sl)
+    if card is None:
+        raise NumberVerbalizeError(f"{sl}:cardinal")
+    if num == num.to_integral_value():
+        return card(int(num))
+    sign_word = {"en": "minus", "de": "minus", "fr": "moins", "es": "menos",
+                 "ru": "минус", "zh": "负"}.get(sl, "minus")
+    point_word = {"en": "point", "de": "Komma", "fr": "virgule",
+                  "es": "punto", "ru": "запятая", "zh": "点"}.get(sl, "point")
+    sign = f"{sign_word} " if num < 0 else ""
+    num = abs(num)
+    frac = format(num.normalize(), "f").split(".", 1)
+    frac_digits = frac[1] if len(frac) > 1 else ""
+    digits = _DIGIT_WORDS[sl]
+    joiner = "" if sl == "zh" else " "
+    frac_text = joiner.join(digits[int(d)] for d in frac_digits)
+    if sl == "zh":
+        return f"{sign}{card(int(num))}{point_word}{frac_text}"
+    return f"{sign}{card(int(num))} {point_word} {frac_text}"

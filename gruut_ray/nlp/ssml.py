@@ -1,0 +1,146 @@
+"""Minimal SSML subset parser.
+
+The reference implements a ~500-line event-driven state machine over an
+etree stream (reference gruut/text_processor.py:486-1001).  This engine
+supports the subset that affects batch text processing:
+
+* ``<speak>`` (auto-wrapped), ``<p>``, ``<s>`` — explicit structure
+* ``<w>`` / ``<token>`` — explicit words (never split)
+* ``<say-as interpret-as=... format=...>`` — spell-out/date/number/
+  currency/time interpretation
+* ``<sub alias=...>`` — substitution
+* ``<break time=...>`` — pause attribution (sentence/word level)
+* ``lang`` attributes on speak/p/s/w
+
+Voice/mark/audio/prosody and inline ``<lexicon>`` are out of scope here
+(documented gap; they affect TTS rendering, not the text/quality pipeline).
+"""
+
+from __future__ import annotations
+
+import re
+import typing
+import xml.etree.ElementTree as ET
+
+from gruut_ray.nlp import normalize as N
+from gruut_ray.profiles import resolve_lang
+
+_INTERPRET_MAP = {
+    "spell-out": N.SPELL_OUT,
+    "characters": N.SPELL_OUT,
+    "date": N.AS_DATE,
+    "number": N.AS_NUMBER,
+    "cardinal": N.AS_NUMBER,
+    "ordinal": N.AS_NUMBER,
+    "digits": N.AS_NUMBER,
+    "currency": N.AS_CURRENCY,
+    "time": N.AS_TIME,
+}
+
+_FORMAT_FOR_INTERPRET = {"ordinal": N.F_ORDINAL, "digits": N.F_DIGITS}
+
+_TIME_RE = re.compile(r"^([0-9]+(?:\.[0-9]*)?)\s*(ms|s)?$")
+
+
+def _parse_break_ms(value: str) -> int:
+    """<break time="250ms"|"2s"> (reference gruut/const.py:284-292)."""
+    m = _TIME_RE.match(value.strip().lower())
+    if m is None:
+        return 0
+    num = float(m.group(1))
+    unit = m.group(2) or "s"
+    return int(num * 1000) if unit == "s" else int(num)
+
+
+def _strip_ns(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def parse_ssml(
+    text: str, default_lang: str, lex: N.LexiconCheck = None
+) -> typing.List[typing.List[N.SentenceTokens]]:
+    """Parse SSML into the paragraphs/sentences token structure consumed by
+    :func:`gruut_ray.nlp.normalize.run_fixed_point`."""
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError:
+        root = ET.fromstring(f"<speak>{text}</speak>")
+
+    paragraphs: typing.List[typing.List[N.SentenceTokens]] = []
+    pending_pause_ms = 0
+
+    def ensure_par() -> typing.List[N.SentenceTokens]:
+        if not paragraphs:
+            paragraphs.append([])
+        return paragraphs[-1]
+
+    def add_tokens(toks, implicit_sentence: bool, lang: str) -> None:
+        nonlocal pending_pause_ms
+        if not toks:
+            return
+        par = ensure_par()
+        if not par or (par[-1].implicit != implicit_sentence):
+            par.append(N.SentenceTokens([], implicit=implicit_sentence,
+                                        lang=lang,
+                                        pause_before_ms=pending_pause_ms))
+            pending_pause_ms = 0
+        par[-1].tokens.extend(toks)
+
+    def walk(elem, lang: str, interpret_as: str, fmt: str,
+             in_explicit_sentence: bool) -> None:
+        nonlocal pending_pause_ms
+        tag = _strip_ns(elem.tag).lower()
+        lang = resolve_lang(elem.get("lang", lang))
+
+        if tag == "break":
+            ms = _parse_break_ms(elem.get("time", "0"))
+            par = ensure_par()
+            if par and par[-1].tokens:
+                par[-1].pause_after_ms += ms
+            else:
+                pending_pause_ms += ms
+            return
+        if tag == "sub":
+            alias = elem.get("alias", "")
+            add_tokens(N.tokenize(alias + " ", lang, lex,
+                                  interpret_as=interpret_as, fmt=fmt),
+                       not in_explicit_sentence, lang)
+            return
+        if tag == "say-as":
+            interpret_key = elem.get("interpret-as", "").lower()
+            interpret_as = _INTERPRET_MAP.get(interpret_key, interpret_as)
+            fmt = elem.get("format", _FORMAT_FOR_INTERPRET.get(interpret_key, fmt))
+        if tag == "p":
+            paragraphs.append([])
+        explicit_sentence = in_explicit_sentence
+        if tag == "s":
+            ensure_par().append(
+                N.SentenceTokens([], implicit=False, lang=lang,
+                                 pause_before_ms=pending_pause_ms))
+            pending_pause_ms = 0
+            explicit_sentence = True
+        if tag in ("w", "token"):
+            word_text = "".join(elem.itertext())
+            toks = N.tokenize(word_text + " ", lang, lex,
+                              interpret_as=interpret_as, fmt=fmt,
+                              role=elem.get("role", ""))
+            for t in toks:
+                t.implicit = False
+            add_tokens(toks, not explicit_sentence, lang)
+            return
+
+        if elem.text and elem.text.strip():
+            add_tokens(N.tokenize(elem.text, lang, lex,
+                                  interpret_as=interpret_as, fmt=fmt),
+                       not explicit_sentence, lang)
+        for child in elem:
+            walk(child, lang, interpret_as, fmt, explicit_sentence)
+            if child.tail and child.tail.strip():
+                add_tokens(N.tokenize(child.tail, lang, lex,
+                                      interpret_as=interpret_as, fmt=fmt),
+                           not explicit_sentence, lang)
+
+    walk(root, default_lang, "", "", False)
+    if not paragraphs:
+        paragraphs.append([])
+    return paragraphs

@@ -1,0 +1,95 @@
+"""Language registry + alias resolution (reference gruut/const.py:17-46,
+gruut/utils.py:37-49)."""
+
+from __future__ import annotations
+
+import typing
+
+import gruut_ray.profiles.en  # noqa: F401  (registers English hooks)
+from gruut_ray.profiles.base import (  # noqa: F401
+    CompiledProfile,
+    LanguageProfile,
+    Time,
+    compile_profile,
+    get_whitespace,
+    has_digit,
+    normalize_whitespace,
+)
+from gruut_ray.profiles.data import ALL_PROFILES
+
+LANG_ALIASES: typing.Dict[str, str] = {
+    "ar": "ar",
+    "ca": "ca-ce",
+    "ca-ba": "ca-ce",
+    "ca-no": "ca-ce",
+    "ca-va": "ca-ce",
+    "cs": "cs-cz",
+    "de": "de-de",
+    "en": "en-us",
+    "en-gb": "en-us",
+    "es": "es-es",
+    "es-mx": "es-es",
+    "fa": "fa",
+    "fr": "fr-fr",
+    "it": "it-it",
+    "lb-lb": "lb",
+    "nl": "nl",
+    "nl-nl": "nl",
+    "pt-br": "pt",
+    "ru": "ru-ru",
+    "sv": "sv-se",
+    "sw": "sw",
+    "zh": "zh-cn",
+}
+
+_REGISTRY: typing.Dict[str, LanguageProfile] = {p.lang: p for p in ALL_PROFILES}
+
+DEFAULT_LANG = "en-us"
+
+
+def resolve_lang(lang: str) -> str:
+    """en_US -> en-us, en -> en-us (reference gruut/utils.py:37-49)."""
+    lang = (lang or DEFAULT_LANG).replace("_", "-").lower()
+    base = lang.split("/", 1)[0]
+    if base in _REGISTRY:
+        return base
+    if base in LANG_ALIASES:
+        return LANG_ALIASES[base]
+    # en-XX -> en
+    short = base.split("-", 1)[0]
+    if short in _REGISTRY:
+        return short
+    if short in LANG_ALIASES:
+        return LANG_ALIASES[short]
+    return base
+
+
+def register_profile(profile: LanguageProfile) -> None:
+    """Register (or override) a profile — the engine's equivalent of
+    constructing ``TextProcessor(settings={...})`` with custom settings
+    (reference gruut/text_processor.py:72-100)."""
+    from gruut_ray.profiles.base import _COMPILED_CACHE
+
+    _REGISTRY[profile.lang] = profile
+    _COMPILED_CACHE.pop(profile.lang, None)
+
+
+def get_profile(lang: str) -> LanguageProfile:
+    """Profile for a language; unknown languages get default settings
+    (reference gruut/lang.py:193-195 falls back to bare settings)."""
+    resolved = resolve_lang(lang)
+    prof = _REGISTRY.get(resolved)
+    if prof is None:
+        prof = LanguageProfile(lang=resolved, begin_punctuations=(
+            '"', "“", "«", "[", "(", "<", "„"),
+            end_punctuations=('"', "”", "»", "]", ")", ">"))
+        _REGISTRY[resolved] = prof
+    return prof
+
+
+def get_compiled(lang: str) -> CompiledProfile:
+    return compile_profile(get_profile(lang))
+
+
+def known_langs() -> typing.List[str]:
+    return sorted(p.lang for p in ALL_PROFILES)
