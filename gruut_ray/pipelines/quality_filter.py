@@ -1,0 +1,160 @@
+"""The flagship north-rule pipeline:
+
+    read CC-style Parquet (or synthesize)
+      → extract_text (stateless, drops html immediately)
+      → LangIdStage (actor pool)
+      → QualityScrubStage (actor pool: scrub + gruut tokenization stats +
+        perplexity + keep/drop)
+      → write partitioned Parquet + per-partition manifests  (or return
+        the lazy Dataset for further composition)
+
+Never calls ray.init(); the caller owns the session.  Everything streams —
+no driver-side materialization of document rows.
+"""
+
+from __future__ import annotations
+
+import typing
+
+import pyarrow as pa
+
+from gruut_ray.quality.heuristics import (
+    DEFAULT_THRESHOLDS,
+    RULES_VERSION,
+    QualityThresholds,
+)
+from gruut_ray.stages.extract import extract_batch
+from gruut_ray.stages.quality import LangIdStage, QualityScrubStage
+from gruut_ray.state import manifest as mf
+
+if typing.TYPE_CHECKING:
+    import ray.data
+
+
+def quality_filter(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    html_col: typing.Optional[str] = None,
+    thresholds: QualityThresholds = DEFAULT_THRESHOLDS,
+    use_ppl: bool = True,
+    langid_concurrency: typing.Tuple[int, int] = (1, 4),
+    quality_concurrency: typing.Tuple[int, int] = (2, 8),
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """Compose the quality-filter stages onto a Dataset (lazy)."""
+    if html_col is not None:
+        ds = ds.map_batches(
+            lambda b: extract_batch(b, html_col=html_col, out_col=text_col),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    ds = ds.map_batches(
+        LangIdStage,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+        batch_size=batch_size * 4,
+        concurrency=langid_concurrency,
+        num_cpus=1,
+    )
+    ds = ds.map_batches(
+        QualityScrubStage,
+        fn_constructor_kwargs={"thresholds": thresholds, "text_col": text_col,
+                               "use_ppl": use_ppl},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=quality_concurrency,
+        num_cpus=1,
+    )
+    return ds
+
+
+def lang_counters(ds: "ray.data.Dataset"):
+    """Keep/drop/scrub counters per language: per-batch partials then a tiny
+    driver-side merge over (num_batches × num_langs) rows — documents never
+    shuffle (SURVEY §2.5)."""
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+    from gruut_ray.stages.quality import partial_counters
+
+    return partial_then_merge(
+        ds, partial_counters, ["lang"],
+        {"docs": "sum", "kept": "sum", "pii_hits": "sum", "toxic": "sum",
+         "tokens": "sum"})
+
+
+def run_to_parquet(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    *,
+    num_partitions: int = 16,
+    resume: bool = True,
+    **kwargs,
+) -> typing.Dict[str, typing.Any]:
+    """Execute the quality filter and write partitioned output with
+    per-partition manifests; skips partitions already completed by a prior
+    run (checkpoint/resume, SURVEY §4).
+
+    Partitioning is by ``hash(url) % num_partitions`` so it is stable across
+    runs regardless of input order.  Each partition is one output directory
+    written atomically (parquet files first, manifest last).
+    """
+    import pyarrow.compute as pc
+
+    done = mf.completed_partitions(out_dir) if resume else {}
+
+    filtered = quality_filter(ds, **kwargs)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        # stable partition id from url hash (not input order)
+        urls = batch.column("url").to_pylist()
+        import zlib
+        parts = [zlib.crc32(u.encode()) % num_partitions for u in urls]
+        return batch.append_column("part", pa.array(parts, type=pa.int32()))
+
+    filtered = filtered.map_batches(add_part, batch_format="pyarrow")
+
+    stats: typing.Dict[str, typing.Any] = {"partitions": {}}
+    todo = [p for p in range(num_partitions) if p not in done]
+    for payload in done.values():
+        stats["partitions"][payload["part_id"]] = payload
+
+    if todo:
+        # One pass: split by partition id with a filtered write per partition
+        # would re-execute the pipeline num_partitions times; instead
+        # materialize per-partition row groups via a single write with
+        # partition columns, then stamp manifests.
+        to_write = filtered
+        if len(todo) < num_partitions:
+            todo_arr = pa.array(todo, type=pa.int32())
+            to_write = filtered.map_batches(
+                lambda b: b.filter(pc.is_in(b.column("part"), todo_arr)),
+                batch_format="pyarrow")
+        to_write.write_parquet(out_dir, partition_cols=["part"])
+
+        # Stamp manifests with per-partition counters
+        import glob
+        import os
+
+        import pyarrow.dataset as pads
+        for p in todo:
+            pdir = os.path.join(out_dir, f"part={p}")
+            files = glob.glob(os.path.join(pdir, "*.parquet"))
+            rows = kept = 0
+            if files:
+                dset = pads.dataset(files)
+                tbl = dset.to_table(columns=["keep"])
+                rows = tbl.num_rows
+                kept = int(pc.sum(pc.cast(tbl.column("keep"), pa.int64())).as_py() or 0)
+            payload = {"rows": rows, "kept": kept,
+                       "rules_version": RULES_VERSION}
+            mf.write_partition_manifest(out_dir, p, payload)
+            stats["partitions"][p] = payload
+
+    mf.write_run_manifest(out_dir, {
+        "num_partitions": num_partitions,
+        "rules_version": RULES_VERSION,
+        "partitions_completed": len(stats["partitions"]),
+    })
+    stats["rows"] = sum(p.get("rows", 0) for p in stats["partitions"].values())
+    stats["kept"] = sum(p.get("kept", 0) for p in stats["partitions"].values())
+    return stats

@@ -1,0 +1,146 @@
+"""Relational-style demo pipelines over the TPC-H-ish testdata tables.
+
+These exercise the engine's generic operator surface (filter → project →
+partial aggregate → small groupby; broadcast hash join; windowed aggregate)
+with the scale patterns this repo standardizes on:
+
+* aggregations pre-combine inside ``map_batches`` so the shuffle moves
+  (keys × batches) rows, not documents/lineitems;
+* small dimension tables broadcast via ``ray.put`` into batch kernels —
+  no shuffle join;
+* event-time windows are plain column computations + grouped aggregation
+  (Ray Data has no watermarks; the events table is a bounded log).
+"""
+
+from __future__ import annotations
+
+import typing
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+if typing.TYPE_CHECKING:
+    import ray.data
+
+
+def pricing_summary(lineitem: "ray.data.Dataset",
+                    cutoff: str = "1998-09-01") -> pd.DataFrame:
+    """TPC-H Q1-shaped pricing summary (filter → partial agg → tiny groupby
+    → sort)."""
+    cutoff_ts = pa.scalar(np.datetime64(cutoff, "us"))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff_ts))
+        if batch.num_rows == 0:
+            return pa.table({"l_returnflag": pa.array([], pa.string()),
+                             "l_linestatus": pa.array([], pa.string()),
+                             "sum_qty": pa.array([], pa.float64()),
+                             "sum_base_price": pa.array([], pa.float64()),
+                             "sum_disc_price": pa.array([], pa.float64()),
+                             "sum_charge": pa.array([], pa.float64()),
+                             "count_order": pa.array([], pa.int64())})
+        disc_price = pc.multiply(batch.column("l_extendedprice"),
+                                 pc.subtract(pa.scalar(1.0),
+                                             batch.column("l_discount")))
+        charge = pc.multiply(disc_price,
+                             pc.add(pa.scalar(1.0), batch.column("l_tax")))
+        df = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty": batch.column("l_quantity"),
+            "base": batch.column("l_extendedprice"),
+            "disc": disc_price,
+            "charge": charge,
+        }).to_pandas()
+        agg = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"), sum_base_price=("base", "sum"),
+            sum_disc_price=("disc", "sum"), sum_charge=("charge", "sum"),
+            count_order=("qty", "size"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    return partial_then_merge(
+        lineitem, partials, ["l_returnflag", "l_linestatus"],
+        {"sum_qty": "sum", "sum_base_price": "sum", "sum_disc_price": "sum",
+         "sum_charge": "sum", "count_order": "sum"})
+
+
+def revenue_by_segment(orders: "ray.data.Dataset",
+                       customer: "ray.data.Dataset") -> pd.DataFrame:
+    """Broadcast hash join: the customer dimension is ray.put once; each
+    orders batch maps custkey→segment with a pandas merge — no shuffle."""
+    import ray
+
+    cust_df = customer.select_columns(
+        ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust_ref = ray.put(cust_df)
+
+    class JoinSeg:
+        def __init__(self):
+            self.cust = ray.get(cust_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.select(["o_custkey", "o_totalprice"]).to_pandas()
+            joined = df.merge(self.cust, left_on="o_custkey",
+                              right_on="c_custkey", how="inner")
+            agg = joined.groupby("c_mktsegment", as_index=False).agg(
+                revenue=("o_totalprice", "sum"),
+                n_orders=("o_totalprice", "size"))
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = orders.map_batches(JoinSeg, batch_format="pyarrow",
+                                  concurrency=(1, 4)).to_pandas()
+    out = partials.groupby("c_mktsegment", as_index=False).agg(
+        revenue=("revenue", "sum"), n_orders=("n_orders", "sum"))
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def events_hourly_window(events: "ray.data.Dataset") -> pd.DataFrame:
+    """Tumbling 1-hour window aggregate per event_type: window assignment is
+    a column computation; aggregation is partial-then-grouped."""
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64())  # microseconds
+        hour = pc.multiply(pc.divide(ts, 3_600_000_000), 3_600_000_000)
+        df = pa.table({
+            "event_type": batch.column("event_type"),
+            "window_start": hour,
+            "value": batch.column("value"),
+        }).to_pandas()
+        agg = df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum"),
+            min_value=("value", "min"), max_value=("value", "max"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    out = partial_then_merge(
+        events, partials, ["event_type", "window_start"],
+        {"n": "sum", "sum_value": "sum", "min_value": "min",
+         "max_value": "max"})
+    out["window_start"] = pd.to_datetime(out["window_start"], unit="us")
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+def sessionize(events: "ray.data.Dataset", gap_minutes: int = 30,
+               ) -> pd.DataFrame:
+    """Session windows per user: sort-within-group (map_groups) — the
+    ordering assumption is per-user ts order, enforced inside the group."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts")
+        ts = g["ts"].astype("int64").to_numpy()
+        new_session = np.ones(len(ts), dtype=bool)
+        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
+        session_ids = np.cumsum(new_session)
+        g = g.assign(session=session_ids)
+        agg = g.groupby("session").agg(
+            user_id=("user_id", "first"), n_events=("ts", "size"),
+            start_ts=("ts", "min"), end_ts=("ts", "max"))
+        return agg.reset_index(drop=True)
+
+    return events.groupby("user_id").map_groups(
+        sessions, batch_format="pandas").to_pandas()

@@ -1,0 +1,158 @@
+"""Similarity search over an embedding column (training-data op).
+
+* brute_force_topk — exact cosine top-k: the query matrix is broadcast once
+  (``ray.put``), each batch does one numpy matmul, per-batch top-k candidates
+  are reduced to a global top-k.  The only driver-side data is
+  (num_queries × k) candidate rows.
+* lsh_topk — random-hyperplane LSH variant: probe only matching signature
+  buckets (the scale path when the corpus is huge and queries many).
+* pairwise_dups — embedding-cosine near-duplicate pairs via bucketed
+  comparison.
+"""
+
+from __future__ import annotations
+
+import typing
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+if typing.TYPE_CHECKING:
+    import ray.data
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.maximum(norms, 1e-12)
+
+
+def brute_force_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact cosine top-k for each query row.  Returns a DataFrame with
+    columns (query_idx, vec_id, score), k rows per query, sorted by
+    (query_idx, -score, vec_id)."""
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q_ref = ray.put(q)
+
+    class BatchTopK:
+        def __init__(self):
+            self.q = ray.get(q_ref)  # fetched once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col).to_pylist())
+            emb = _normalize(np.asarray(batch.column(emb_col).to_pylist(),
+                                        dtype=np.float32))
+            scores = emb @ self.q.T  # (batch, nq)
+            kk = min(k, len(ids))
+            top = np.argpartition(-scores, kk - 1, axis=0)[:kk]  # (kk, nq)
+            out_q, out_id, out_s = [], [], []
+            for qi in range(self.q.shape[0]):
+                rows = top[:, qi]
+                out_q.extend([qi] * len(rows))
+                out_id.extend(ids[rows].tolist())
+                out_s.extend(scores[rows, qi].tolist())
+            return pa.table({
+                "query_idx": pa.array(out_q, type=pa.int32()),
+                id_col: pa.array(out_id),
+                "score": pa.array(out_s, type=pa.float32()),
+            })
+
+    candidates = ds.map_batches(BatchTopK, batch_format="pyarrow",
+                                concurrency=(1, 8)).to_pandas()
+    out = (candidates.sort_values(["query_idx", "score", id_col],
+                                  ascending=[True, False, True])
+           .groupby("query_idx", as_index=False).head(k)
+           .reset_index(drop=True))
+    return out
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 13) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).astype(np.float32)
+
+
+def add_lsh_buckets(ds: "ray.data.Dataset", dim: int, n_bits: int = 12,
+                    emb_col: str = "embedding", seed: int = 13,
+                    ) -> "ray.data.Dataset":
+    """Adds a ``bucket`` column: random-hyperplane signature (int32).
+    Co-bucketing via groupby("bucket") is the IVF-style scale path."""
+    planes = _hyperplanes(dim, n_bits, seed)
+
+    def sign(batch: pa.Table) -> pa.Table:
+        emb = np.asarray(batch.column(emb_col).to_pylist(), dtype=np.float32)
+        bits = (emb @ planes.T) > 0  # (n, n_bits)
+        buckets = np.zeros(len(emb), dtype=np.int32)
+        for b in range(n_bits):
+            buckets |= bits[:, b].astype(np.int32) << b
+        return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
+
+    return ds.map_batches(sign, batch_format="pyarrow")
+
+
+def lsh_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 13,
+) -> pd.DataFrame:
+    """Approximate top-k: only vectors whose signature matches the query's
+    bucket are scored.  Recall depends on n_bits; use brute_force_topk as
+    the exact baseline."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    q = np.asarray(queries, dtype=np.float32)
+    q_bits = (q @ planes.T) > 0
+    q_buckets = np.zeros(len(q), dtype=np.int32)
+    for b in range(n_bits):
+        q_buckets |= q_bits[:, b].astype(np.int32) << b
+    bucketed = add_lsh_buckets(ds, dim, n_bits, emb_col, seed)
+    wanted = set(int(b) for b in q_buckets)
+
+    def only_wanted(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.is_in(batch.column("bucket"),
+                        pa.array(sorted(wanted), type=pa.int32()))
+        return batch.filter(mask)
+
+    pruned = bucketed.map_batches(only_wanted, batch_format="pyarrow")
+    return brute_force_topk(pruned, queries, k, id_col, emb_col)
+
+
+def embedding_dup_pairs(
+    ds: "ray.data.Dataset",
+    dim: int,
+    threshold: float = 0.95,
+    n_bits: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """Embedding-cosine near-dup candidate pairs via LSH co-bucketing +
+    exact verification inside each bucket."""
+    bucketed = add_lsh_buckets(ds, dim, n_bits, emb_col)
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"a": [], "b": [], "score": []})
+        g = group.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        emb = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float32))
+        sims = emb @ emb.T
+        a_idx, b_idx = np.where(np.triu(sims, 1) >= threshold)
+        return pd.DataFrame({
+            "a": ids[a_idx], "b": ids[b_idx],
+            "score": sims[a_idx, b_idx].astype(np.float32),
+        })
+
+    return bucketed.groupby("bucket").map_groups(
+        pairs, batch_format="pandas").to_pandas()

@@ -1,0 +1,97 @@
+"""Text analysis operators over a documents table (training-data ops):
+token counting (whitespace + BPE-ish regex), quality-score columns,
+language distribution, document fingerprints, top-k reports.
+
+All are thin, vectorized Dataset compositions registered in
+``__ray_entry__.queries()`` with DuckDB oracles where SQL can express them.
+"""
+
+from __future__ import annotations
+
+import re
+import typing
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+if typing.TYPE_CHECKING:
+    import ray.data
+
+# GPT-2-style pretokenizer regex (public knowledge), minus lookahead quirks
+BPE_ISH = re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?\w+| ?[^\s\w]+|\s+(?!\S)|\s+", re.UNICODE)
+
+_WS = re.compile(r"\s+")
+
+
+def token_counts_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Adds n_ws_tokens (whitespace split) and n_bpe_tokens (regex
+    pretokenizer) columns — vectorized via Arrow where possible."""
+    texts = batch.column(text_col)
+    # whitespace tokens: count via arrow split_pattern_regex (vectorized)
+    ws_counts = pc.list_value_length(
+        pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+"))
+    # empty strings produce [""] -> count 1; fix to 0
+    empty = pc.equal(pc.utf8_trim_whitespace(texts), "")
+    ws_counts = pc.if_else(empty, pa.scalar(0, pa.int32()), ws_counts)
+    bpe_counts = pa.array(
+        [len(BPE_ISH.findall(t)) if t else 0 for t in texts.to_pylist()],
+        type=pa.int64())
+    batch = batch.append_column("n_ws_tokens",
+                                pc.cast(ws_counts, pa.int64()))
+    batch = batch.append_column("n_bpe_tokens", bpe_counts)
+    return batch
+
+
+def tokens_by_lang(ds: "ray.data.Dataset", text_col: str = "text",
+                   lang_col: str = "lang"):
+    """Total docs/tokens/chars per language, via per-batch partial
+    aggregation then a tiny driver-side merge (documents never shuffle)."""
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    def partials(batch: pa.Table) -> pa.Table:
+        batch = token_counts_batch(batch, text_col)
+        tbl = pa.table({
+            "lang": batch.column(lang_col),
+            "n_ws_tokens": batch.column("n_ws_tokens"),
+            "n_chars": pc.cast(pc.utf8_length(batch.column(text_col)),
+                               pa.int64()),
+        })
+        df = tbl.to_pandas()
+        agg = df.groupby("lang", as_index=False).agg(
+            n_docs=("n_ws_tokens", "size"),
+            n_tokens=("n_ws_tokens", "sum"),
+            n_chars=("n_chars", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return partial_then_merge(ds, partials, ["lang"],
+                              {"n_docs": "sum", "n_tokens": "sum",
+                               "n_chars": "sum"})
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit rolling-hash document fingerprint (content identity that is
+    whitespace-normalization-invariant)."""
+    texts = batch.column(text_col).to_pylist()
+    fps = []
+    for t in texts:
+        norm = _WS.sub(" ", (t or "").strip())
+        fps.append(zlib.crc32(norm.encode()) * 0x9E3779B1 & ((1 << 63) - 1))
+    return batch.append_column("fingerprint",
+                               pa.array(fps, type=pa.int64()))
+
+
+def top_k_longest(ds: "ray.data.Dataset", k: int = 10,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  ) -> "ray.data.Dataset":
+    """Top-k docs by char length (sort is the shuffle; k rows come back)."""
+    def lengths(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_chars": pc.cast(pc.utf8_length(batch.column(text_col)),
+                               pa.int64()),
+        })
+
+    return ds.map_batches(lengths, batch_format="pyarrow").sort(
+        ["n_chars", id_col], descending=[True, False]).limit(k)

@@ -1,0 +1,135 @@
+"""Actor-pool stages for the quality-filter pipeline.
+
+Each class is a callable passed to ``ds.map_batches(Cls, concurrency=N,
+batch_size=B)``: model build happens ONCE per actor in ``__init__``
+(replacing the reference's lazy "Delayed*" loaders, gruut/lang.py:2539-2606),
+per-batch work in ``__call__`` over zero-copy Arrow tables.
+
+Language routing note (SURVEY §4): stages are per-row, so no shuffle is
+needed to route documents to per-language models — every actor lazily holds
+the (small) models of the languages it sees.  A groupby-lang shuffle would
+cost an all-to-all exchange for zero semantic gain at these model sizes.
+"""
+
+from __future__ import annotations
+
+import typing
+
+import numpy as np
+import pyarrow as pa
+
+from gruut_ray.quality.heuristics import (
+    DEFAULT_THRESHOLDS,
+    QualityThresholds,
+    score_document,
+)
+from gruut_ray.quality.langid import DEFAULT_LANGS, LangIdModel
+from gruut_ray.quality.ngram_lm import PerplexityScorer
+
+
+class LangIdStage:
+    """Adds ``lang_id`` (detected language, short code) + ``lang_score``."""
+
+    SHORT = {"en-us": "en", "de-de": "de", "fr-fr": "fr", "es-es": "es",
+             "ru-ru": "ru", "zh-cn": "zh"}
+
+    def __init__(self, langs: typing.Sequence[str] = DEFAULT_LANGS,
+                 text_col: str = "text"):
+        self.model = LangIdModel(langs)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        langs, scores = self.model.predict(texts)
+        batch = batch.append_column(
+            "lang_id", pa.array([self.SHORT.get(l, l) for l in langs],
+                                type=pa.string()))
+        batch = batch.append_column(
+            "lang_score", pa.array(scores, type=pa.float32()))
+        return batch
+
+
+_QUALITY_FIELDS: typing.Tuple[typing.Tuple[str, pa.DataType], ...] = (
+    ("keep", pa.bool_()),
+    ("drop_reason", pa.string()),
+    ("scrubbed_text", pa.large_string()),
+    ("n_chars", pa.int64()),
+    ("n_tokens", pa.int64()),
+    ("n_sents", pa.int64()),
+    ("mean_word_len", pa.float64()),
+    ("symbol_ratio", pa.float64()),
+    ("digit_ratio", pa.float64()),
+    ("unique_token_ratio", pa.float64()),
+    ("stopword_density", pa.float64()),
+    ("ppl", pa.float64()),
+    ("n_pii_hits", pa.int64()),
+    ("n_toxic", pa.int64()),
+)
+
+
+class QualityScrubStage:
+    """PII scrub + gruut-style tokenization stats + char-LM perplexity +
+    keep/drop verdict.  Uses the detected language (``lang_id``) when
+    present, else the ``lang`` column, else en."""
+
+    def __init__(self, thresholds: QualityThresholds = DEFAULT_THRESHOLDS,
+                 text_col: str = "text", use_ppl: bool = True):
+        self.th = thresholds
+        self.text_col = text_col
+        self.scorer = PerplexityScorer() if use_ppl else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        names = batch.column_names
+        if "lang_id" in names:
+            langs = batch.column("lang_id").to_pylist()
+        elif "lang" in names:
+            langs = batch.column("lang").to_pylist()
+        else:
+            langs = ["en"] * len(texts)
+        if "lang_score" in names:
+            scores = batch.column("lang_score").to_pylist()
+        else:
+            scores = [1.0] * len(texts)
+
+        ppl_fn = self.scorer.perplexity if self.scorer is not None else None
+        cols: typing.Dict[str, list] = {name: [] for name, _ in _QUALITY_FIELDS}
+        for text, lang, score in zip(texts, langs, scores):
+            try:
+                rec = score_document(text or "", lang or "en",
+                                     ppl_fn=ppl_fn,
+                                     lang_score=float(score), th=self.th)
+            except Exception as exc:  # poison-document guard (mirrors --no-fail)
+                rec = {name: None for name, _ in _QUALITY_FIELDS}
+                rec.update(keep=False, drop_reason=f"error:{type(exc).__name__}",
+                           scrubbed_text="", n_chars=len(text or ""))
+            for name, _ in _QUALITY_FIELDS:
+                cols[name].append(rec.get(name))
+        collisions = [n for n, _ in _QUALITY_FIELDS if n in batch.column_names]
+        if collisions:
+            batch = batch.drop_columns(collisions)
+        for name, typ in _QUALITY_FIELDS:
+            batch = batch.append_column(name, pa.array(cols[name], type=typ))
+        return batch
+
+
+def partial_counters(batch: pa.Table) -> pa.Table:
+    """Per-batch partial aggregation of keep/drop/scrub counters keyed by
+    language — pre-aggregation so the final groupby shuffles counters, not
+    documents (SURVEY §2.5)."""
+    import pyarrow.compute as pc
+
+    langs = batch.column("lang_id" if "lang_id" in batch.column_names else "lang")
+    tbl = pa.table({
+        "lang": langs,
+        "kept": pc.cast(batch.column("keep"), pa.int64()),
+        "n_pii_hits": batch.column("n_pii_hits"),
+        "n_toxic": batch.column("n_toxic"),
+        "n_tokens": batch.column("n_tokens"),
+    })
+    df = tbl.to_pandas()
+    agg = df.groupby("lang", as_index=False).agg(
+        docs=("kept", "size"), kept=("kept", "sum"),
+        pii_hits=("n_pii_hits", "sum"), toxic=("n_toxic", "sum"),
+        tokens=("n_tokens", "sum"))
+    return pa.Table.from_pandas(agg, preserve_index=False)

@@ -1,0 +1,102 @@
+"""Driver-replica correctness harness: run every ``queries()`` entry and
+compare with its DuckDB ``oracle_sql()`` (row count + order-insensitive
+value comparison with column names sorted), like the driver does at sf0.01.
+Runs at sf0.001 here for speed; tolerances on floats."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __ray_entry__ as entrymod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _to_pandas(obj):
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if hasattr(obj, "to_pandas"):
+        return obj.to_pandas()
+    raise TypeError(type(obj))
+
+
+def _canonical(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for col in df.columns:
+        if pd.api.types.is_float_dtype(df[col]):
+            df[col] = df[col].astype("float64").round(4)
+        elif pd.api.types.is_integer_dtype(df[col]):
+            df[col] = df[col].astype("int64")
+        elif pd.api.types.is_datetime64_any_dtype(df[col]):
+            df[col] = pd.to_datetime(df[col]).astype("datetime64[us]")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return c
+
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, con, ray_session):
+    ray_df = _canonical(_to_pandas(QUERIES[name](SF_DIR)))
+    sql_df = _canonical(con.execute(ORACLES[name]).fetchdf())
+    assert list(ray_df.columns) == list(sql_df.columns), (
+        f"{name}: columns {list(ray_df.columns)} != {list(sql_df.columns)}")
+    assert len(ray_df) == len(sql_df), (
+        f"{name}: rows {len(ray_df)} != {len(sql_df)}")
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False,
+                                  check_exact=False, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(name, ray_session):
+    out = _to_pandas(QUERIES[name](SF_DIR))
+    assert len(out) >= 1
+
+
+def test_entry_smoke(ray_session):
+    out = entrymod.entry()
+    df = _to_pandas(out)
+    assert len(df) == 500
+    assert {"doc_id", "keep", "drop_reason", "lang_id"} <= set(df.columns)
+
+
+def test_quality_matches_oracle_labels(ray_session):
+    """F1 between the Ray pipeline's keep/drop and the single-threaded
+    oracle labels must be 1.0 (shared pure scoring; this checks plumbing)."""
+    import pyarrow.parquet as pq
+
+    from gruut_ray.oracle import f1_keep_drop, oracle_labels
+
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    rows = tbl.to_pylist()
+    labels = oracle_labels(rows, text_key="text", id_key="doc_id")
+
+    engine = _to_pandas(QUERIES["quality_filter_documents"](SF_DIR))
+    engine_rows = engine.rename(columns={"doc_id": "doc_id"}).to_dict("records")
+    f1 = f1_keep_drop(labels, engine_rows, id_key="doc_id")
+    assert f1 >= 0.99, f"keep/drop F1 {f1}"
+    # exact agreement expected in-sandbox
+    eng_by_id = {r["doc_id"]: r for r in engine_rows}
+    mismatches = [
+        (r["doc_id"], r["keep"], eng_by_id[r["doc_id"]]["keep"])
+        for r in labels if eng_by_id[r["doc_id"]]["keep"] != r["keep"]
+    ]
+    assert not mismatches, mismatches[:5]
