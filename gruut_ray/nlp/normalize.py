@@ -781,7 +781,15 @@ def run_fixed_point(
 ) -> None:
     """Run the ordered operator pipeline to fixed point, in place
     (reference text_processor.py:1004-1099)."""
-    cp_of = get_compiled
+
+    class _CpMemo(dict):
+        # dict.__getitem__ is the per-token hot path; misses compile once
+        def __missing__(self, lang):
+            cp = get_compiled(lang)
+            self[lang] = cp
+            return cp
+
+    cp_of = _CpMemo().__getitem__
 
     group_counter = 0
     for par in paragraphs:

@@ -38,29 +38,39 @@ def quality_filter(
     html_col: typing.Optional[str] = None,
     thresholds: QualityThresholds = DEFAULT_THRESHOLDS,
     use_ppl: bool = True,
-    langid_concurrency: typing.Tuple[int, int] = (1, 4),
-    quality_concurrency: typing.Tuple[int, int] = (2, 8),
+    fused: bool = True,
+    langid_concurrency: typing.Union[int, typing.Tuple[int, int]] = (1, 4),
+    quality_concurrency: typing.Union[int, typing.Tuple[int, int]] = (2, 8),
     batch_size: int = 256,
 ) -> "ray.data.Dataset":
-    """Compose the quality-filter stages onto a Dataset (lazy)."""
+    """Compose the quality-filter stages onto a Dataset (lazy).
+
+    ``fused=True`` (default) runs langid inside the quality actor pool —
+    one pool, one text decode per row, no intermediate object-store hop.
+    Pass an ``int`` concurrency for a fixed-size eagerly-started pool
+    (recommended for batch jobs: autoscaling pools ramp from min and leave
+    cpus idle for the first tens of seconds); a ``(min, max)`` tuple keeps
+    the autoscaling behavior for long-running / shared clusters.
+    """
     if html_col is not None:
         ds = ds.map_batches(
             lambda b: extract_batch(b, html_col=html_col, out_col=text_col),
             batch_format="pyarrow",
             batch_size=batch_size,
         )
-    ds = ds.map_batches(
-        LangIdStage,
-        fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pyarrow",
-        batch_size=batch_size * 4,
-        concurrency=langid_concurrency,
-        num_cpus=1,
-    )
+    if not fused:
+        ds = ds.map_batches(
+            LangIdStage,
+            fn_constructor_kwargs={"text_col": text_col},
+            batch_format="pyarrow",
+            batch_size=batch_size * 4,
+            concurrency=langid_concurrency,
+            num_cpus=1,
+        )
     ds = ds.map_batches(
         QualityScrubStage,
         fn_constructor_kwargs={"thresholds": thresholds, "text_col": text_col,
-                               "use_ppl": use_ppl},
+                               "use_ppl": use_ppl, "langid": fused},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=quality_concurrency,

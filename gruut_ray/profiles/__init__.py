@@ -72,6 +72,7 @@ def register_profile(profile: LanguageProfile) -> None:
 
     _REGISTRY[profile.lang] = profile
     _COMPILED_CACHE.pop(profile.lang, None)
+    _FAST_COMPILED.clear()
 
 
 def get_profile(lang: str) -> LanguageProfile:
@@ -87,8 +88,18 @@ def get_profile(lang: str) -> LanguageProfile:
     return prof
 
 
+# Memo keyed by the RAW lang string (pre-resolution): get_compiled sits on
+# the per-token hot path of the normalizer, so alias resolution + registry
+# lookup must not re-run per call.
+_FAST_COMPILED: typing.Dict[str, CompiledProfile] = {}
+
+
 def get_compiled(lang: str) -> CompiledProfile:
-    return compile_profile(get_profile(lang))
+    cp = _FAST_COMPILED.get(lang)
+    if cp is None:
+        cp = compile_profile(get_profile(lang))
+        _FAST_COMPILED[lang] = cp
+    return cp
 
 
 def known_langs() -> typing.List[str]:
