@@ -215,6 +215,17 @@ def _q_normalize_spoken_tokens(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_phonemize_documents(sf_dir: str):
+    """Normalize + POS + lexicon/G2P phonemize every en document (model-
+    driven — rows-only check; goldens live in tests/test_phonem.py)."""
+    from gruut_ray.stages.phonemize import phonemize
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = phonemize(ds, concurrency=(1, 4), batch_size=128).select_columns(
+        ["doc_id", "n_words", "n_phonemes", "n_oov"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_sessionize(sf_dir: str):
     import pandas as pd
 
@@ -241,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "knn_top10": _q_knn_top10,
         "normalize_spoken_tokens": _q_normalize_spoken_tokens,
+        "phonemize_documents": _q_phonemize_documents,
         "quality_filter_documents": _q_quality_filter_documents,
         "minhash_dedup_count": _q_minhash_dedup_count,
         "simhash_signatures": _q_simhash_signatures,

@@ -1,0 +1,208 @@
+"""Phonemization actor stage: normalize → POS roles → lexicon → G2P.
+
+The Ray-Data re-expression of the reference's per-sentence model pass
+(gruut/text_processor.py:1102-1184): POS-tag each sentence, then phonemize
+each word via inline/lang lexicon with role fallback, guessing with G2P on
+lexicon miss.  All model state (lexicon dicts, G2P weights) loads ONCE per
+actor in ``__init__`` (replacing the reference's lazy "Delayed" loaders,
+gruut/lang.py:2539-2606); per-batch work is ``__call__`` over Arrow.
+
+Output: the nested Arrow schema from SURVEY §1.3 — one ``sentences``
+list<struct> column carrying the full Word/Sentence records (the JSONL
+shape of the reference CLI, gruut/__main__.py:125-134), plus flat
+per-doc stats columns.
+
+Scale notes: lexicons are broadcast small-side state (≤ tens of MB per
+language) held per actor, not shuffled (SURVEY §2.4); documents never
+leave their row, so the stage is a pure per-row map — no shuffle, skew
+handled by Ray block scheduling.
+"""
+
+from __future__ import annotations
+
+import typing
+
+import pyarrow as pa
+
+from gruut_ray.nlp.normalize import process_document
+from gruut_ray.phonem.en_data import build_en_lexicon
+from gruut_ray.phonem.g2p import EnRuleG2P, PerceptronG2P
+from gruut_ray.phonem.lexicon import Lexicon
+from gruut_ray.phonem.pos import heuristic_tags, tags_to_roles
+
+WORD_STRUCT = pa.struct([
+    ("idx", pa.int32()),
+    ("text", pa.string()),
+    ("text_with_ws", pa.string()),
+    ("pos", pa.string()),
+    ("role", pa.string()),
+    ("phonemes", pa.list_(pa.string())),
+    ("is_major_break", pa.bool_()),
+    ("is_minor_break", pa.bool_()),
+    ("is_punctuation", pa.bool_()),
+    ("in_lexicon", pa.bool_()),
+])
+
+SENTENCE_STRUCT = pa.struct([
+    ("idx", pa.int32()),
+    ("par_idx", pa.int32()),
+    ("text", pa.string()),
+    ("text_spoken", pa.string()),
+    ("lang", pa.string()),
+    ("words", pa.list_(WORD_STRUCT)),
+])
+
+SENTENCES_TYPE = pa.list_(SENTENCE_STRUCT)
+
+
+class PhonemizeStage:
+    """``ds.map_batches(PhonemizeStage, concurrency=N, batch_size=B)``.
+
+    Parameters
+    ----------
+    lexicon_paths : optional {short_lang: sqlite path} of gruut-format
+        ``lexicon.db`` files (schema gruut/lexicon2db.py:53-60) — the
+        plug-in point for real gruut language data.
+    g2p_models : optional {short_lang: PerceptronG2P dict} trained models.
+    use_pos : run the POS pass and set word roles (reference
+        text_processor.py:1102-1113).
+    """
+
+    def __init__(self,
+                 text_col: str = "text",
+                 lang_col: str = "lang",
+                 lexicon_paths: typing.Optional[typing.Dict[str, str]] = None,
+                 g2p_models: typing.Optional[typing.Dict[str, dict]] = None,
+                 use_pos: bool = True,
+                 keep_text: bool = True):
+        self.text_col = text_col
+        self.lang_col = lang_col
+        self.use_pos = use_pos
+        self.keep_text = keep_text
+
+        self.lexicons: typing.Dict[str, Lexicon] = {"en": build_en_lexicon()}
+        if lexicon_paths:
+            for lang, path in lexicon_paths.items():
+                self.lexicons[lang] = Lexicon.from_sqlite(path)
+
+        self.g2p: typing.Dict[str, typing.Callable] = {"en": EnRuleG2P()}
+        if g2p_models:
+            for lang, model_dict in g2p_models.items():
+                self.g2p[lang] = PerceptronG2P.from_dict(model_dict)
+
+        self._word_sets = {lang: lex.word_set()
+                           for lang, lex in self.lexicons.items()}
+
+    # -- per-document -------------------------------------------------------
+
+    @staticmethod
+    def _short(lang: str) -> str:
+        return (lang or "en").split("-", 1)[0].lower()
+
+    def phonemize_doc(self, text: str, lang: str) -> typing.List[dict]:
+        short = self._short(lang)
+        lex = self.lexicons.get(short)
+        word_set = self._word_sets.get(short)
+        lex_check = (lambda w: w in word_set) if word_set else None
+
+        sentences = process_document(text or "", lang=lang or "en",
+                                     lex=lex_check)
+        g2p = self.g2p.get(short)
+        out_sents: typing.List[dict] = []
+        for sent in sentences:
+            spoken_idx = [i for i, w in enumerate(sent.words) if w.is_spoken]
+            if self.use_pos and short == "en" and spoken_idx:
+                tags = heuristic_tags([sent.words[i].text for i in spoken_idx])
+                roles = tags_to_roles(tags)
+                for k, i in enumerate(spoken_idx):
+                    w = sent.words[i]
+                    w.pos = tags[k]
+                    if not w.role:  # explicit roles (gruut:letter) win
+                        w.role = roles[k]
+            out_words = []
+            for w in sent.words:
+                phonemes = w.phonemes
+                in_lex = False
+                if w.is_spoken and phonemes is None:
+                    if lex is not None:
+                        pron = lex.lookup(w.text, role=w.role or None)
+                        if pron is None and w.text != w.text.casefold():
+                            pron = lex.lookup(w.text.casefold(),
+                                              role=w.role or None)
+                        if pron is not None:
+                            phonemes = list(pron)
+                            in_lex = True
+                    if phonemes is None and g2p is not None and w.text:
+                        phonemes = list(g2p(w.text))
+                out_words.append({
+                    "idx": w.idx,
+                    "text": w.text,
+                    "text_with_ws": w.text_with_ws,
+                    "pos": w.pos or "",
+                    "role": w.role or "",
+                    "phonemes": phonemes or [],
+                    "is_major_break": w.is_major_break,
+                    "is_minor_break": w.is_minor_break,
+                    "is_punctuation": w.is_punctuation,
+                    "in_lexicon": in_lex,
+                })
+            out_sents.append({
+                "idx": sent.idx,
+                "par_idx": sent.par_idx,
+                "text": sent.text,
+                "text_spoken": sent.text_spoken,
+                "lang": sent.lang,
+                "words": out_words,
+            })
+        return out_sents
+
+    # -- per-batch ----------------------------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        langs = (batch.column(self.lang_col).to_pylist()
+                 if self.lang_col in batch.column_names
+                 else ["en"] * len(texts))
+
+        sents_col: typing.List[list] = []
+        n_words: typing.List[int] = []
+        n_phonemes: typing.List[int] = []
+        n_oov: typing.List[int] = []
+        for text, lang in zip(texts, langs):
+            try:
+                sents = self.phonemize_doc(text, lang)
+            except Exception:  # poison-document guard (mirrors --no-fail)
+                sents = []
+            sents_col.append(sents)
+            words = [w for s in sents for w in s["words"]
+                     if not (w["is_major_break"] or w["is_minor_break"]
+                             or w["is_punctuation"])]
+            n_words.append(len(words))
+            n_phonemes.append(sum(len(w["phonemes"]) for w in words))
+            n_oov.append(sum(1 for w in words if not w["in_lexicon"]))
+
+        if not self.keep_text:
+            batch = batch.drop_columns([self.text_col])
+        batch = batch.append_column(
+            "sentences", pa.array(sents_col, type=SENTENCES_TYPE))
+        batch = batch.append_column("n_words",
+                                    pa.array(n_words, type=pa.int64()))
+        batch = batch.append_column("n_phonemes",
+                                    pa.array(n_phonemes, type=pa.int64()))
+        batch = batch.append_column("n_oov", pa.array(n_oov, type=pa.int64()))
+        return batch
+
+
+def phonemize(ds, *, text_col: str = "text", lang_col: str = "lang",
+              concurrency: typing.Union[int, typing.Tuple[int, int]] = (1, 8),
+              batch_size: int = 128, **stage_kwargs):
+    """Compose the phonemize stage onto a Dataset (lazy)."""
+    return ds.map_batches(
+        PhonemizeStage,
+        fn_constructor_kwargs={"text_col": text_col, "lang_col": lang_col,
+                               **stage_kwargs},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

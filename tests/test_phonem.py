@@ -1,0 +1,232 @@
+"""Phonemizer package: lexicon lookup semantics, G2P, POS roles, Ray stage.
+
+Lookup-chain expectations mirror the reference's SqlitePhonemizer
+(gruut/phonemize.py:47-115); alignment parsing mirrors the Phonetisaurus
+format in gruut's lexicon DBs (gruut/corpus2db.py:40-43).
+"""
+
+import pyarrow as pa
+import pytest
+
+from gruut_ray.phonem.en_data import build_en_lexicon
+from gruut_ray.phonem.g2p import (
+    EnRuleG2P,
+    PerceptronG2P,
+    alignment_to_labels,
+    parse_alignment,
+)
+from gruut_ray.phonem.lexicon import Lexicon
+from gruut_ray.phonem.pos import heuristic_tags
+from gruut_ray.stages.phonemize import PhonemizeStage, phonemize
+
+
+# ---------------------------------------------------------------------------
+# Lexicon
+# ---------------------------------------------------------------------------
+
+def test_lexicon_basic_lookup():
+    lex = Lexicon()
+    lex.add("hello", ["h", "ə", "ˈl", "oʊ"])
+    assert lex.lookup("hello") == ("h", "ə", "ˈl", "oʊ")
+    assert lex.lookup("missing") is None
+    assert "hello" in lex
+    assert len(lex) == 1
+
+
+def test_lexicon_word_transforms():
+    # exact → casefold → strip non-word chars (gruut/phonemize.py:96-109)
+    lex = Lexicon()
+    lex.add("hello", ["h"])
+    assert lex.lookup("Hello") == ("h",)
+    assert lex.lookup("HELLO") == ("h",)
+    assert lex.lookup('"hello"') == ("h",)
+
+
+def test_lexicon_role_fallback_chain():
+    # requested role → default role → any role (gruut/phonemize.py:60-88)
+    lex = Lexicon()
+    lex.add("read", ["ɹ", "i", "d"])                      # default
+    lex.add("read", ["ɹ", "ɛ", "d"], role="gruut:VBD")
+    assert lex.lookup("read") == ("ɹ", "i", "d")
+    assert lex.lookup("read", role="gruut:VBD") == ("ɹ", "ɛ", "d")
+    # unknown role falls back to default
+    assert lex.lookup("read", role="gruut:XX") == ("ɹ", "i", "d")
+    # word with ONLY a non-default role still resolves (any-role fallback)
+    lex2 = Lexicon()
+    lex2.add("b", ["b", "i"], role="gruut:letter")
+    assert lex2.lookup("b") == ("b", "i")
+
+
+def test_lexicon_pron_order():
+    lex = Lexicon()
+    lex.add("route", ["ɹ", "u", "t"])
+    lex.add("route", ["ɹ", "aʊ", "t"])
+    assert lex.lookup("route") == ("ɹ", "u", "t")  # first pron_order wins
+
+
+def test_lexicon_sqlite_roundtrip(tmp_path):
+    path = str(tmp_path / "lexicon.db")
+    lex = Lexicon()
+    lex.add("hello", ["h", "oʊ"])
+    lex.add("read", ["ɹ", "ɛ", "d"], role="gruut:VBD")
+    lex.to_sqlite(path)
+    loaded = Lexicon.from_sqlite(path)
+    assert loaded.lookup("hello") == ("h", "oʊ")
+    assert loaded.lookup("read", role="gruut:VBD") == ("ɹ", "ɛ", "d")
+
+
+def test_lexicon_from_text():
+    lex = Lexicon.from_text([
+        "hello h ə l oʊ",
+        "read gruut:VBD ɹ ɛ d",
+        "# comment",
+        "",
+    ])
+    assert lex.lookup("hello") == ("h", "ə", "l", "oʊ")
+    assert lex.lookup("read", role="gruut:VBD") == ("ɹ", "ɛ", "d")
+
+
+# ---------------------------------------------------------------------------
+# G2P
+# ---------------------------------------------------------------------------
+
+def test_parse_alignment():
+    # real format from gruut data/lb/lexicon.db g2p_alignments
+    assert parse_alignment("a}aː e}ə n}n") == [("a", "aː"), ("e", "ə"),
+                                               ("n", "n")]
+    assert parse_alignment("a|a}aː c|h}χ t}t") == [("aa", "aː"), ("ch", "χ"),
+                                                   ("t", "t")]
+
+
+def test_alignment_to_labels():
+    word, labels = alignment_to_labels("a|a}aː c|h}χ t}t")
+    assert word == "aacht"
+    assert labels == ["aː", "_", "χ", "_", "t"]
+
+
+def test_perceptron_g2p_learns_training_set():
+    alignments = [
+        "b}b a}æ t}t",
+        "c}k a}æ t}t",
+        "h}h a}æ t}t",
+        "b}b i}ɪ t}t",
+        "s}s i}ɪ t}t",
+        "m}m a}æ p}p",
+        "t}t a}æ p}p",
+    ]
+    model = PerceptronG2P.train_from_alignments(alignments, epochs=10)
+    assert list(model("bat")) == ["b", "æ", "t"]
+    assert list(model("sit")) == ["s", "ɪ", "t"]
+    # generalizes to unseen combination of seen contexts
+    assert list(model("sat")) == ["s", "æ", "t"]
+
+
+def test_perceptron_g2p_roundtrip_dict():
+    model = PerceptronG2P.train_from_alignments(["b}b a}æ t}t"], epochs=3)
+    clone = PerceptronG2P.from_dict(model.to_dict())
+    assert list(clone("bat")) == list(model("bat"))
+
+
+def test_en_rule_g2p_reasonable():
+    g2p = EnRuleG2P()
+    assert list(g2p("ship")) == ["ʃ", "ɪ", "p"]
+    assert list(g2p("chat")) == ["tʃ", "æ", "t"]
+    assert list(g2p("thing")) == ["θ", "ɪ", "ŋ"]
+    assert list(g2p("make")) == ["m", "eɪ", "k"]   # magic-e
+    assert list(g2p("city"))[0] == "s"             # soft c
+    assert g2p("") == []
+
+
+# ---------------------------------------------------------------------------
+# POS heuristics
+# ---------------------------------------------------------------------------
+
+def test_heuristic_tags_homograph_contexts():
+    # "I read a book" → read after PRP = present (VBP)
+    tags = heuristic_tags(["I", "read", "a", "book"])
+    assert tags[1] in ("VBP", "VB")
+    # "I had read it" → read after had = VBN (past participle)
+    tags = heuristic_tags(["I", "had", "read", "it"])
+    assert tags[2] == "VBN"
+    # "the wound" → NN after DT
+    tags = heuristic_tags(["the", "wound"])
+    assert tags[1] == "NN"
+
+
+# ---------------------------------------------------------------------------
+# Stage (local, no Ray needed for phonemize_doc)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def stage():
+    return PhonemizeStage()
+
+
+def test_phonemize_doc_lexicon_and_g2p(stage):
+    sents = stage.phonemize_doc("The hovercraft is full of eels.", "en")
+    assert len(sents) == 1
+    words = [w for w in sents[0]["words"]
+             if not (w["is_major_break"] or w["is_punctuation"])]
+    by_text = {w["text"]: w for w in words}
+    assert by_text["The"]["phonemes"] == ["ð", "ə"]
+    assert by_text["The"]["in_lexicon"]
+    assert by_text["hovercraft"]["phonemes"] == list(
+        "ˈh ʌ v ɚ k ɹ æ f t".split())
+    # every spoken word got phonemes (g2p covers OOV)
+    assert all(w["phonemes"] for w in words)
+
+
+def test_phonemize_doc_role_disambiguation(stage):
+    # past-participle "read" after "had" → /ɹ ɛ d/
+    sents = stage.phonemize_doc("They had read the book.", "en")
+    words = {w["text"]: w for w in sents[0]["words"]}
+    assert words["read"]["phonemes"] == ["ɹ", "ɛ", "d"]
+    # present "read" after pronoun → /ɹ i d/
+    sents = stage.phonemize_doc("They read the book.", "en")
+    words = {w["text"]: w for w in sents[0]["words"]}
+    assert words["read"]["phonemes"] == ["ɹ", "i", "d"]
+
+
+def test_phonemize_doc_number_verbalization_feeds_lexicon(stage):
+    sents = stage.phonemize_doc("I have 2 cats.", "en")
+    texts = [w["text"] for w in sents[0]["words"]]
+    assert "two" in texts
+    words = {w["text"]: w for w in sents[0]["words"]}
+    assert words["two"]["phonemes"] == ["t", "u"]
+
+
+def test_phonemize_doc_breaks_have_break_phonemes(stage):
+    sents = stage.phonemize_doc("Hello, world.", "en")
+    words = sents[0]["words"]
+    kinds = [(w["is_minor_break"], w["is_major_break"]) for w in words]
+    assert (True, False) in kinds and (False, True) in kinds
+    minor = next(w for w in words if w["is_minor_break"])
+    assert minor["phonemes"] == ["|"]
+
+
+def test_phonemize_batch_arrow(stage):
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["The cat.", "I read it."], type=pa.string()),
+        "lang": pa.array(["en", "en"], type=pa.string()),
+    })
+    out = stage(batch)
+    assert out.num_rows == 2
+    assert "sentences" in out.column_names
+    assert out.column("n_words").to_pylist() == [2, 3]
+    assert all(n > 0 for n in out.column("n_phonemes").to_pylist())
+
+
+def test_phonemize_stage_in_ray(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(8), type=pa.int64()),
+        "text": pa.array(["The cat sat."] * 8),
+        "lang": pa.array(["en"] * 8),
+    }))
+    out = phonemize(ds, concurrency=1, batch_size=4).to_pandas()
+    assert len(out) == 8
+    assert (out["n_words"] == 3).all()
+    first = out.iloc[0]["sentences"]
+    assert first[0]["text_spoken"] == "The cat sat"
