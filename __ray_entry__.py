@@ -215,6 +215,60 @@ def _q_normalize_spoken_tokens(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_cc_quality_filter(sf_dir: str):
+    """North-rule end-to-end over synthetic CC pages scaled to the sf dir:
+    synthesize (url, warc_ts, html, text, lang) → extract_text(html)
+    [byte-identical invariant verified per row] → langid → quality filter.
+    Returns keep/drop/extract-match counters per true lang.  Model-driven →
+    rows-only driver check; the invariant is asserted in-line (extract_ok
+    must equal n_docs for every language)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+    from gruut_ray.pipelines.quality_filter import quality_filter
+    from gruut_ray.sources.synth import synth_dataset
+    from gruut_ray.stages.extract import extract_text
+
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows * 2
+    pages = synth_dataset(n_docs)
+
+    def check_and_extract(batch: pa.Table) -> pa.Table:
+        htmls = batch.column("html").to_pylist()
+        truths = batch.column("text").to_pylist()
+        extracted = [extract_text(h) for h in htmls]
+        ok = [e == t for e, t in zip(extracted, truths)]
+        batch = batch.drop_columns(["html", "text"])
+        batch = batch.append_column(
+            "text", pa.array(extracted, type=pa.large_string()))
+        return batch.append_column("extract_ok", pa.array(ok, pa.bool_()))
+
+    pages = pages.map_batches(check_and_extract, batch_format="pyarrow",
+                              batch_size=256)
+    filtered = quality_filter(pages, text_col="text", use_ppl=True,
+                              quality_concurrency=(1, 8))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        tbl = pa.table({
+            "true_lang": batch.column("lang"),
+            "kept": pc.cast(batch.column("keep"), pa.int64()),
+            "extract_ok": pc.cast(batch.column("extract_ok"), pa.int64()),
+        }).to_pandas()
+        agg = tbl.groupby("true_lang", as_index=False).agg(
+            n_docs=("kept", "size"), n_kept=("kept", "sum"),
+            n_extract_ok=("extract_ok", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = partial_then_merge(filtered, partials, ["true_lang"],
+                             {"n_docs": "sum", "n_kept": "sum",
+                              "n_extract_ok": "sum"})
+    assert (out["n_extract_ok"] == out["n_docs"]).all(), \
+        "extract_text(html) != text for some rows"
+    return out
+
+
 def _q_phonemize_documents(sf_dir: str):
     """Normalize + POS + lexicon/G2P phonemize every en document (model-
     driven — rows-only check; goldens live in tests/test_phonem.py)."""
@@ -253,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top10": _q_knn_top10,
         "normalize_spoken_tokens": _q_normalize_spoken_tokens,
         "phonemize_documents": _q_phonemize_documents,
+        "cc_quality_filter": _q_cc_quality_filter,
         "quality_filter_documents": _q_quality_filter_documents,
         "minhash_dedup_count": _q_minhash_dedup_count,
         "simhash_signatures": _q_simhash_signatures,

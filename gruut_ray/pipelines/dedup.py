@@ -171,57 +171,90 @@ def minhash_lsh_dedup(
     edges = exploded.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas")
 
-    # Min-label propagation: label(x) = min id reachable in ≤ rounds hops.
-    # labels: (node, label); start from edges only (non-dup docs never enter).
-    def edge_labels(batch: pa.Table) -> pa.Table:
-        src = batch.column("src").to_pylist()
-        dst = batch.column("dst").to_pylist()
+    # Distributed min-label propagation over the dup graph — everything
+    # stays in Datasets (groupby + hash join); the driver never holds
+    # per-node state, so the path scales to 10^12-doc corpora where dup
+    # components can outgrow any single machine.
+    # edges ≪ corpus, reused every round → materialize once (object store).
+    edges = edges.materialize()
+    if edges.count() == 0:
+        return ds
+
+    def both_directions(batch: pa.Table) -> pa.Table:
+        src = batch.column("src")
+        dst = batch.column("dst")
         return pa.table({
-            "node": pa.array(src + dst, type=pa.int64()),
-            "label": pa.array([min(s, d) for s, d in zip(src, dst)] * 2,
-                              type=pa.int64()),
+            "node": pa.concat_arrays([src.combine_chunks(),
+                                      dst.combine_chunks()]),
+            "nbr": pa.concat_arrays([dst.combine_chunks(),
+                                     src.combine_chunks()]),
         })
 
-    labels = edges.map_batches(edge_labels, batch_format="pyarrow")
+    # NOTE: map_batches is skipped for empty blocks, so schema-less empty
+    # blocks (emitted by aggregate/map_groups partitions) survive any
+    # coercion UDF and break pyarrow hash joins ("no match for key field on
+    # right side").  repartition() merges blocks and is the one reliable way
+    # to eliminate them — applied to every join input below.
+    msgs = edges.map_batches(both_directions, batch_format="pyarrow")
+
     from ray.data.aggregate import Min
 
-    labels = labels.groupby("node").aggregate(Min("label", alias_name="label"))
-    edges_mat = edges.materialize()
+    def _typed_labels(b: pa.Table) -> pa.Table:
+        # aggregate partitions can emit schema-less empty blocks, which
+        # break downstream hash joins ("no match for key field") — coerce
+        # every block to the (node, label) schema
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table({"node": pa.array([], type=pa.int64()),
+                             "label": pa.array([], type=pa.int64())})
+        return pa.table({
+            "node": pc.cast(b.column("node"), pa.int64()),
+            "label": pc.cast(b.column("label"), pa.int64()),
+        })
+
+    num_partitions = max(2, min(64, edges.num_blocks()))
+    msgs = msgs.repartition(num_partitions).materialize()
+    # round 0: label(x) = min(x, min neighbor)
+    labels = msgs.union(
+        msgs.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "nbr": b.column("node")}),
+            batch_format="pyarrow")
+    ).groupby("node").aggregate(Min("nbr", alias_name="label")) \
+        .map_batches(_typed_labels, batch_format="pyarrow") \
+        .repartition(num_partitions)
+
     for _ in range(max_label_rounds - 1):
-        # propagate: new_label(dst) ≤ label(src) along each edge (both dirs)
-        lab_map = {r["node"]: r["label"] for r in labels.iter_rows()}
+        # each node sends its current label to every neighbor (hash join
+        # messages→labels on the sending endpoint), then min-combine
+        prop = msgs.join(labels, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("nbr",), right_on=("node",),
+                         left_suffix="", right_suffix="_r")
+        prop = prop.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "label": b.column("label")}),
+            batch_format="pyarrow")
+        labels = labels.union(prop).groupby("node").aggregate(
+            Min("label", alias_name="label")).map_batches(
+            _typed_labels, batch_format="pyarrow") \
+            .repartition(num_partitions).materialize()
 
-        def relabel(batch: pa.Table, lab_map=lab_map) -> pa.Table:
-            src = batch.column("src").to_pylist()
-            dst = batch.column("dst").to_pylist()
-            nodes, labs = [], []
-            for s, d in zip(src, dst):
-                ls = lab_map.get(s, s)
-                ld = lab_map.get(d, d)
-                m = min(ls, ld)
-                nodes.extend((s, d))
-                labs.extend((m, m))
-            return pa.table({"node": pa.array(nodes, type=pa.int64()),
-                             "label": pa.array(labs, type=pa.int64())})
+    # survivors: anti-join the corpus against dup nodes (label != self)
+    def dup_nodes(b: pa.Table) -> pa.Table:
+        # always emit a typed single-column table — empty schema-less blocks
+        # from aggregate partitions break the downstream hash join
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table({"node": pa.array([], type=pa.int64())})
+        mask = pc.not_equal(b.column("node"), b.column("label"))
+        return pa.table({"node": b.filter(mask).column("node")})
 
-        new_labels = edges_mat.map_batches(relabel, batch_format="pyarrow") \
-            .groupby("node").aggregate(Min("label", alias_name="label"))
-        new_map = {r["node"]: r["label"] for r in new_labels.iter_rows()}
-        if new_map == lab_map:
-            labels = new_labels
-            break
-        labels = new_labels
-
-    # Drop every node whose component label != its own id
-    drop_ids = {r["node"] for r in labels.iter_rows() if r["label"] != r["node"]}
-
-    def keep(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col)
-        mask = pc.invert(pc.is_in(ids, pa.array(list(drop_ids),
-                                                type=ids.type)))
-        return batch.filter(mask)
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+    drops = labels.map_batches(dup_nodes, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+    if drops.count() == 0:
+        return ds
+    return ds.join(drops, join_type="left_anti",
+                   num_partitions=num_partitions,
+                   on=(id_col,), right_on=("node",))
 
 
 # ---------------------------------------------------------------------------

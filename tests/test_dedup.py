@@ -1,0 +1,97 @@
+"""Dedup operators: exact, MinHash+LSH (distributed label propagation),
+SimHash, n-gram Jaccard."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gruut_ray.pipelines.dedup import (
+    MinHasher,
+    minhash_lsh_dedup,
+    ngram_jaccard,
+    simhash64,
+)
+
+
+def _docs_table(rows):
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+    })
+
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest looking for tasty food")
+
+
+def test_minhash_similarity_estimates():
+    mh = MinHasher(128)
+    s1 = mh.signature(BASE)
+    s2 = mh.signature(BASE)
+    assert (s1 == s2).all()  # deterministic
+    near = mh.signature(BASE.replace("lazy", "sleepy"))
+    far = mh.signature("completely different text about other things entirely")
+    assert (s1 == near).mean() > 0.6
+    assert (s1 == far).mean() < 0.2
+
+
+def test_minhash_lsh_dedup_keeps_min_id(ray_session):
+    import ray.data
+
+    rows = [
+        (10, BASE),
+        (11, BASE),                      # exact dup of 10
+        (12, BASE + " extra"),           # near dup of 10
+        (20, "a totally unrelated document about ray data pipelines and "
+             "arrow tables flowing through actor pools at scale"),
+        (30, "short unique text that matches nothing else in this corpus "
+             "because its words are rare: zygote quasar bumblebee"),
+    ]
+    ds = ray.data.from_arrow(_docs_table(rows))
+    kept = minhash_lsh_dedup(ds, jaccard_threshold=0.7).to_pandas()
+    ids = sorted(kept["doc_id"].tolist())
+    assert 10 in ids          # min id of the dup component survives
+    assert 11 not in ids
+    assert 20 in ids and 30 in ids
+
+
+def test_minhash_lsh_dedup_no_dups_is_identity(ray_session):
+    import ray.data
+
+    rows = [(i, f"unique document number {i} with distinct words "
+             + " ".join(f"tok{i}_{j}" for j in range(20))) for i in range(6)]
+    ds = ray.data.from_arrow(_docs_table(rows))
+    kept = minhash_lsh_dedup(ds, jaccard_threshold=0.8).to_pandas()
+    assert sorted(kept["doc_id"].tolist()) == list(range(6))
+
+
+def test_minhash_chain_component_collapses(ray_session):
+    # A~B, B~C but A!~C: one surviving representative (min id) via label
+    # propagation across the chain
+    import ray.data
+
+    a = BASE
+    b = BASE.replace("quick", "swift").replace("lazy", "sleepy")
+    c = b.replace("brown", "black").replace("dog", "cat")
+    ds = ray.data.from_arrow(_docs_table([(1, a), (2, b), (3, c)]))
+    kept = minhash_lsh_dedup(ds, jaccard_threshold=0.55,
+                             max_label_rounds=4).to_pandas()
+    ids = sorted(kept["doc_id"].tolist())
+    assert ids[0] == 1
+    assert len(ids) < 3
+
+
+def test_simhash_hamming_locality():
+    h1 = simhash64(BASE)
+    h2 = simhash64(BASE.replace("lazy", "sleepy"))
+    h3 = simhash64("entirely different words everywhere nothing shared")
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(h1, h2) < ham(h1, h3)
+    assert ham(h1, h2) <= 12
+
+
+def test_ngram_jaccard():
+    assert ngram_jaccard(BASE, BASE) == 1.0
+    assert ngram_jaccard(BASE, "nothing in common here at all") == 0.0
+    mid = ngram_jaccard(BASE, BASE + " with a small suffix added")
+    assert 0.5 < mid < 1.0
