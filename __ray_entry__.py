@@ -160,6 +160,37 @@ def _q_knn_top10(sf_dir: str):
         score=lambda d: d["score"].astype("float64").round(6))
 
 
+def _q_ann_lsh_top10(sf_dir: str):
+    """Approximate top-k via random-hyperplane bucketing (scale path of
+    knn_top10; approximate → rows-only check, recall tested in
+    tests/test_similarity.py)."""
+    import numpy as np
+
+    from gruut_ray.pipelines.similarity import lsh_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = ds.take(1)[0]
+    dim = len(first["embedding"])
+    out = lsh_topk(ds, np.asarray([first["embedding"]], dtype=np.float32),
+                   dim=dim, k=10, n_bits=6)
+    return out[["vec_id", "score"]].assign(
+        score=lambda d: d["score"].astype("float64").round(6))
+
+
+def _q_embedding_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pair count (LSH co-bucket + exact
+    verify; pair-level goldens in tests/test_similarity.py)."""
+    import pandas as pd
+
+    from gruut_ray.pipelines.similarity import embedding_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = ds.take(1)[0]
+    out = embedding_dup_pairs(ds, dim=len(first["embedding"]),
+                              threshold=0.95, n_bits=6)
+    return pd.DataFrame({"n_dup_pairs": [int(len(out))]})
+
+
 def _q_quality_filter_documents(sf_dir: str):
     from gruut_ray.pipelines.quality_filter import quality_filter
 
@@ -305,6 +336,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": _q_revenue_by_segment,
         "events_hourly": _q_events_hourly,
         "knn_top10": _q_knn_top10,
+        "ann_lsh_top10": _q_ann_lsh_top10,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
         "normalize_spoken_tokens": _q_normalize_spoken_tokens,
         "phonemize_documents": _q_phonemize_documents,
         "cc_quality_filter": _q_cc_quality_filter,

@@ -71,6 +71,7 @@ class Tok:
         "date", "time", "currency_symbol", "currency_name", "role",
         "in_lexicon", "implicit", "maybe_number", "maybe_date",
         "maybe_currency", "maybe_time", "from_broken", "phonemes", "group",
+        "pause_after_ms",
     )
 
     def __init__(self, kind: str, text: str, ws: str, lang: str, *,
@@ -97,6 +98,9 @@ class Tok:
         self.maybe_time = True
         self.from_broken = False
         self.phonemes = phonemes
+        # SSML <break> after this token (reference BreakNode attribution,
+        # text_processor.py:246-342)
+        self.pause_after_ms = 0
         # Index of the original top-level token this one descends from.
         # Sentence breaking moves whole groups, so punctuation split from
         # the same source token as a major break stays with it (reference
@@ -754,6 +758,10 @@ def _apply_split(tokens, step, cp_of, lex) -> typing.Tuple[list, bool]:
         else:
             for nt in repl:
                 nt.group = tok.group
+            if repl:
+                repl[-1].pause_after_ms += tok.pause_after_ms
+            elif out:  # token dropped: keep its trailing pause
+                out[-1].pause_after_ms += tok.pause_after_ms
             out.extend(repl)
             changed = True
     return out, changed
@@ -916,6 +924,7 @@ def assemble(paragraphs: typing.List[typing.List[SentenceTokens]],
                     is_major_break=tok.kind == BREAK_MAJOR,
                     is_minor_break=tok.kind == BREAK_MINOR,
                     is_punctuation=tok.kind == PUNCT,
+                    pause_after_ms=tok.pause_after_ms,
                 ))
             cp = get_compiled(sent.lang or default_lang)
             text_with_ws = "".join(w.text_with_ws for w in words)
@@ -929,7 +938,10 @@ def assemble(paragraphs: typing.List[typing.List[SentenceTokens]],
                 lang=sent.lang or default_lang,
                 words=words,
                 pause_before_ms=sent.pause_before_ms,
-                pause_after_ms=sent.pause_after_ms,
+                # a trailing word-level <break> is also a sentence-level
+                # pause (reference pause attribution, :246-342)
+                pause_after_ms=sent.pause_after_ms
+                + (words[-1].pause_after_ms if words else 0),
             ))
     return out
 

@@ -96,7 +96,10 @@ def parse_ssml(
             ms = _parse_break_ms(elem.get("time", "0"))
             par = ensure_par()
             if par and par[-1].tokens:
-                par[-1].pause_after_ms += ms
+                # attach to the preceding token (word-level pause; the
+                # reference attributes breaks to neighbors,
+                # text_processor.py:246-342) — survives sentence splitting
+                par[-1].tokens[-1].pause_after_ms += ms
             else:
                 pending_pause_ms += ms
             return
@@ -120,13 +123,16 @@ def parse_ssml(
             pending_pause_ms = 0
             explicit_sentence = True
         if tag in ("w", "token"):
-            word_text = "".join(elem.itertext())
-            toks = N.tokenize(word_text + " ", lang, lex,
-                              interpret_as=interpret_as, fmt=fmt,
-                              role=elem.get("role", ""))
-            for t in toks:
-                t.implicit = False
-            add_tokens(toks, not explicit_sentence, lang)
+            # explicit word: NO tokenization — the whole element text is one
+            # token (reference "No splitting", text_processor.py:659-686);
+            # fixed-point transforms still apply to it afterwards
+            word_text = N.normalize_whitespace("".join(elem.itertext()))
+            if word_text:
+                tok = N.Tok(N.WORD, word_text, word_text + " ", lang,
+                            interpret_as=interpret_as, fmt=fmt,
+                            role=elem.get("role", ""), implicit=False,
+                            in_lexicon=bool(lex and lex(word_text)))
+                add_tokens([tok], not explicit_sentence, lang)
             return
 
         if elem.text and elem.text.strip():

@@ -1,0 +1,63 @@
+"""Similarity search: exact top-k, LSH-bucketed ANN recall, embedding
+near-dup pairs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _emb_ds(ray_session, n=200, dim=16, seed=3):
+    import ray.data
+
+    rng = np.random.default_rng(seed)
+    emb = rng.standard_normal((n, dim)).astype(np.float32)
+    # plant two near-duplicates of row 0
+    emb[1] = emb[0] + 0.01 * rng.standard_normal(dim).astype(np.float32)
+    emb[2] = emb[0] + 0.01 * rng.standard_normal(dim).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array([list(map(float, row)) for row in emb],
+                              type=pa.list_(pa.float32())),
+    })
+    return ray.data.from_arrow(tbl), emb
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    from gruut_ray.pipelines.similarity import brute_force_topk
+
+    ds, emb = _emb_ds(ray_session)
+    q = emb[:2]
+    out = brute_force_topk(ds, q, k=5)
+    assert len(out) == 10
+    # numpy reference
+    norm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    scores = norm @ qn.T
+    for qi in range(2):
+        expect = set(np.argsort(-scores[:, qi])[:5].tolist())
+        got = set(out[out["query_idx"] == qi]["vec_id"].tolist())
+        assert got == expect
+
+
+def test_lsh_topk_recall(ray_session):
+    from gruut_ray.pipelines.similarity import brute_force_topk, lsh_topk
+
+    ds, emb = _emb_ds(ray_session, n=300)
+    q = emb[:1]
+    exact = set(brute_force_topk(ds, q, k=5)["vec_id"].tolist())
+    approx = set(lsh_topk(ds, q, dim=16, k=5, n_bits=4)["vec_id"].tolist())
+    # bucket always contains the query's own near-dups → recall > 0
+    recall = len(exact & approx) / 5
+    assert recall >= 0.4
+    assert 0 in approx  # the query vector itself
+
+
+def test_embedding_dup_pairs_finds_planted_dups(ray_session):
+    from gruut_ray.pipelines.similarity import embedding_dup_pairs
+
+    ds, _ = _emb_ds(ray_session)
+    pairs = embedding_dup_pairs(ds, dim=16, threshold=0.98, n_bits=4)
+    found = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (0, 1) in found or (0, 2) in found
+    # scores are high cosine
+    assert (pairs["score"] >= 0.98).all()

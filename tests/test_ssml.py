@@ -1,0 +1,95 @@
+"""SSML subset conformance (reference tests/test_ssml.py behaviors:
+say-as, sub, break, explicit <p>/<s>, per-element lang)."""
+
+from gruut_ray.nlp.normalize import process_document
+
+
+def _spoken(sents):
+    return [s.text_spoken for s in sents]
+
+
+def _words(sents):
+    return [w.text for s in sents for w in s.words if w.is_spoken]
+
+
+def test_plain_text_auto_wrapped():
+    sents = process_document("Hello world.", "en", ssml=True)
+    assert _spoken(sents) == ["Hello world"]
+
+
+def test_say_as_spell_out():
+    sents = process_document(
+        '<speak><say-as interpret-as="spell-out">abc</say-as></speak>',
+        "en", ssml=True)
+    assert _words(sents) == ["a", "b", "c"]
+    # letters carry the letter role (reference WordRole.LETTER)
+    roles = [w.role for s in sents for w in s.words if w.is_spoken]
+    assert roles == ["gruut:letter"] * 3
+
+
+def test_say_as_number_ordinal():
+    sents = process_document(
+        '<speak><say-as interpret-as="ordinal">3</say-as></speak>',
+        "en", ssml=True)
+    assert _words(sents) == ["third"]
+
+
+def test_say_as_digits():
+    sents = process_document(
+        '<speak><say-as interpret-as="digits">12</say-as></speak>',
+        "en", ssml=True)
+    assert _words(sents) == ["one", "two"]
+
+
+def test_sub_alias():
+    sents = process_document(
+        '<speak>The <sub alias="World Wide Web">WWW</sub> rocks.</speak>',
+        "en", ssml=True)
+    assert "World" in _words(sents) and "WWW" not in _words(sents)
+
+
+def test_break_time_attribution():
+    sents = process_document(
+        '<speak>One.<break time="250ms"/>Two.</speak>', "en", ssml=True)
+    assert len(sents) == 2
+    assert sents[0].pause_after_ms == 250 or sents[1].pause_before_ms == 250
+
+
+def test_explicit_paragraphs_and_sentences():
+    sents = process_document(
+        "<speak><p><s>First sentence</s><s>Second sentence</s></p>"
+        "<p><s>Third</s></p></speak>", "en", ssml=True)
+    assert [s.par_idx for s in sents] == [0, 0, 1]
+    assert _spoken(sents) == ["First sentence", "Second sentence", "Third"]
+    # explicit <s> never auto-splits
+    sents2 = process_document(
+        "<speak><s>No. Splitting. Here</s></speak>", "en", ssml=True)
+    assert len(sents2) == 1
+
+
+def test_w_token_is_not_tokenized():
+    # reference semantics ("No splitting", text_processor.py:659-686):
+    # the element text is ONE token regardless of whitespace/char rules
+    sents = process_document(
+        '<speak><w>New York</w> rocks.</speak>', "en", ssml=True)
+    words = _words(sents)
+    assert words[0] == "New York"
+    # zh: <token> blocks per-character splitting (reference
+    # tests/test_ssml.py:174-206)
+    sents = process_document(
+        "<speak><token>南京市</token><token>长江大桥</token>。</speak>",
+        "zh", ssml=True)
+    assert _words(sents) == ["南京市", "长江大桥"]
+
+
+def test_lang_attribute_switches_language():
+    sents = process_document(
+        '<speak><s lang="de">drei</s><s lang="en">three</s></speak>',
+        "en", ssml=True)
+    assert sents[0].lang.startswith("de")
+    assert sents[1].lang.startswith("en")
+
+
+def test_number_verbalized_inside_ssml():
+    sents = process_document("<speak>I have 2 cats.</speak>", "en", ssml=True)
+    assert "two" in _words(sents)
