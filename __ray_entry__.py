@@ -36,8 +36,7 @@ def entry() -> Any:
     from gruut_ray.pipelines.quality_filter import quality_filter
 
     ds = _read("/root/testdata/sf0.001", "documents")
-    out = quality_filter(ds, text_col="text", use_ppl=True,
-                         langid_concurrency=(1, 2),
+    out = quality_filter(ds, text_col="text", use_ppl=True, fused=True,
                          quality_concurrency=(1, 4))
     return out.select_columns([
         "doc_id", "lang", "lang_id", "lang_score", "keep", "drop_reason",

@@ -143,8 +143,17 @@ def _q_normalize():
     ds.map_batches(norm, batch_format="pyarrow", batch_size=256).sum("n")
 
 
+def _q_phonemize():
+    """Lexicon + G2P + POS phonemization over en documents."""
+    from gruut_ray.stages.phonemize import phonemize
+    ds = _read("documents", ["doc_id", "text", "lang"])
+    phonemize(ds, concurrency=max(2, NUM_CPUS // 4),
+              batch_size=128).sum("n_phonemes")
+
+
 SECONDARY = {
     "tokens_by_lang": _q_tokens_by_lang,
+    "phonemize": _q_phonemize,
     "exact_dedup": _q_exact_dedup,
     "minhash_lsh_dedup": _q_minhash_dedup,
     "knn_top10": _q_knn,
