@@ -71,7 +71,7 @@ class Tok:
         "date", "time", "currency_symbol", "currency_name", "role",
         "in_lexicon", "implicit", "maybe_number", "maybe_date",
         "maybe_currency", "maybe_time", "from_broken", "phonemes", "group",
-        "pause_after_ms",
+        "pause_after_ms", "born",
     )
 
     def __init__(self, kind: str, text: str, ws: str, lang: str, *,
@@ -101,6 +101,9 @@ class Tok:
         # SSML <break> after this token (reference BreakNode attribution,
         # text_processor.py:246-342)
         self.pause_after_ms = 0
+        # fixed-point pass in which this token was created (pass-stability
+        # skipping in _apply_split)
+        self.born = 0
         # Index of the original top-level token this one descends from.
         # Sentence breaking moves whole groups, so punctuation split from
         # the same source token as a major break stays with it (reference
@@ -233,6 +236,11 @@ def _split_punctuations(tok: Tok, cp: CompiledProfile, lex: LexiconCheck):
         return None
     if cp.begin_punct_re is None and cp.end_punct_re is None:
         return None
+    # char-set precheck: regex splits only when an edge char could match
+    t = tok.text
+    if not t or (t[0] not in cp.begin_punct_first
+                 and t[-1] not in cp.end_punct_last):
+        return None
 
     word_text = tok.text
     first_ws, last_ws = get_whitespace(tok.ws)
@@ -284,6 +292,8 @@ def _split_minor_breaks(tok: Tok, cp: CompiledProfile, lex: LexiconCheck):
         return None
     if cp.minor_breaks_re is None:
         return None
+    if cp.minor_break_chars.isdisjoint(tok.ws):
+        return None
     parts = cp.minor_breaks_re.split(tok.ws)
     if len(parts) < 2:
         return None
@@ -304,6 +314,8 @@ def _split_major_breaks(tok: Tok, cp: CompiledProfile, lex: LexiconCheck):
     if tok.kind != WORD or tok.interpret_as or tok.in_lexicon:
         return None
     if cp.major_breaks_re is None:
+        return None
+    if cp.major_break_chars.isdisjoint(tok.ws):
         return None
     parts = cp.major_breaks_re.split(tok.ws)
     if len(parts) < 2:
@@ -328,6 +340,10 @@ def _split_abbreviations(tok: Tok, cp: CompiledProfile, lex: LexiconCheck):
     if tok.kind != WORD or tok.interpret_as or tok.in_lexicon:
         return None
     if not cp.abbreviations:
+        return None
+    # one alternation screen before the per-pattern loop (a miss here
+    # implies every full pattern misses)
+    if cp.abbrev_trigger is not None and cp.abbrev_trigger.match(tok.ws) is None:
         return None
     new_text = None
     for pattern, template in cp.abbreviations:
@@ -455,6 +471,9 @@ def _transform_number(tok: Tok, cp: CompiledProfile) -> None:
         return
     if (not tok.maybe_number) or (tok.interpret_as and tok.interpret_as != AS_NUMBER):
         return
+    if not has_digit(tok.text):  # numbers/ordinals always carry a digit
+        tok.maybe_number = False
+        return
     if cp.hooks.get_ordinal is not None:
         ordinal_num = cp.hooks.get_ordinal(tok.text)
         if ordinal_num is not None:
@@ -551,8 +570,9 @@ def _transform_date(tok: Tok, cp: CompiledProfile) -> None:
         tok.maybe_date = False
 
 
-def _collapse_and_transform_time(tokens: typing.List[Tok],
-                                 cp_of) -> typing.Tuple[typing.List[Tok], bool]:
+def _collapse_and_transform_time(tokens: typing.List[Tok], cp_of,
+                                 cur_pass: int = 0,
+                                 ) -> typing.Tuple[typing.List[Tok], bool]:
     """Sliding-window merge of '4:01 p.m.' + singleton time parse
     (reference text_processor.py:2004-2093)."""
     changed = False
@@ -580,6 +600,7 @@ def _collapse_and_transform_time(tokens: typing.List[Tok],
                                      interpret_as=AS_TIME)
                             nt.time = time
                             nt.group = t0.group
+                            nt.born = cur_pass
                             out.append(nt)
                             i += 2
                             merged = True
@@ -748,16 +769,26 @@ def _verbalize_time(tok: Tok, cp: CompiledProfile, lex: LexiconCheck):
 # Pipeline driver
 # ---------------------------------------------------------------------------
 
-def _apply_split(tokens, step, cp_of, lex) -> typing.Tuple[list, bool]:
+def _apply_split(tokens, step, cp_of, lex,
+                 cur_pass: int = 0) -> typing.Tuple[list, bool]:
     out = []
     changed = False
     for tok in tokens:
+        # Pass-stability skip: a token born in pass b is visited by every
+        # step during pass b+1; if it survived that full pass unchanged,
+        # the (deterministic, per-token) steps can never change it later,
+        # so from pass b+2 on it is skipped.  This makes pass 2+ cost
+        # proportional to freshly split tokens, not the whole stream.
+        if cur_pass >= tok.born + 2:
+            out.append(tok)
+            continue
         repl = step(tok, cp_of(tok.lang), lex)
         if repl is None:
             out.append(tok)
         else:
             for nt in repl:
                 nt.group = tok.group
+                nt.born = cur_pass
             if repl:
                 repl[-1].pause_after_ms += tok.pause_after_ms
             elif out:  # token dropped: keep its trailing pause
@@ -806,7 +837,7 @@ def run_fixed_point(
                 tok.group = group_counter
                 group_counter += 1
 
-    for _ in range(opts.max_passes):
+    for pass_no in range(1, opts.max_passes + 1):
         changed = False
         for par in paragraphs:
             # -- split phase over every sentence ---------------------------
@@ -815,7 +846,7 @@ def run_fixed_point(
                 for step in (_split_replacements, _split_punctuations,
                              _split_minor_breaks, _split_abbreviations,
                              _split_initialism, _split_major_breaks):
-                    toks, ch = _apply_split(toks, step, cp_of, lex)
+                    toks, ch = _apply_split(toks, step, cp_of, lex, pass_no)
                     changed |= ch
                 sent.tokens = toks
 
@@ -850,7 +881,8 @@ def run_fixed_point(
 
             # -- transform + verbalize phase -------------------------------
             for sent in par:
-                toks, ch = _apply_split(sent.tokens, _split_spell_out, cp_of, lex)
+                toks, ch = _apply_split(sent.tokens, _split_spell_out,
+                                        cp_of, lex, pass_no)
                 changed |= ch
                 if opts.detect_dates:
                     for tok in toks:
@@ -862,27 +894,34 @@ def run_fixed_point(
                     for tok in toks:
                         _transform_number(tok, cp_of(tok.lang))
                 if opts.detect_times:
-                    toks, ch = _collapse_and_transform_time(toks, cp_of)
+                    toks, ch = _collapse_and_transform_time(toks, cp_of,
+                                                            pass_no)
                     changed |= ch
                 if opts.verbalize_dates:
                     toks, ch = _apply_split(
-                        toks, lambda t, cp, lx: _verbalize_date(t, cp), cp_of, lex)
+                        toks, lambda t, cp, lx: _verbalize_date(t, cp),
+                        cp_of, lex, pass_no)
                     changed |= ch
                 if opts.verbalize_times:
                     toks, ch = _apply_split(
-                        toks, lambda t, cp, lx: _verbalize_time(t, cp, lx), cp_of, lex)
+                        toks, lambda t, cp, lx: _verbalize_time(t, cp, lx),
+                        cp_of, lex, pass_no)
                     changed |= ch
                 if opts.verbalize_numbers:
                     toks, ch = _apply_split(
-                        toks, lambda t, cp, lx: _verbalize_number(t, cp), cp_of, lex)
+                        toks, lambda t, cp, lx: _verbalize_number(t, cp),
+                        cp_of, lex, pass_no)
                     changed |= ch
                 if opts.verbalize_currency:
                     toks, ch = _apply_split(
-                        toks, lambda t, cp, lx: _verbalize_currency(t, cp), cp_of, lex)
+                        toks, lambda t, cp, lx: _verbalize_currency(t, cp),
+                        cp_of, lex, pass_no)
                     changed |= ch
-                toks, ch = _apply_split(toks, _break_words, cp_of, lex)
+                toks, ch = _apply_split(toks, _break_words, cp_of, lex,
+                                        pass_no)
                 changed |= ch
-                toks, ch = _apply_split(toks, _split_non_words, cp_of, lex)
+                toks, ch = _apply_split(toks, _split_non_words, cp_of, lex,
+                                        pass_no)
                 changed |= ch
                 sent.tokens = toks
 

@@ -152,6 +152,19 @@ class CompiledProfile:
                 pat = f"{pat}(?P<brk>{alt(p.major_breaks)})?(?P<ws>\\s*)$"
                 tmpl += r"\g<brk>\g<ws>"
             self.abbreviations.append((re.compile(pat), tmpl))
+        # Cheap precheck sets for the per-token hot path: regex splits only
+        # run when a character-set test says the token could match (90%+ of
+        # web-text tokens carry no attached punctuation).
+        self.begin_punct_first = frozenset(s[0] for s in p.begin_punctuations)
+        self.end_punct_last = frozenset(s[-1] for s in p.end_punctuations)
+        self.major_break_chars = frozenset("".join(p.major_breaks))
+        self.minor_break_chars = frozenset("".join(p.minor_breaks))
+        # single alternation to screen tokens before the per-pattern
+        # abbreviation loop (a miss here implies every pattern misses)
+        self.abbrev_trigger = (
+            re.compile("|".join(f"(?:{pat})" for pat, _ in p.abbreviations))
+            if p.abbreviations else None
+        )
         self.spell_out_words = dict(p.spell_out_words)
         self.currencies = dict(p.currencies)
         self.currency_symbols = sorted(self.currencies, key=len, reverse=True)
