@@ -1,0 +1,224 @@
+"""gruut-compatible CLI: ``python -m gruut_ray [text...]``.
+
+Mirrors the reference's command-line surface (gruut/__main__.py:191-316:
+``-l/--language``, text args or stdin lines, ``--ssml``, ``--csv`` with
+``id|text`` rows, feature toggles, ``--no-fail``) and its JSONL output —
+one JSON object per sentence with the reference ``Sentence``/``Word``
+dataclass fields (gruut/__main__.py:125-134, shape documented in the
+reference README.md:195-280) — so existing gruut consumers can switch
+without changing their downstream parsing.
+
+Single-process like the reference CLI; corpus-scale work goes through the
+Ray pipelines (``gruut_ray.pipelines``).  No ``ray.init`` here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import sys
+import typing
+
+from gruut_ray.nlp.normalize import (
+    PHONEME_BREAK_MAJOR,
+    PHONEME_BREAK_MINOR,
+    NormalizeOptions,
+    get_whitespace,
+)
+
+
+def get_args(argv: typing.Optional[typing.Sequence[str]] = None):
+    parser = argparse.ArgumentParser(prog="gruut_ray")
+    parser.add_argument("-l", "--language", default="en-us",
+                        help="Default language code (default: en-us)")
+    parser.add_argument("text", nargs="*",
+                        help="Text to tokenize (default: stdin lines)")
+    parser.add_argument("--ssml", action="store_true",
+                        help="Input text is SSML")
+    parser.add_argument("--csv", action="store_true",
+                        help="Input is id|text rows; output id|text|words|phonemes")
+    parser.add_argument("--csv-delimiter", default="|")
+    parser.add_argument("--no-numbers", action="store_true")
+    parser.add_argument("--no-currency", action="store_true")
+    parser.add_argument("--no-dates", action="store_true")
+    parser.add_argument("--no-times", action="store_true")
+    parser.add_argument("--no-pos", action="store_true")
+    parser.add_argument("--no-lexicon", action="store_true")
+    parser.add_argument("--no-g2p", action="store_true")
+    parser.add_argument("--no-major-breaks", action="store_true")
+    parser.add_argument("--no-minor-breaks", action="store_true")
+    parser.add_argument("--no-punctuation", action="store_true")
+    parser.add_argument("--no-fail", action="store_true",
+                        help="Skip lines that raise instead of exiting")
+    parser.add_argument("--word-separator", default=" ")
+    parser.add_argument("--sentence-separator", default=". ")
+    parser.add_argument("--phoneme-separator", default=" ")
+    parser.add_argument("--phoneme-word-separator", default="#")
+    return parser.parse_args(argv)
+
+
+def _word_dict(w, voice: str = "") -> dict:
+    leading_ws, trailing_ws = get_whitespace(w.text_with_ws)
+    return {
+        "idx": w.idx,
+        "text": w.text,
+        "text_with_ws": w.text_with_ws,
+        "leading_ws": leading_ws,
+        "trailing_ws": trailing_ws,
+        "sent_idx": w.sent_idx,
+        "par_idx": w.par_idx,
+        "lang": w.lang,
+        "voice": voice,
+        "pos": w.pos,
+        "phonemes": list(w.phonemes) if w.phonemes else None,
+        "is_major_break": w.is_major_break,
+        "is_minor_break": w.is_minor_break,
+        "is_punctuation": w.is_punctuation,
+        "is_break": w.is_break,
+        "is_spoken": w.is_spoken,
+        "pause_before_ms": w.pause_before_ms,
+        "pause_after_ms": w.pause_after_ms,
+        "marks_before": None,
+        "marks_after": None,
+    }
+
+
+def _sentence_dict(s) -> dict:
+    return {
+        "idx": s.idx,
+        "par_idx": s.par_idx,
+        "text": s.text,
+        "text_with_ws": s.text_with_ws,
+        "text_spoken": s.text_spoken,
+        "lang": s.lang,
+        "voice": "",
+        "words": [_word_dict(w) for w in s.words],
+        "pause_before_ms": s.pause_before_ms,
+        "pause_after_ms": s.pause_after_ms,
+        "marks_before": None,
+        "marks_after": None,
+    }
+
+
+def process_line(line: str, args, stage) -> typing.List:
+    """One input line → sentences with phonemes (like the reference's
+    process() + sentences() per line, gruut/__main__.py:136-170)."""
+    opts = NormalizeOptions(
+        detect_numbers=not args.no_numbers,
+        verbalize_numbers=not args.no_numbers,
+        detect_currency=not args.no_currency,
+        verbalize_currency=not args.no_currency,
+        detect_dates=not args.no_dates,
+        verbalize_dates=not args.no_dates,
+        detect_times=not args.no_times,
+        verbalize_times=not args.no_times,
+    )
+    from gruut_ray.nlp.normalize import process_document
+
+    lex_check = None
+    g2p = None
+    if stage is not None:
+        short = stage._short(args.language)
+        word_set = stage._word_sets.get(short)
+        lex_check = (lambda w: w in word_set) if word_set else None
+        g2p = None if args.no_g2p else stage.g2p.get(short)
+
+    sents = process_document(line, lang=args.language, lex=lex_check,
+                             opts=opts, ssml=args.ssml)
+    if stage is not None:
+        from gruut_ray.phonem.pos import heuristic_tags, tags_to_roles
+
+        short = stage._short(args.language)
+        lex = None if args.no_lexicon else stage.lexicons.get(short)
+        for sent in sents:
+            spoken = [i for i, w in enumerate(sent.words) if w.is_spoken]
+            if not args.no_pos and short == "en" and spoken:
+                tags = heuristic_tags([sent.words[i].text for i in spoken])
+                roles = tags_to_roles(tags)
+                for k, i in enumerate(spoken):
+                    sent.words[i].pos = tags[k]
+                    if not sent.words[i].role:
+                        sent.words[i].role = roles[k]
+            for w in sent.words:
+                if not w.is_spoken or w.phonemes is not None:
+                    continue
+                pron = lex.lookup(w.text, role=w.role or None) if lex else None
+                if pron is None and lex and w.text != w.text.casefold():
+                    pron = lex.lookup(w.text.casefold(), role=w.role or None)
+                if pron is not None:
+                    w.phonemes = list(pron)
+                elif g2p is not None and w.text:
+                    w.phonemes = list(g2p(w.text))
+    # break/punct filtering (reference sentences() flags)
+    for sent in sents:
+        kept = []
+        for w in sent.words:
+            if w.is_major_break and args.no_major_breaks:
+                continue
+            if w.is_minor_break and args.no_minor_breaks:
+                continue
+            if w.is_punctuation and args.no_punctuation:
+                continue
+            kept.append(w)
+        for i, w in enumerate(kept):
+            w.idx = i
+        sent.words = kept
+    return sents
+
+
+def main(argv: typing.Optional[typing.Sequence[str]] = None,
+         stdin: typing.Optional[typing.IO] = None,
+         stdout: typing.Optional[typing.IO] = None) -> int:
+    args = get_args(argv)
+    stdin = stdin or sys.stdin
+    stdout = stdout or sys.stdout
+
+    stage = None
+    if not (args.no_lexicon and args.no_g2p) or not args.no_pos:
+        from gruut_ray.stages.phonemize import PhonemizeStage
+
+        stage = PhonemizeStage(use_pos=not args.no_pos)
+
+    if args.text:
+        lines: typing.Iterable[str] = args.text
+    elif args.ssml:
+        lines = [stdin.read()]
+    else:
+        lines = (line.rstrip("\n") for line in stdin)
+
+    csv_writer = csv.writer(stdout, delimiter=args.csv_delimiter) \
+        if args.csv else None
+
+    for line in lines:
+        text_data: typing.List[str] = []
+        if args.csv:
+            row = next(csv.reader([line], delimiter=args.csv_delimiter))
+            text_data, line = row[:-1], row[-1]
+        if not line.strip():
+            continue
+        try:
+            sents = process_line(line, args, stage)
+        except Exception:
+            if args.no_fail:
+                continue
+            raise
+        if csv_writer is not None:
+            words = args.sentence_separator.join(
+                args.word_separator.join(w.text for w in s.words
+                                         if w.is_spoken)
+                for s in sents)
+            phonemes = args.phoneme_word_separator.join(
+                args.phoneme_separator.join(w.phonemes)
+                for s in sents for w in s.words if w.phonemes)
+            csv_writer.writerow([*text_data, line, words, phonemes])
+        else:
+            for s in sents:
+                stdout.write(json.dumps(_sentence_dict(s), ensure_ascii=False))
+                stdout.write("\n")
+    stdout.flush()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

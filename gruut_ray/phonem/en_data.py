@@ -145,6 +145,25 @@ EN_SEED: dict = {
     "cent": "s ɛ n t",
     "cents": "s ɛ n t s",
     "point": "p ɔɪ n t",
+    # time verbalization vocabulary (en_verbalize_time output)
+    "oh": "oʊ",
+    "o'clock": "ə ˈk l ɑ k",
+    "noon": "n u n",
+    "midnight": "ˈm ɪ d n aɪ t",
+    "quarter": "ˈk w ɔ ɹ t ɚ",
+    "half": "h æ f",
+    "past": "p æ s t",
+    # frequent irregulars the LTS rules get wrong
+    "has": "h æ z",
+    "had": "h æ d",
+    "does": "d ʌ z",
+    "done": "d ʌ n",
+    "said": "s ɛ d",
+    "says": "s ɛ z",
+    "gone": "ɡ ɔ n",
+    "once": "w ʌ n s",
+    "whose": "h u z",
+    "women": "ˈw ɪ m ə n",
     # test-suite classics
     "hovercraft": "ˈh ʌ v ɚ k ɹ æ f t",
     "full": "f ʊ l",

@@ -1,0 +1,54 @@
+"""Offline builder CLIs: lexicon2db and g2p train/predict/test."""
+
+import json
+import sqlite3
+
+from gruut_ray.phonem.lexicon import Lexicon
+from gruut_ray.tools.g2p import main as g2p_main
+from gruut_ray.tools.lexicon2db import main as lex_main
+
+
+def test_lexicon2db_roundtrip(tmp_path):
+    src = tmp_path / "lexicon.txt"
+    # with --role every row carries a role column; "_" marks the default
+    # role (reference lexicon2db.py --empty-role)
+    src.write_text("Hello _ h ə l oʊ\nread _ ɹ i d\nread gruut:VBD ɹ ɛ d\n",
+                   encoding="utf-8")
+    db = str(tmp_path / "lexicon.db")
+    lex_main(["--casing", "lower", "--lexicon", str(src),
+              "--database", db, "--role"])
+
+    # gruut-schema sqlite (reference lexicon2db.py:53-60)
+    conn = sqlite3.connect(db)
+    cols = [r[1] for r in conn.execute("PRAGMA table_info(word_phonemes)")]
+    assert {"word", "pron_order", "phonemes", "role"} <= set(cols)
+    rows = conn.execute(
+        "SELECT role, phonemes FROM word_phonemes WHERE word = ? "
+        "ORDER BY pron_order", ("read",)).fetchall()
+    assert ("", "ɹ i d") in rows and ("gruut:VBD", "ɹ ɛ d") in rows
+
+    lex = Lexicon.from_sqlite(db)
+    assert lex.lookup("hello") == ("h", "ə", "l", "oʊ")  # lowered casing
+    assert lex.lookup("read", role="gruut:VBD") == ("ɹ", "ɛ", "d")
+
+
+def test_g2p_train_predict_test(tmp_path, capsys):
+    corpus = tmp_path / "aligned.txt"
+    corpus.write_text("b}b a}æ t}t\nc}k a}æ t}t\ns}s a}æ t}t\n"
+                      "b}b i}ɪ t}t\ns}s i}ɪ t}t\n", encoding="utf-8")
+    model_path = str(tmp_path / "model.json")
+    g2p_main(["train", "--corpus", str(corpus), "--output", model_path,
+              "--epochs", "8"])
+    model = json.loads(open(model_path).read())
+    assert model["weights"]
+
+    g2p_main(["predict", "--model", model_path, "bat", "sit"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "bat b æ t"
+    assert out[1] == "sit s ɪ t"
+
+    lexicon = tmp_path / "test_lex.txt"
+    lexicon.write_text("bat b æ t\ncat k æ t\n", encoding="utf-8")
+    g2p_main(["test", "--model", model_path, "--lexicon", str(lexicon)])
+    out = capsys.readouterr().out
+    assert "PER: 0.0000" in out
