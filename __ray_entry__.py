@@ -144,6 +144,40 @@ def _q_events_hourly(sf_dir: str):
     return events_hourly_window(_read(sf_dir, "events"))
 
 
+def _q_top_terms_by_lang(sf_dir: str):
+    from gruut_ray.pipelines.text_stats import top_terms_by_lang
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    return top_terms_by_lang(ds, k=5)
+
+
+def _q_suppliers_by_region(sf_dir: str):
+    from gruut_ray.pipelines.relational import suppliers_by_region
+
+    return suppliers_by_region(_read(sf_dir, "supplier"),
+                               _read(sf_dir, "nation"),
+                               _read(sf_dir, "region"))
+
+
+def _q_audit_sample(sf_dir: str):
+    """Deterministic 5% audit sample (doc_id % 20): resumable, batch-order
+    independent, SQL-matchable — the auditable stand-in for
+    ds.random_sample (SURVEY §2.6)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        mask = pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, 20), 20)), 0)
+        return batch.filter(mask)
+
+    out = ds.map_batches(pick, batch_format="pyarrow")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_knn_top10(sf_dir: str):
     import numpy as np
 
@@ -331,6 +365,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_count": _q_exact_dedup_count,
         "distinct_fingerprints": _q_distinct_fingerprints,
         "top10_longest": _q_top10_longest,
+        "top_terms_by_lang": _q_top_terms_by_lang,
+        "suppliers_by_region": _q_suppliers_by_region,
+        "audit_sample": _q_audit_sample,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_segment": _q_revenue_by_segment,
         "events_hourly": _q_events_hourly,
@@ -377,6 +414,37 @@ def oracle_sql() -> dict[str, str]:
         "top10_longest": """
             SELECT doc_id, length(text) AS n_chars
             FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10
+        """,
+        "top_terms_by_lang": """
+            WITH tokens AS (
+                SELECT lang,
+                       lower(unnest(regexp_split_to_array(trim(text), '\\s+')))
+                           AS term
+                FROM documents
+            ), counts AS (
+                SELECT lang, term, count(*) AS n
+                FROM tokens WHERE term <> '' GROUP BY lang, term
+            ), ranked AS (
+                SELECT lang, term, n,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n DESC, term) AS rk
+                FROM counts
+            )
+            SELECT lang, term, n FROM ranked WHERE rk <= 5
+            ORDER BY lang, n DESC, term
+        """,
+        "suppliers_by_region": """
+            SELECT r_name,
+                   count(*) AS n_suppliers,
+                   sum(s_acctbal) AS total_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "audit_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id % 20 = 0 ORDER BY doc_id
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

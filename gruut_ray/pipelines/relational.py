@@ -144,3 +144,38 @@ def sessionize(events: "ray.data.Dataset", gap_minutes: int = 30,
 
     return events.groupby("user_id").map_groups(
         sessions, batch_format="pandas").to_pandas()
+
+
+def suppliers_by_region(supplier: "ray.data.Dataset",
+                        nation: "ray.data.Dataset",
+                        region: "ray.data.Dataset"):
+    """Two-hop dimension rollup (supplier → nation → region).
+
+    Both dimensions are tiny: compose the nation→region mapping on the
+    driver, ``ray.put`` it once, and map-side join inside ``map_batches`` —
+    zero shuffle; the only exchange is the per-batch partial rollup
+    (SURVEY §2.4 broadcast-small-side rule)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    nat = nation.to_pandas()
+    reg = region.to_pandas()
+    nat2reg = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    lookup_ref = ray.put(dict(zip(nat2reg["n_nationkey"], nat2reg["r_name"])))
+
+    def partials(batch: pa.Table, _cache={}) -> pa.Table:
+        lookup = _cache.get("lookup")
+        if lookup is None:  # fetched once per worker process, not per batch
+            lookup = _cache["lookup"] = ray.get(lookup_ref)
+        df = batch.to_pandas()
+        df["r_name"] = df["s_nationkey"].map(lookup)
+        agg = df.groupby("r_name", as_index=False).agg(
+            n_suppliers=("s_suppkey", "size"),
+            total_acctbal=("s_acctbal", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return partial_then_merge(supplier, partials, ["r_name"],
+                              {"n_suppliers": "sum", "total_acctbal": "sum"})

@@ -95,3 +95,55 @@ def top_k_longest(ds: "ray.data.Dataset", k: int = 10,
 
     return ds.map_batches(lengths, batch_format="pyarrow").sort(
         ["n_chars", id_col], descending=[True, False]).limit(k)
+
+
+def top_terms_by_lang(ds: "ray.data.Dataset", k: int = 5,
+                      text_col: str = "text", lang_col: str = "lang"):
+    """Top-k most frequent whitespace terms per language.
+
+    Scale shape: per-batch Counter partials (the hot keys — "the", "de",
+    "la" — are combined inside every batch BEFORE any exchange, so the
+    groupby shuffles at most (num_blocks × batch_vocab) count rows, never
+    token rows, and key skew is bounded by block count); distributed
+    ``groupby(lang, term)`` sum; per-lang top-k via ``map_groups`` over the
+    tiny per-lang count tables.  Ties break by term ascending (same rule as
+    the SQL oracle's row_number ordering).
+    """
+    import collections
+
+    import pandas as pd
+    import pyarrow as pa
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        langs_col = batch.column(lang_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        counts: dict = {}
+        for lang, text in zip(langs_col, texts):
+            c = counts.setdefault(lang, collections.Counter())
+            c.update(t.lower() for t in (text or "").split())
+        rows_lang, rows_term, rows_n = [], [], []
+        for lang, c in counts.items():
+            for term, n in c.items():
+                rows_lang.append(lang)
+                rows_term.append(term)
+                rows_n.append(n)
+        return pa.table({
+            "lang": pa.array(rows_lang, type=pa.string()),
+            "term": pa.array(rows_term, type=pa.string()),
+            "n": pa.array(rows_n, type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    counts = (ds.map_batches(partial_counts, batch_format="pyarrow")
+              .groupby(["lang", "term"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.sort_values(["n", "term"], ascending=[False, True])
+                .head(k))
+
+    out = counts.groupby("lang").map_groups(topk, batch_format="pandas")
+    return (out.to_pandas()
+            .sort_values(["lang", "n", "term"], ascending=[True, False, True])
+            .reset_index(drop=True))
