@@ -37,3 +37,37 @@ def partial_then_merge(
     if sort:
         out = out.sort_values(list(group_keys)).reset_index(drop=True)
     return out
+
+
+def salted_aggregate(
+    ds: "ray.data.Dataset",
+    key: str,
+    sums: typing.Sequence[str],
+    num_salts: int = 16,
+):
+    """Two-stage grouped sum for SKEWED keys (SURVEY §4).
+
+    A plain ``groupby(key)`` sends every row of a hot key ("en" is ~40% of
+    a CC-style corpus) to one reducer.  Salting splits each key into
+    ``num_salts`` sub-keys — stage 1 reduces (key, salt) partitions (hot
+    keys now spread over ``num_salts`` reducers), stage 2 merges the tiny
+    per-key partials.  Returns a Dataset grouped by ``key`` with the summed
+    columns.  Prefer :func:`partial_then_merge` when a map-side combiner
+    can run first; salting is for aggregations that must shuffle rows
+    (e.g. the combine state is too large per batch)."""
+    import zlib
+
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key).to_pylist()
+        salts = [zlib.crc32(f"{k}:{i}".encode()) % num_salts
+                 for i, k in enumerate(keys)]
+        return batch.append_column("_salt", pa.array(salts, type=pa.int32()))
+
+    stage1 = (ds.map_batches(add_salt, batch_format="pyarrow")
+              .groupby([key, "_salt"])
+              .aggregate(*[Sum(c, alias_name=c) for c in sums]))
+    return (stage1.groupby(key)
+            .aggregate(*[Sum(c, alias_name=c) for c in sums]))
