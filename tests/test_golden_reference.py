@@ -1,0 +1,101 @@
+"""Vendored goldens from the reference test suite (expected values
+hard-coded in gruut's tests; cited per case).  These pin behaviors not
+already covered by test_normalize_core/en."""
+
+from gruut_ray.nlp.normalize import process_document
+
+
+def _spoken_words(text, lang="en", **kw):
+    return [w.text for s in process_document(text, lang, **kw)
+            for w in s.words if w.is_spoken]
+
+
+def test_time_no_colon():
+    # reference tests/test_text_processor.py:530-544: "10am" -> ten A M
+    assert _spoken_words("10am") == ["ten", "A", "M"]
+
+
+def test_currency_default_ssml():
+    # reference tests/test_text_processor.py:487-508: say-as currency
+    # without a symbol uses the default currency
+    words = [w.text
+             for s in process_document(
+                 '<speak><say-as interpret-as="currency">10</say-as></speak>',
+                 "en", ssml=True)
+             for w in s.words if w.is_spoken]
+    assert words == ["ten", "dollars"]
+
+
+def test_number_nonfinite():
+    # reference tests/test_text_processor.py:1113-1126: nan/inf words must
+    # NOT parse as numbers
+    assert _spoken_words("nan inf") == ["nan", "inf"]
+
+
+def test_multiple_passes_nested_split():
+    # reference tests/test_text_processor.py test_multiple_passes:
+    # a word revealed by punctuation splitting is expanded on a later pass
+    # '(((123)))' peels parens across passes, then verbalizes the number
+    words = _spoken_words("(((123)))")
+    assert words == ["one", "hundred", "and", "twenty", "three"]
+
+
+def test_missing_speak_auto_wrapped():
+    # reference tests/test_ssml.py test_missing_speak: bare SSML fragment
+    # without <speak> still parses
+    words = [w.text for s in process_document("<s>Hello world</s>", "en",
+                                              ssml=True)
+             for w in s.words if w.is_spoken]
+    assert words == ["Hello", "world"]
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation goldens (reference tests/test_golden_rules.py,
+# pragmatic-segmenter "Golden Rules" subset with gruut's documented
+# deviations)
+# ---------------------------------------------------------------------------
+
+def _sentences(text, lang="en"):
+    return [s.text for s in process_document(text, lang)]
+
+
+def test_golden_simple_period():
+    assert _sentences("Hello World. My name is Jonas.") == \
+        ["Hello World.", "My name is Jonas."]
+
+
+def test_golden_question_mark():
+    assert _sentences("What is your name? My name is Jonas.") == \
+        ["What is your name?", "My name is Jonas."]
+
+
+def test_golden_exclamation():
+    assert _sentences("There it is! I found it.") == \
+        ["There it is!", "I found it."]
+
+
+def test_golden_numbers_not_split():
+    # decimal point must not break the sentence
+    assert len(_sentences("The price is 3.14 dollars today.")) == 1
+
+
+def test_golden_quote_after_period():
+    # major break inside/adjacent to quotes keeps the quote with its
+    # sentence (gruut behavior, reference test_text_processor.py:89-122)
+    sents = _sentences('He said "Hi there." Then he left.')
+    assert len(sents) == 2
+    assert sents[0].endswith('"') or sents[1].startswith("Then")
+
+
+def test_golden_abbreviation_expanded_not_split():
+    # "Dr." expands instead of ending the sentence
+    sents = _sentences("Dr. Smith arrived. He sat down.")
+    assert len(sents) == 2
+    assert sents[0] == "Doctor Smith arrived."
+
+
+def test_golden_ellipsis_minor_break():
+    sents = process_document("Wait... what happened?", "en")
+    assert len(sents) == 1  # "..." is a minor break, not a sentence end
+    kinds = [(w.text, w.is_minor_break) for s in sents for w in s.words]
+    assert ("...", True) in kinds
