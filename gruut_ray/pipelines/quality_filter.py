@@ -79,6 +79,59 @@ def quality_filter(
     return ds
 
 
+def quality_filter_routed(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    thresholds: QualityThresholds = DEFAULT_THRESHOLDS,
+    use_ppl: bool = True,
+    num_salts: int = 8,
+) -> "ray.data.Dataset":
+    """Language-ROUTED quality filter: documents are hash-shuffled to
+    ``(lang, salt)`` partitions before scoring, so each reducer sees one
+    language only (the north-star "language-keyed groupby routes documents
+    to the right lexicon actors, with explicit salting for skewed
+    languages").
+
+    When to use which (SURVEY §4): the default :func:`quality_filter` is
+    per-row and shuffle-free — every actor lazily holds every language's
+    (small) models; routing only pays when per-language state is too big
+    to co-load (multi-GB lexicons/LMs).  Salting bounds skew: en (~40% of
+    a CC corpus) spreads over ``num_salts`` reducers instead of one.
+
+    Scoring state lives in a worker-process-level cache (one
+    ``QualityScrubStage`` per worker), NOT per group — groups are many and
+    small.  Output rows are identical to the unrouted path (asserted in
+    tests); only the physical plan differs."""
+    import zlib
+
+    import pyarrow.compute as pc
+
+    def add_route(batch: pa.Table) -> pa.Table:
+        langs = batch.column(lang_col).to_pylist()
+        salts = [zlib.crc32(f"{lang}:{i}".encode()) % num_salts
+                 for i, lang in enumerate(langs)]
+        return batch.append_column("_salt",
+                                   pa.array(salts, type=pa.int32()))
+
+    _cache: typing.Dict[str, QualityScrubStage] = {}
+
+    def scrub_group(group: pa.Table) -> pa.Table:
+        stage = _cache.get("stage")
+        if stage is None:  # once per worker process, not per group
+            stage = _cache["stage"] = QualityScrubStage(
+                thresholds=thresholds, text_col=text_col,
+                use_ppl=use_ppl, langid=True)
+        return stage(group)
+
+    routed = ds.map_batches(add_route, batch_format="pyarrow")
+    out = routed.groupby([lang_col, "_salt"]).map_groups(
+        scrub_group, batch_format="pyarrow")
+    return out.map_batches(lambda b: b.drop_columns(["_salt"]),
+                           batch_format="pyarrow")
+
+
 def lang_counters(ds: "ray.data.Dataset"):
     """Keep/drop/scrub counters per language: per-batch partials then a tiny
     driver-side merge over (num_batches × num_langs) rows — documents never

@@ -96,3 +96,24 @@ def test_nested_sentences_parquet_roundtrip(ray_session, tmp_path):
     assert sent[0]["words"][1]["text"] == "read"
     assert sent[0]["words"][1]["phonemes"] == ["ɹ", "ɛ", "d"] or \
         sent[0]["words"][1]["phonemes"] == ["ɹ", "i", "d"]
+
+
+def test_routed_quality_filter_matches_unrouted(ray_session):
+    import ray.data
+
+    from gruut_ray.pipelines.quality_filter import (
+        quality_filter,
+        quality_filter_routed,
+    )
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    cols = ["doc_id", "keep", "drop_reason", "n_tokens", "scrubbed_text",
+            "lang_id"]
+    plain = (quality_filter(ds, quality_concurrency=(1, 2))
+             .select_columns(cols).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    routed = (quality_filter_routed(ds)
+              .select_columns(cols).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    assert plain.equals(routed)
