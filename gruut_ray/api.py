@@ -1,0 +1,99 @@
+"""Drop-in library API matching the reference's top-level surface.
+
+``gruut.sentences(text, lang=...)`` (reference gruut/__init__.py:36-91) is
+the function existing gruut users call; :func:`sentences` accepts the same
+arguments and yields the same per-sentence records (``SentenceOut`` mirrors
+the reference ``Sentence`` dataclass).  The thread-local processor cache of
+the reference becomes a module-level stage singleton — stateless to
+callers either way.
+"""
+
+from __future__ import annotations
+
+import typing
+
+from gruut_ray.nlp.normalize import NormalizeOptions, SentenceOut
+
+_STAGE = None
+
+
+def _stage():
+    global _STAGE
+    if _STAGE is None:
+        from gruut_ray.stages.phonemize import PhonemizeStage
+
+        _STAGE = PhonemizeStage()
+    return _STAGE
+
+
+def sentences(
+    text: str,
+    lang: str = "en_US",
+    ssml: bool = False,
+    major_breaks: bool = True,
+    minor_breaks: bool = True,
+    punctuations: bool = True,
+    phonemes: bool = True,
+    break_phonemes: bool = True,
+    pos: bool = True,
+    verbalize_numbers: bool = True,
+    verbalize_currency: bool = True,
+    verbalize_dates: bool = True,
+    verbalize_times: bool = True,
+) -> typing.Iterable[SentenceOut]:
+    """Process text into sentences (reference gruut/__init__.py:36-91
+    signature; espeak/explicit_lang are reference-model-pack concerns with
+    no equivalent here)."""
+    from gruut_ray.nlp.normalize import process_document
+    from gruut_ray.phonem.pos import heuristic_tags, tags_to_roles
+
+    stage = _stage()
+    short = stage._short(lang)
+    word_set = stage._word_sets.get(short)
+    lex_check = (lambda w: w in word_set) if word_set else None
+    opts = NormalizeOptions(
+        detect_numbers=verbalize_numbers, verbalize_numbers=verbalize_numbers,
+        detect_currency=verbalize_currency,
+        verbalize_currency=verbalize_currency,
+        detect_dates=verbalize_dates, verbalize_dates=verbalize_dates,
+        detect_times=verbalize_times, verbalize_times=verbalize_times,
+    )
+
+    sents = process_document(text, lang=lang, lex=lex_check, opts=opts,
+                             ssml=ssml)
+    lexicon = stage.lexicons.get(short)
+    g2p = stage.g2p.get(short)
+    for sent in sents:
+        spoken = [i for i, w in enumerate(sent.words) if w.is_spoken]
+        if pos and short == "en" and spoken:
+            tags = heuristic_tags([sent.words[i].text for i in spoken])
+            roles = tags_to_roles(tags)
+            for k, i in enumerate(spoken):
+                sent.words[i].pos = tags[k]
+                if not sent.words[i].role:
+                    sent.words[i].role = roles[k]
+        kept = []
+        for w in sent.words:
+            if w.is_major_break and not major_breaks:
+                continue
+            if w.is_minor_break and not minor_breaks:
+                continue
+            if w.is_punctuation and not punctuations:
+                continue
+            if w.is_break and not break_phonemes:
+                w.phonemes = None
+            if phonemes and w.is_spoken and w.phonemes is None:
+                pron = lexicon.lookup(w.text, role=w.role or None) \
+                    if lexicon else None
+                if pron is None and lexicon and w.text != w.text.casefold():
+                    pron = lexicon.lookup(w.text.casefold(),
+                                          role=w.role or None)
+                if pron is not None:
+                    w.phonemes = list(pron)
+                elif g2p is not None and w.text:
+                    w.phonemes = list(g2p(w.text))
+            kept.append(w)
+        for i, w in enumerate(kept):
+            w.idx = i
+        sent.words = kept
+        yield sent

@@ -97,7 +97,7 @@ class PhonemizeStage:
 
     @staticmethod
     def _short(lang: str) -> str:
-        return (lang or "en").split("-", 1)[0].lower()
+        return (lang or "en").replace("_", "-").split("-", 1)[0].lower()
 
     def phonemize_doc(self, text: str, lang: str) -> typing.List[dict]:
         short = self._short(lang)

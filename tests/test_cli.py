@@ -76,3 +76,20 @@ def test_time_vocabulary_phonemized():
     sents = _jsonl(["4:01 pm"])
     words = {w["text"]: w for s in sents for w in s["words"]}
     assert words["oh"]["phonemes"] == ["oʊ"]
+
+
+def test_library_sentences_api():
+    """Drop-in gruut.sentences() parity (reference gruut/__init__.py:36)."""
+    import gruut_ray
+
+    sents = list(gruut_ray.sentences("I had read the 2 books.", lang="en_US"))
+    assert len(sents) == 1
+    words = {w.text: w for w in sents[0].words}
+    assert words["read"].phonemes == ["ɹ", "ɛ", "d"]  # VBN homograph
+    assert words["two"].phonemes == ["t", "u"]
+    # toggles mirror the reference kwargs
+    bare = list(gruut_ray.sentences("Hello, world.", lang="en",
+                                    punctuations=False, minor_breaks=False,
+                                    major_breaks=False, phonemes=False))
+    assert [w.text for w in bare[0].words] == ["Hello", "world"]
+    assert all(w.phonemes is None for w in bare[0].words)
