@@ -333,6 +333,12 @@ def _q_cc_quality_filter(sf_dir: str):
     return out
 
 
+def _q_asof_attribution(sf_dir: str):
+    from gruut_ray.pipelines.relational import asof_last_event
+
+    return asof_last_event(_read(sf_dir, "events"))
+
+
 def _q_phonemize_documents(sf_dir: str):
     """Normalize + POS + lexicon/G2P phonemize every en document (model-
     driven — rows-only check; goldens live in tests/test_phonem.py)."""
@@ -381,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_count": _q_minhash_dedup_count,
         "simhash_signatures": _q_simhash_signatures,
         "sessionize": _q_sessionize,
+        "asof_attribution": _q_asof_attribution,
     }
 
 
@@ -510,6 +517,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(DISTINCT session) AS n_sessions,
                    count(*) AS n_events
             FROM labeled GROUP BY user_id ORDER BY user_id
+        """,
+        "asof_attribution": """
+            SELECT event_id, user_id,
+                   (SELECT max(ts) FROM events c
+                    WHERE c.user_id = e.user_id AND c.event_type = 'click'
+                      AND c.ts <= e.ts) AS last_click_ts
+            FROM events e WHERE event_type = 'purchase'
+            ORDER BY event_id
         """,
         # quality_filter_documents / minhash_dedup_count / simhash_signatures:
         # model-driven / hash-driven — no SQL equivalent; the driver records

@@ -103,6 +103,18 @@ def parse_ssml(
             else:
                 pending_pause_ms += ms
             return
+        if tag == "phoneme":
+            # explicit pronunciation (reference text_processor.py:929-943):
+            # ph="h ə l oʊ" splits on whitespace; words inside keep these
+            # phonemes and are never further interpreted
+            ph = elem.get("ph", "").split()
+            word_text = N.normalize_whitespace("".join(elem.itertext()))
+            if word_text:
+                tok = N.Tok(N.WORD, word_text, word_text + " ", lang,
+                            implicit=False, in_lexicon=True,
+                            phonemes=ph or None)
+                add_tokens([tok], not in_explicit_sentence, lang)
+            return
         if tag == "sub":
             alias = elem.get("alias", "")
             add_tokens(N.tokenize(alias + " ", lang, lex,

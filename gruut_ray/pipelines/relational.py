@@ -179,3 +179,53 @@ def suppliers_by_region(supplier: "ray.data.Dataset",
 
     return partial_then_merge(supplier, partials, ["r_name"],
                               {"n_suppliers": "sum", "total_acctbal": "sum"})
+
+
+def asof_last_event(events: "ray.data.Dataset",
+                    left_type: str = "purchase",
+                    right_type: str = "click"):
+    """As-of join within one event stream: for each ``left_type`` event,
+    the most recent ``right_type`` event by the same user at or before it
+    (classic attribution).  Ray Data has no asof-join primitive, so it is
+    composed per SURVEY §2 custom-operator rule (a): filter → hash-shuffle
+    on the ``by`` key (``groupby(user_id)``) → vectorized
+    ``pandas.merge_asof`` inside each group.  Partitioning assumption: one
+    user's events fit in one group (true for web logs; a user with
+    pathological volume would need ts-range sub-splitting).
+
+    Returns a DataFrame (event_id, user_id, last_click_ts) sorted by
+    event_id — the shape of the SQL scalar-subquery oracle."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def project(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("event_type"),
+                        pa.array([left_type, right_type]))
+        return batch.filter(mask).select(
+            ["event_id", "ts", "user_id", "event_type"])
+
+    slim = events.map_batches(project, batch_format="pyarrow")
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        left = (group[group["event_type"] == left_type]
+                .sort_values("ts", kind="mergesort"))
+        if left.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "last_click_ts": pd.Series(
+                                     [], dtype="datetime64[us]")})
+        right = (group[group["event_type"] == right_type]
+                 .sort_values("ts", kind="mergesort")
+                 .rename(columns={"ts": "last_click_ts"}))
+        merged = pd.merge_asof(
+            left, right[["last_click_ts"]],
+            left_on="ts", right_on="last_click_ts", direction="backward")
+        return pd.DataFrame({
+            "event_id": merged["event_id"].astype("int64"),
+            "user_id": merged["user_id"].astype("int64"),
+            "last_click_ts": merged["last_click_ts"],
+        })
+
+    out = slim.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (out.to_pandas().sort_values("event_id").reset_index(drop=True))

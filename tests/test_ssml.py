@@ -93,3 +93,19 @@ def test_lang_attribute_switches_language():
 def test_number_verbalized_inside_ssml():
     sents = process_document("<speak>I have 2 cats.</speak>", "en", ssml=True)
     assert "two" in _words(sents)
+
+
+def test_phoneme_tag_explicit_pronunciation():
+    # reference text_processor.py:929-943: <phoneme ph=...> overrides
+    sents = process_document(
+        '<speak>Say <phoneme ph="t ə ˈm ɑ t oʊ">tomato</phoneme>.</speak>',
+        "en", ssml=True)
+    words = {w.text: w for s in sents for w in s.words}
+    assert words["tomato"].phonemes == ["t", "ə", "ˈm", "ɑ", "t", "oʊ"]
+    # the explicit pronunciation survives the full phonemize path untouched
+    import gruut_ray
+    sents2 = list(gruut_ray.sentences(
+        '<speak><phoneme ph="x y">word</phoneme></speak>', lang="en",
+        ssml=True))
+    w = [w for s in sents2 for w in s.words if w.text == "word"][0]
+    assert w.phonemes == ["x", "y"]
