@@ -9,11 +9,14 @@ supports the subset that affects batch text processing:
 * ``<say-as interpret-as=... format=...>`` — spell-out/date/number/
   currency/time interpretation
 * ``<sub alias=...>`` — substitution
-* ``<break time=...>`` — pause attribution (sentence/word level)
+* ``<break time=...>`` — pause attribution (word/sentence level)
+* ``<phoneme ph=...>`` — explicit pronunciations
+* inline ``<lexicon xml:id>`` + scoped ``<lookup ref>`` (role-aware)
 * ``lang`` attributes on speak/p/s/w
 
-Voice/mark/audio/prosody and inline ``<lexicon>`` are out of scope here
-(documented gap; they affect TTS rendering, not the text/quality pipeline).
+Voice/mark/audio/prosody are out of scope (documented gap; they affect TTS
+rendering, not the text/quality pipeline).  ``<lexicon uri=...>`` is not
+fetched — no network at scale; pre-resolve external lexicons offline.
 """
 
 from __future__ import annotations
@@ -56,6 +59,45 @@ def _strip_ns(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
 
 
+def _elem_id(elem) -> str:
+    """xml:id or id attribute (namespace-agnostic)."""
+    for key, value in elem.attrib.items():
+        if key == "id" or key.endswith("}id"):
+            return value
+    return ""
+
+
+def _collect_inline_lexicons(root) -> typing.Dict[
+        str, typing.Dict[typing.Tuple[str, str], typing.List[str]]]:
+    """<lexicon xml:id=...><lexeme [role]><grapheme>w</grapheme>
+    <phoneme>p p</phoneme></lexeme>... (reference
+    text_processor.py:596-1001 IN_LEXICON states; format shown in
+    reference tests/test_ssml.py:305-340).  URI-based lexicons are not
+    fetched (no network at scale — pre-resolve offline, SURVEY §2.1)."""
+    lexicons: typing.Dict[str, dict] = {}
+    for elem in root.iter():
+        if _strip_ns(elem.tag).lower() != "lexicon":
+            continue
+        lex_id = _elem_id(elem)
+        entries = lexicons.setdefault(lex_id, {})
+        for lexeme in elem:
+            if _strip_ns(lexeme.tag).lower() != "lexeme":
+                continue
+            role = lexeme.get("role", "")
+            grapheme = ""
+            phonemes: typing.List[str] = []
+            for child in lexeme:
+                tag = _strip_ns(child.tag).lower()
+                body = "".join(child.itertext()).strip()
+                if tag == "grapheme":
+                    grapheme = body
+                elif tag == "phoneme":
+                    phonemes = body.split()
+            if grapheme and phonemes:
+                entries[(grapheme, role)] = phonemes
+    return lexicons
+
+
 def parse_ssml(
     text: str, default_lang: str, lex: N.LexiconCheck = None
 ) -> typing.List[typing.List[N.SentenceTokens]]:
@@ -68,6 +110,36 @@ def parse_ssml(
 
     paragraphs: typing.List[typing.List[N.SentenceTokens]] = []
     pending_pause_ms = 0
+    inline_lexicons = _collect_inline_lexicons(root)
+
+    def inline_lookup(word: str, role: str,
+                      lookup_stack: typing.Tuple[str, ...],
+                      ) -> typing.Optional[typing.List[str]]:
+        """Scoped probe: innermost <lookup> refs first, then the default
+        (empty-id) lexicon; requested role, then default role (reference
+        text_processor.py:569-593)."""
+        for lex_id in (*lookup_stack, ""):
+            entries = inline_lexicons.get(lex_id)
+            if not entries:
+                continue
+            if role:
+                pron = entries.get((word, role))
+                if pron is not None:
+                    return list(pron)
+            pron = entries.get((word, ""))
+            if pron is not None:
+                return list(pron)
+        return None
+
+    def apply_inline(toks, lookup_stack) -> None:
+        if not inline_lexicons:
+            return
+        for t in toks:
+            if t.kind == N.WORD and t.phonemes is None:
+                pron = inline_lookup(t.text, t.role, lookup_stack)
+                if pron is not None:
+                    t.phonemes = pron
+                    t.in_lexicon = True
 
     def ensure_par() -> typing.List[N.SentenceTokens]:
         if not paragraphs:
@@ -87,10 +159,17 @@ def parse_ssml(
         par[-1].tokens.extend(toks)
 
     def walk(elem, lang: str, interpret_as: str, fmt: str,
-             in_explicit_sentence: bool) -> None:
+             in_explicit_sentence: bool,
+             lookup_stack: typing.Tuple[str, ...] = ()) -> None:
         nonlocal pending_pause_ms
         tag = _strip_ns(elem.tag).lower()
         lang = resolve_lang(elem.get("lang", lang))
+
+        if tag == "lexicon":
+            return  # data element, collected up front
+        if tag == "lookup":
+            ref = elem.get("ref", "")
+            lookup_stack = (ref, *lookup_stack)
 
         if tag == "break":
             ms = _parse_break_ms(elem.get("time", "0"))
@@ -117,9 +196,10 @@ def parse_ssml(
             return
         if tag == "sub":
             alias = elem.get("alias", "")
-            add_tokens(N.tokenize(alias + " ", lang, lex,
-                                  interpret_as=interpret_as, fmt=fmt),
-                       not in_explicit_sentence, lang)
+            toks = N.tokenize(alias + " ", lang, lex,
+                              interpret_as=interpret_as, fmt=fmt)
+            apply_inline(toks, lookup_stack)
+            add_tokens(toks, not in_explicit_sentence, lang)
             return
         if tag == "say-as":
             interpret_key = elem.get("interpret-as", "").lower()
@@ -144,19 +224,23 @@ def parse_ssml(
                             interpret_as=interpret_as, fmt=fmt,
                             role=elem.get("role", ""), implicit=False,
                             in_lexicon=bool(lex and lex(word_text)))
+                apply_inline([tok], lookup_stack)
                 add_tokens([tok], not explicit_sentence, lang)
             return
 
         if elem.text and elem.text.strip():
-            add_tokens(N.tokenize(elem.text, lang, lex,
-                                  interpret_as=interpret_as, fmt=fmt),
-                       not explicit_sentence, lang)
+            toks = N.tokenize(elem.text, lang, lex,
+                              interpret_as=interpret_as, fmt=fmt)
+            apply_inline(toks, lookup_stack)
+            add_tokens(toks, not explicit_sentence, lang)
         for child in elem:
-            walk(child, lang, interpret_as, fmt, explicit_sentence)
+            walk(child, lang, interpret_as, fmt, explicit_sentence,
+                 lookup_stack)
             if child.tail and child.tail.strip():
-                add_tokens(N.tokenize(child.tail, lang, lex,
-                                      interpret_as=interpret_as, fmt=fmt),
-                           not explicit_sentence, lang)
+                toks = N.tokenize(child.tail, lang, lex,
+                                  interpret_as=interpret_as, fmt=fmt)
+                apply_inline(toks, lookup_stack)
+                add_tokens(toks, not explicit_sentence, lang)
 
     walk(root, default_lang, "", "", False)
     if not paragraphs:

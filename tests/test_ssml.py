@@ -109,3 +109,42 @@ def test_phoneme_tag_explicit_pronunciation():
         ssml=True))
     w = [w for s in sents2 for w in s.words if w.text == "word"][0]
     assert w.phonemes == ["x", "y"]
+
+
+def test_inline_lexicon_and_lookup():
+    # vendored from reference tests/test_ssml.py:305-356 (test_lexicon):
+    # same markup, lookup scoping, and role selection
+    text = """<?xml version="1.0"?>
+<speak version="1.1" xml:lang="en-US">
+  <lexicon xml:id="test" alphabet="ipa">
+    <lexeme>
+      <grapheme>tomato</grapheme>
+      <phoneme>t ə m ˈɑ t oʊ</phoneme>
+    </lexeme>
+    <lexeme role="fake-role">
+      <grapheme>tomato</grapheme>
+      <phoneme>t ə m ˈi t oʊ</phoneme>
+    </lexeme>
+  </lexicon>
+  <w>tomato</w>
+  <lookup ref="test">
+    <w>tomato</w>
+    <w role="fake-role">tomato</w>
+  </lookup>
+</speak>"""
+    sents = process_document(text, "en", ssml=True)
+    phonemes = [w.phonemes for s in sents for w in s.words if w.is_spoken]
+    # outside the lookup: no inline pronunciation (global path applies)
+    assert phonemes[0] is None
+    assert phonemes[1] == ["t", "ə", "m", "ˈɑ", "t", "oʊ"]
+    assert phonemes[2] == ["t", "ə", "m", "ˈi", "t", "oʊ"]
+
+
+def test_default_inline_lexicon_no_lookup_required():
+    text = """<speak>
+  <lexicon><lexeme><grapheme>zzz</grapheme><phoneme>z z z</phoneme></lexeme></lexicon>
+  <w>zzz</w>
+</speak>"""
+    sents = process_document(text, "en", ssml=True)
+    words = [w for s in sents for w in s.words if w.is_spoken]
+    assert words[0].phonemes == ["z", "z", "z"]
