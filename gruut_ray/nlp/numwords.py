@@ -524,6 +524,81 @@ def zh_cardinal_int(n: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Currency forms for the non-English locales (num2words to_currency parity
+# in structure: "<cardinal> <unit><sep> <cardinal> <subunit>"; exact unit
+# word choices are this engine's goldens — SURVEY §7 hard part 3)
+# ---------------------------------------------------------------------------
+
+# lang -> currency -> ((unit sing, unit plur), (sub sing, sub plur))
+# For ru the "plural" slot holds (form_1, form_2_4, form_5plus).
+_GENERIC_CURRENCY_FORMS: dict = {
+    "de": {
+        "EUR": (("Euro", "Euro"), ("Cent", "Cent")),
+        "USD": (("Dollar", "Dollar"), ("Cent", "Cent")),
+        "GBP": (("Pfund", "Pfund"), ("Penny", "Pence")),
+    },
+    "fr": {
+        "EUR": (("euro", "euros"), ("centime", "centimes")),
+        "USD": (("dollar", "dollars"), ("centime", "centimes")),
+        "GBP": (("livre", "livres"), ("penny", "pence")),
+    },
+    "es": {
+        "EUR": (("euro", "euros"), ("céntimo", "céntimos")),
+        "USD": (("dólar", "dólares"), ("centavo", "centavos")),
+        "GBP": (("libra", "libras"), ("penique", "peniques")),
+    },
+    "ru": {
+        "RUB": ((("рубль", "рубля", "рублей"),),
+                (("копейка", "копейки", "копеек"),)),
+        "USD": ((("доллар", "доллара", "долларов"),),
+                (("цент", "цента", "центов"),)),
+        "EUR": ((("евро", "евро", "евро"),), (("цент", "цента", "центов"),)),
+    },
+    "zh": {
+        "CNY": (("元", "元"), ("分", "分")),
+        "USD": (("美元", "美元"), ("美分", "美分")),
+        "EUR": (("欧元", "欧元"), ("分", "分")),
+    },
+}
+
+
+def generic_currency(num: Decimal, sl: str, currency: str,
+                     separator: str) -> str:
+    """Cardinal + unit-name currency verbalization for de/fr/es/ru/zh."""
+    lang_forms = _GENERIC_CURRENCY_FORMS.get(sl)
+    forms = lang_forms.get(currency) if lang_forms else None
+    card = _CARDINAL_INT.get(sl)
+    if forms is None or card is None:
+        raise NumberVerbalizeError(f"{sl}:currency {currency}")
+    unit_forms, sub_forms = forms
+
+    def word_for(n: int, f) -> str:
+        if sl == "ru":
+            return _ru_plural(n, f[0])
+        sing, plur = f
+        return sing if n == 1 else plur
+
+    minus = {"de": "minus", "fr": "moins", "es": "menos", "ru": "минус",
+             "zh": "负"}.get(sl, "minus")
+    sign = f"{minus} " if num < 0 else ""
+    num = abs(num)
+    units = int(num)
+    cents = int((num * 100).to_integral_value()) % 100
+    joiner = "" if sl == "zh" else " "
+
+    def amount(n: int) -> str:
+        if sl == "de" and n == 1:
+            return "ein"  # attributive form before a noun ("ein Euro")
+        if sl == "ru" and n == 1:
+            return "один"
+        return card(n)
+
+    main = f"{sign}{amount(units)}{joiner}{word_for(units, unit_forms)}"
+    frac = f"{amount(cents)}{joiner}{word_for(cents, sub_forms)}"
+    return f"{main}{separator} {frac}"
+
+
+# ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------
 
@@ -563,7 +638,7 @@ def num_to_words(num: Decimal, lang: str, to: str = "cardinal",
     if to == "currency":
         if sl == "en":
             return en_currency(num, currency, separator)
-        raise NumberVerbalizeError(f"{sl}:currency")
+        return generic_currency(num, sl, currency, separator)
     if to == "year":
         fn = _YEAR.get(sl)
         if fn is None:

@@ -138,3 +138,41 @@ def test_zh_cardinal(n, text):
 def test_unsupported_raises():
     with pytest.raises(NumberVerbalizeError):
         num_to_words(Decimal(5), "sw", to="cardinal")
+
+
+def test_generic_currency_languages():
+    from decimal import Decimal
+
+    from gruut_ray.nlp.numwords import num_to_words
+
+    assert num_to_words(Decimal("5.50"), "de", to="currency",
+                        currency="EUR", separator="|") == \
+        "fünf Euro| fünfzig Cent"
+    assert num_to_words(Decimal("1"), "de", to="currency",
+                        currency="EUR", separator="|").startswith("ein Euro")
+    assert num_to_words(Decimal("2.05"), "fr", to="currency",
+                        currency="EUR", separator="|") == \
+        "deux euros| cinq centimes"
+    assert num_to_words(Decimal("21"), "ru", to="currency",
+                        currency="RUB", separator="|").split("|")[0] == \
+        "двадцать один рубль"
+    assert num_to_words(Decimal("5"), "ru", to="currency",
+                        currency="RUB", separator="|").split("|")[0] == \
+        "пять рублей"
+    assert num_to_words(Decimal("3"), "zh", to="currency",
+                        currency="CNY", separator="|").split("|")[0] == "三元"
+
+
+def test_currency_verbalized_in_document_context():
+    from gruut_ray.nlp.normalize import process_document
+
+    cases = {
+        ("de", "Das kostet €5,50."): "fünf Euro fünfzig Cent",
+        ("fr", "Ça coûte €5,50."): "cinq euros cinquante centimes",
+        ("es", "Cuesta €5,50."): "cinco euros cincuenta céntimos",
+        ("ru", "Это ₽21."): "двадцать один рубль",
+    }
+    for (lang, text), expect in cases.items():
+        spoken = " ".join(s.text_spoken
+                          for s in process_document(text, lang))
+        assert expect in spoken, (lang, spoken)
