@@ -79,8 +79,8 @@ def _word_dict(w, voice: str = "") -> dict:
         "is_spoken": w.is_spoken,
         "pause_before_ms": w.pause_before_ms,
         "pause_after_ms": w.pause_after_ms,
-        "marks_before": None,
-        "marks_after": None,
+        "marks_before": w.marks_before,
+        "marks_after": w.marks_after,
     }
 
 

@@ -71,7 +71,7 @@ class Tok:
         "date", "time", "currency_symbol", "currency_name", "role",
         "in_lexicon", "implicit", "maybe_number", "maybe_date",
         "maybe_currency", "maybe_time", "from_broken", "phonemes", "group",
-        "pause_after_ms", "born",
+        "pause_after_ms", "born", "marks_before", "marks_after",
     )
 
     def __init__(self, kind: str, text: str, ws: str, lang: str, *,
@@ -104,6 +104,10 @@ class Tok:
         # fixed-point pass in which this token was created (pass-stability
         # skipping in _apply_split)
         self.born = 0
+        # SSML <mark> names attributed to this token (reference MarkNode
+        # attribution, text_processor.py:246-342)
+        self.marks_before: typing.Optional[typing.List[str]] = None
+        self.marks_after: typing.Optional[typing.List[str]] = None
         # Index of the original top-level token this one descends from.
         # Sentence breaking moves whole groups, so punctuation split from
         # the same source token as a major break stays with it (reference
@@ -138,6 +142,8 @@ class WordOut:
     is_punctuation: bool = False
     pause_before_ms: int = 0
     pause_after_ms: int = 0
+    marks_before: typing.Optional[typing.List[str]] = None
+    marks_after: typing.Optional[typing.List[str]] = None
 
     @property
     def is_break(self) -> bool:
@@ -790,9 +796,14 @@ def _apply_split(tokens, step, cp_of, lex,
                 nt.group = tok.group
                 nt.born = cur_pass
             if repl:
+                repl[0].marks_before = tok.marks_before
                 repl[-1].pause_after_ms += tok.pause_after_ms
-            elif out:  # token dropped: keep its trailing pause
+                repl[-1].marks_after = tok.marks_after
+            elif out:  # token dropped: keep its trailing pause/marks
                 out[-1].pause_after_ms += tok.pause_after_ms
+                if tok.marks_after:
+                    out[-1].marks_after = (out[-1].marks_after or []) \
+                        + tok.marks_after
             out.extend(repl)
             changed = True
     return out, changed
@@ -964,6 +975,8 @@ def assemble(paragraphs: typing.List[typing.List[SentenceTokens]],
                     is_minor_break=tok.kind == BREAK_MINOR,
                     is_punctuation=tok.kind == PUNCT,
                     pause_after_ms=tok.pause_after_ms,
+                    marks_before=tok.marks_before,
+                    marks_after=tok.marks_after,
                 ))
             cp = get_compiled(sent.lang or default_lang)
             text_with_ws = "".join(w.text_with_ws for w in words)

@@ -110,6 +110,7 @@ def parse_ssml(
 
     paragraphs: typing.List[typing.List[N.SentenceTokens]] = []
     pending_pause_ms = 0
+    pending_marks: typing.List[str] = []
     inline_lexicons = _collect_inline_lexicons(root)
 
     def inline_lookup(word: str, role: str,
@@ -150,6 +151,10 @@ def parse_ssml(
         nonlocal pending_pause_ms
         if not toks:
             return
+        if pending_marks:
+            toks[0].marks_before = (toks[0].marks_before or []) \
+                + pending_marks
+            pending_marks.clear()
         par = ensure_par()
         if not par or (par[-1].implicit != implicit_sentence):
             par.append(N.SentenceTokens([], implicit=implicit_sentence,
@@ -171,6 +176,17 @@ def parse_ssml(
             ref = elem.get("ref", "")
             lookup_stack = (ref, *lookup_stack)
 
+        if tag == "mark":
+            # <mark name=.../> attributed to the neighboring words
+            # (reference MarkNode, text_processor.py:246-342): after the
+            # preceding token AND before the following one
+            name = elem.get("name", "")
+            par = ensure_par()
+            if par and par[-1].tokens:
+                last = par[-1].tokens[-1]
+                last.marks_after = (last.marks_after or []) + [name]
+            pending_marks.append(name)
+            return
         if tag == "break":
             ms = _parse_break_ms(elem.get("time", "0"))
             par = ensure_par()

@@ -148,3 +148,19 @@ def test_default_inline_lexicon_no_lookup_required():
     sents = process_document(text, "en", ssml=True)
     words = [w for s in sents for w in s.words if w.is_spoken]
     assert words[0].phonemes == ["z", "z", "z"]
+
+
+def test_mark_attribution():
+    # reference tests/test_ssml.py test_mark: marks attach to neighbors
+    sents = process_document(
+        '<speak>Before<mark name="m1"/> after.</speak>', "en", ssml=True)
+    words = [w for s in sents for w in s.words]
+    before = next(w for w in words if w.text == "Before")
+    after = next(w for w in words if w.text == "after")
+    assert before.marks_after == ["m1"]
+    assert after.marks_before == ["m1"]
+    # mark at document start attaches before the first word
+    sents = process_document('<speak><mark name="m0"/>Go.</speak>', "en",
+                             ssml=True)
+    first = sents[0].words[0]
+    assert first.marks_before == ["m0"]
