@@ -58,7 +58,7 @@ def get_args(argv: typing.Optional[typing.Sequence[str]] = None):
     return parser.parse_args(argv)
 
 
-def _word_dict(w, voice: str = "") -> dict:
+def _word_dict(w) -> dict:
     leading_ws, trailing_ws = get_whitespace(w.text_with_ws)
     return {
         "idx": w.idx,
@@ -69,7 +69,7 @@ def _word_dict(w, voice: str = "") -> dict:
         "sent_idx": w.sent_idx,
         "par_idx": w.par_idx,
         "lang": w.lang,
-        "voice": voice,
+        "voice": w.voice,
         "pos": w.pos,
         "phonemes": list(w.phonemes) if w.phonemes else None,
         "is_major_break": w.is_major_break,
@@ -92,7 +92,7 @@ def _sentence_dict(s) -> dict:
         "text_with_ws": s.text_with_ws,
         "text_spoken": s.text_spoken,
         "lang": s.lang,
-        "voice": "",
+        "voice": s.voice,
         "words": [_word_dict(w) for w in s.words],
         "pause_before_ms": s.pause_before_ms,
         "pause_after_ms": s.pause_after_ms,

@@ -71,7 +71,7 @@ class Tok:
         "date", "time", "currency_symbol", "currency_name", "role",
         "in_lexicon", "implicit", "maybe_number", "maybe_date",
         "maybe_currency", "maybe_time", "from_broken", "phonemes", "group",
-        "pause_after_ms", "born", "marks_before", "marks_after",
+        "pause_after_ms", "born", "marks_before", "marks_after", "voice",
     )
 
     def __init__(self, kind: str, text: str, ws: str, lang: str, *,
@@ -108,6 +108,9 @@ class Tok:
         # attribution, text_processor.py:246-342)
         self.marks_before: typing.Optional[typing.List[str]] = None
         self.marks_after: typing.Optional[typing.List[str]] = None
+        # SSML <voice name> in scope (reference voice stack,
+        # text_processor.py:607-637); cosmetic for the text pipeline
+        self.voice = ""
         # Index of the original top-level token this one descends from.
         # Sentence breaking moves whole groups, so punctuation split from
         # the same source token as a major break stays with it (reference
@@ -144,6 +147,7 @@ class WordOut:
     pause_after_ms: int = 0
     marks_before: typing.Optional[typing.List[str]] = None
     marks_after: typing.Optional[typing.List[str]] = None
+    voice: str = ""
 
     @property
     def is_break(self) -> bool:
@@ -167,6 +171,7 @@ class SentenceOut:
     words: typing.List[WordOut] = field(default_factory=list)
     pause_before_ms: int = 0
     pause_after_ms: int = 0
+    voice: str = ""
 
 
 LexiconCheck = typing.Optional[typing.Callable[[str], bool]]
@@ -796,6 +801,8 @@ def _apply_split(tokens, step, cp_of, lex,
                 nt.group = tok.group
                 nt.born = cur_pass
             if repl:
+                for nt in repl:
+                    nt.voice = tok.voice
                 repl[0].marks_before = tok.marks_before
                 repl[-1].pause_after_ms += tok.pause_after_ms
                 repl[-1].marks_after = tok.marks_after
@@ -977,6 +984,7 @@ def assemble(paragraphs: typing.List[typing.List[SentenceTokens]],
                     pause_after_ms=tok.pause_after_ms,
                     marks_before=tok.marks_before,
                     marks_after=tok.marks_after,
+                    voice=tok.voice,
                 ))
             cp = get_compiled(sent.lang or default_lang)
             text_with_ws = "".join(w.text_with_ws for w in words)
@@ -994,6 +1002,7 @@ def assemble(paragraphs: typing.List[typing.List[SentenceTokens]],
                 # pause (reference pause attribution, :246-342)
                 pause_after_ms=sent.pause_after_ms
                 + (words[-1].pause_after_ms if words else 0),
+                voice=words[0].voice if words else "",
             ))
     return out
 

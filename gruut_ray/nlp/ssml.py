@@ -14,7 +14,9 @@ supports the subset that affects batch text processing:
 * inline ``<lexicon xml:id>`` + scoped ``<lookup ref>`` (role-aware)
 * ``lang`` attributes on speak/p/s/w
 
-Voice/mark/audio/prosody are out of scope (documented gap; they affect TTS
+* ``<voice name>`` and ``<mark name>`` — tracked and attributed to words
+
+Audio/prosody are out of scope (documented gap; they affect TTS
 rendering, not the text/quality pipeline).  ``<lexicon uri=...>`` is not
 fetched — no network at scale; pre-resolve external lexicons offline.
 """
@@ -132,6 +134,11 @@ def parse_ssml(
                 return list(pron)
         return None
 
+    def stamp_voice(toks, voice: str) -> None:
+        if voice:
+            for t in toks:
+                t.voice = voice
+
     def apply_inline(toks, lookup_stack) -> None:
         if not inline_lexicons:
             return
@@ -165,10 +172,13 @@ def parse_ssml(
 
     def walk(elem, lang: str, interpret_as: str, fmt: str,
              in_explicit_sentence: bool,
-             lookup_stack: typing.Tuple[str, ...] = ()) -> None:
+             lookup_stack: typing.Tuple[str, ...] = (),
+             voice: str = "") -> None:
         nonlocal pending_pause_ms
         tag = _strip_ns(elem.tag).lower()
         lang = resolve_lang(elem.get("lang", lang))
+        if tag == "voice":
+            voice = elem.get("name", voice)
 
         if tag == "lexicon":
             return  # data element, collected up front
@@ -215,6 +225,7 @@ def parse_ssml(
             toks = N.tokenize(alias + " ", lang, lex,
                               interpret_as=interpret_as, fmt=fmt)
             apply_inline(toks, lookup_stack)
+            stamp_voice(toks, voice)
             add_tokens(toks, not in_explicit_sentence, lang)
             return
         if tag == "say-as":
@@ -241,6 +252,7 @@ def parse_ssml(
                             role=elem.get("role", ""), implicit=False,
                             in_lexicon=bool(lex and lex(word_text)))
                 apply_inline([tok], lookup_stack)
+                stamp_voice([tok], voice)
                 add_tokens([tok], not explicit_sentence, lang)
             return
 
@@ -248,14 +260,16 @@ def parse_ssml(
             toks = N.tokenize(elem.text, lang, lex,
                               interpret_as=interpret_as, fmt=fmt)
             apply_inline(toks, lookup_stack)
+            stamp_voice(toks, voice)
             add_tokens(toks, not explicit_sentence, lang)
         for child in elem:
             walk(child, lang, interpret_as, fmt, explicit_sentence,
-                 lookup_stack)
+                 lookup_stack, voice)
             if child.tail and child.tail.strip():
                 toks = N.tokenize(child.tail, lang, lex,
                                   interpret_as=interpret_as, fmt=fmt)
                 apply_inline(toks, lookup_stack)
+                stamp_voice(toks, voice)
                 add_tokens(toks, not explicit_sentence, lang)
 
     walk(root, default_lang, "", "", False)

@@ -1,0 +1,61 @@
+"""Trainable-G2P validation on real alignment data.
+
+The reference ships a Luxembourgish lexicon DB with 35,590 Phonetisaurus
+alignments (/root/reference/data/lb/lexicon.db, schema
+gruut/lexicon2db.py:53-60).  When that read-only DB is present, train the
+perceptron G2P on a sample and check held-out phoneme error rate — the
+evidence that the from-scratch model actually learns a real language's
+letter-to-sound mapping, not just toy fixtures.  Skipped cleanly when the
+reference data is absent (the repo stays standalone)."""
+
+import os
+import sqlite3
+
+import pytest
+
+LB_DB = "/root/reference/data/lb/lexicon.db"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(LB_DB),
+                                reason="reference lb lexicon not present")
+
+
+@pytest.fixture(scope="module")
+def lb_alignments():
+    conn = sqlite3.connect(f"file:{LB_DB}?mode=ro", uri=True)
+    try:
+        rows = conn.execute(
+            "SELECT alignment FROM g2p_alignments ORDER BY id LIMIT 6000"
+        ).fetchall()
+    finally:
+        conn.close()
+    return [r[0] for r in rows]
+
+
+def test_perceptron_g2p_learns_real_language(lb_alignments):
+    from gruut_ray.phonem.g2p import PerceptronG2P, alignment_to_labels
+
+    train, held = lb_alignments[:5000], lb_alignments[5000:6000]
+    model = PerceptronG2P.train_from_alignments(train, epochs=3)
+
+    total = errors = 0
+    for alignment in held:
+        ex = alignment_to_labels(alignment)
+        if ex is None:
+            continue
+        word, labels = ex
+        expected = [p for label in labels for p in label.split("|")
+                    if p and p != "_"]
+        actual = list(model(word))
+        # levenshtein distance
+        prev = list(range(len(actual) + 1))
+        for i, ca in enumerate(expected, 1):
+            cur = [i]
+            for j, cb in enumerate(actual, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        errors += prev[-1]
+        total += len(expected)
+    per = errors / total
+    # held-out phoneme error rate must show real generalization
+    assert per < 0.20, f"held-out PER {per:.3f}"

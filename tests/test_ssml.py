@@ -164,3 +164,13 @@ def test_mark_attribution():
                              ssml=True)
     first = sents[0].words[0]
     assert first.marks_before == ["m0"]
+
+
+def test_voice_attribute_tracked():
+    sents = process_document(
+        '<speak><voice name="alice">Hi there.</voice> Bye.</speak>',
+        "en", ssml=True)
+    words = [(w.text, w.voice) for s in sents for w in s.words if w.is_spoken]
+    assert ("Hi", "alice") in words and ("there", "alice") in words
+    assert ("Bye", "") in words
+    assert sents[0].voice == "alice"
