@@ -524,6 +524,210 @@ def zh_cardinal_int(n: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Italian
+# ---------------------------------------------------------------------------
+
+_IT_ONES = ["zero", "uno", "due", "tre", "quattro", "cinque", "sei", "sette",
+            "otto", "nove", "dieci", "undici", "dodici", "tredici",
+            "quattordici", "quindici", "sedici", "diciassette", "diciotto",
+            "diciannove"]
+_IT_TENS = {2: "venti", 3: "trenta", 4: "quaranta", 5: "cinquanta",
+            6: "sessanta", 7: "settanta", 8: "ottanta", 9: "novanta"}
+
+
+def _it_under_100(n: int) -> str:
+    if n < 20:
+        return _IT_ONES[n]
+    tens, unit = divmod(n, 10)
+    word = _IT_TENS[tens]
+    if unit == 0:
+        return word
+    if unit in (1, 8):  # vowel elision: ventuno, ventotto
+        word = word[:-1]
+    if unit == 3:
+        return word + "tré"
+    return word + _IT_ONES[unit]
+
+
+def _it_under_1000(n: int) -> str:
+    hundreds, rest = divmod(n, 100)
+    if hundreds == 0:
+        return _it_under_100(rest)
+    head = "cento" if hundreds == 1 else _IT_ONES[hundreds] + "cento"
+    if rest == 0:
+        return head
+    if rest // 10 == 8:  # centottanta elision
+        head = head[:-1]
+    return head + _it_under_100(rest)
+
+
+def it_cardinal_int(n: int) -> str:
+    if n < 0:
+        return "meno " + it_cardinal_int(-n)
+    if n < 1000:
+        return _it_under_1000(n)
+    parts = []
+    millions, n = divmod(n, 10 ** 6)
+    if millions:
+        parts.append("un milione" if millions == 1
+                     else it_cardinal_int(millions) + " milioni")
+    thousands, n = divmod(n, 1000)
+    if thousands:
+        parts.append("mille" if thousands == 1
+                     else _it_under_1000(thousands) + "mila")
+    if n:
+        parts.append(_it_under_1000(n))
+    return " ".join(parts) if len(parts) > 1 else parts[0]
+
+
+# ---------------------------------------------------------------------------
+# Dutch
+# ---------------------------------------------------------------------------
+
+_NL_ONES = ["nul", "een", "twee", "drie", "vier", "vijf", "zes", "zeven",
+            "acht", "negen", "tien", "elf", "twaalf", "dertien", "veertien",
+            "vijftien", "zestien", "zeventien", "achttien", "negentien"]
+_NL_TENS = {2: "twintig", 3: "dertig", 4: "veertig", 5: "vijftig",
+            6: "zestig", 7: "zeventig", 8: "tachtig", 9: "negentig"}
+
+
+def _nl_under_100(n: int) -> str:
+    if n < 20:
+        return _NL_ONES[n]
+    tens, unit = divmod(n, 10)
+    if unit == 0:
+        return _NL_TENS[tens]
+    joiner = "ën" if _NL_ONES[unit].endswith("e") else "en"
+    return _NL_ONES[unit] + joiner + _NL_TENS[tens]
+
+
+def _nl_under_1000(n: int) -> str:
+    hundreds, rest = divmod(n, 100)
+    if hundreds == 0:
+        return _nl_under_100(rest)
+    head = "honderd" if hundreds == 1 else _NL_ONES[hundreds] + "honderd"
+    return head if rest == 0 else head + _nl_under_100(rest)
+
+
+def nl_cardinal_int(n: int) -> str:
+    if n < 0:
+        return "min " + nl_cardinal_int(-n)
+    if n < 1000:
+        return _nl_under_1000(n)
+    parts = []
+    millions, n = divmod(n, 10 ** 6)
+    if millions:
+        parts.append(_nl_under_1000(millions) + " miljoen")
+    thousands, n = divmod(n, 1000)
+    if thousands:
+        parts.append("duizend" if thousands == 1
+                     else _nl_under_1000(thousands) + "duizend")
+    if n:
+        parts.append(_nl_under_1000(n))
+    return " ".join(parts) if len(parts) > 1 else parts[0]
+
+
+# ---------------------------------------------------------------------------
+# Portuguese
+# ---------------------------------------------------------------------------
+
+_PT_ONES = ["zero", "um", "dois", "três", "quatro", "cinco", "seis", "sete",
+            "oito", "nove", "dez", "onze", "doze", "treze", "catorze",
+            "quinze", "dezesseis", "dezessete", "dezoito", "dezenove"]
+_PT_TENS = {2: "vinte", 3: "trinta", 4: "quarenta", 5: "cinquenta",
+            6: "sessenta", 7: "setenta", 8: "oitenta", 9: "noventa"}
+_PT_HUNDREDS = {1: "cento", 2: "duzentos", 3: "trezentos", 4: "quatrocentos",
+                5: "quinhentos", 6: "seiscentos", 7: "setecentos",
+                8: "oitocentos", 9: "novecentos"}
+
+
+def _pt_under_100(n: int) -> str:
+    if n < 20:
+        return _PT_ONES[n]
+    tens, unit = divmod(n, 10)
+    if unit == 0:
+        return _PT_TENS[tens]
+    return f"{_PT_TENS[tens]} e {_PT_ONES[unit]}"
+
+
+def _pt_under_1000(n: int) -> str:
+    if n == 100:
+        return "cem"
+    hundreds, rest = divmod(n, 100)
+    if hundreds == 0:
+        return _pt_under_100(rest)
+    head = _PT_HUNDREDS[hundreds]
+    return head if rest == 0 else f"{head} e {_pt_under_100(rest)}"
+
+
+def pt_cardinal_int(n: int) -> str:
+    if n < 0:
+        return "menos " + pt_cardinal_int(-n)
+    if n < 1000:
+        return _pt_under_1000(n)
+    parts = []
+    millions, n = divmod(n, 10 ** 6)
+    if millions:
+        parts.append("um milhão" if millions == 1
+                     else pt_cardinal_int(millions) + " milhões")
+    thousands, n = divmod(n, 1000)
+    if thousands:
+        parts.append("mil" if thousands == 1
+                     else _pt_under_1000(thousands) + " mil")
+    if n:
+        joiner = " e " if (n < 100 or n % 100 == 0) else " "
+        return joiner.join([" ".join(parts), _pt_under_1000(n)]) \
+            if parts else _pt_under_1000(n)
+    return " ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Swedish
+# ---------------------------------------------------------------------------
+
+_SV_ONES = ["noll", "ett", "två", "tre", "fyra", "fem", "sex", "sju",
+            "åtta", "nio", "tio", "elva", "tolv", "tretton", "fjorton",
+            "femton", "sexton", "sjutton", "arton", "nitton"]
+_SV_TENS = {2: "tjugo", 3: "trettio", 4: "fyrtio", 5: "femtio",
+            6: "sextio", 7: "sjuttio", 8: "åttio", 9: "nittio"}
+
+
+def _sv_under_1000(n: int) -> str:
+    hundreds, rest = divmod(n, 100)
+    out = ""
+    if hundreds:
+        out = ("ett" if hundreds == 1 else _SV_ONES[hundreds]) + "hundra"
+    if rest == 0:
+        return out or "noll"
+    if rest < 20:
+        return out + _SV_ONES[rest]
+    tens, unit = divmod(rest, 10)
+    word = _SV_TENS[tens]
+    if unit:
+        word += _SV_ONES[unit]
+    return out + word
+
+
+def sv_cardinal_int(n: int) -> str:
+    if n < 0:
+        return "minus " + sv_cardinal_int(-n)
+    if n < 1000:
+        return _sv_under_1000(n)
+    parts = []
+    millions, n = divmod(n, 10 ** 6)
+    if millions:
+        parts.append("en miljon" if millions == 1
+                     else sv_cardinal_int(millions) + " miljoner")
+    thousands, n = divmod(n, 1000)
+    if thousands:
+        parts.append("ettusen" if thousands == 1
+                     else _sv_under_1000(thousands) + "tusen")
+    if n:
+        parts.append(_sv_under_1000(n))
+    return " ".join(parts) if len(parts) > 1 else parts[0]
+
+
+# ---------------------------------------------------------------------------
 # Currency forms for the non-English locales (num2words to_currency parity
 # in structure: "<cardinal> <unit><sep> <cardinal> <subunit>"; exact unit
 # word choices are this engine's goldens — SURVEY §7 hard part 3)
@@ -609,12 +813,17 @@ _CARDINAL_INT = {
     "es": es_cardinal_int,
     "ru": ru_cardinal_int,
     "zh": zh_cardinal_int,
+    "it": it_cardinal_int,
+    "nl": nl_cardinal_int,
+    "pt": pt_cardinal_int,
+    "sv": sv_cardinal_int,
 }
 _ORDINAL = {"en": en_ordinal, "de": de_ordinal, "fr": fr_ordinal}
 _YEAR = {"en": en_year, "de": de_year}
 _DIGIT_WORDS = {
     "en": _EN_ONES, "de": _DE_ONES, "fr": _FR_ONES, "es": _ES_ONES,
-    "ru": _RU_ONES, "zh": list(_ZH_DIGITS),
+    "ru": _RU_ONES, "zh": list(_ZH_DIGITS), "it": _IT_ONES,
+    "nl": _NL_ONES, "pt": _PT_ONES, "sv": _SV_ONES,
 }
 
 
@@ -657,9 +866,12 @@ def num_to_words(num: Decimal, lang: str, to: str = "cardinal",
     if num == num.to_integral_value():
         return card(int(num))
     sign_word = {"en": "minus", "de": "minus", "fr": "moins", "es": "menos",
-                 "ru": "минус", "zh": "负"}.get(sl, "minus")
+                 "ru": "минус", "zh": "负", "it": "meno", "nl": "min",
+                 "pt": "menos", "sv": "minus"}.get(sl, "minus")
     point_word = {"en": "point", "de": "Komma", "fr": "virgule",
-                  "es": "punto", "ru": "запятая", "zh": "点"}.get(sl, "point")
+                  "es": "punto", "ru": "запятая", "zh": "点",
+                  "it": "virgola", "nl": "komma", "pt": "vírgula",
+                  "sv": "komma"}.get(sl, "point")
     sign = f"{sign_word} " if num < 0 else ""
     num = abs(num)
     frac = format(num.normalize(), "f").split(".", 1)

@@ -176,3 +176,40 @@ def test_currency_verbalized_in_document_context():
         spoken = " ".join(s.text_spoken
                           for s in process_document(text, lang))
         assert expect in spoken, (lang, spoken)
+
+
+def test_it_nl_pt_sv_cardinals():
+    from decimal import Decimal
+
+    from gruut_ray.nlp.numwords import num_to_words
+
+    cases = {
+        ("it", 21): "ventuno",
+        ("it", 88): "ottantotto",
+        ("it", 2500): "duemila cinquecento",
+        ("nl", 22): "tweeëntwintig",
+        ("nl", 147): "honderdzevenenveertig",
+        ("pt", 345): "trezentos e quarenta e cinco",
+        ("pt", 100): "cem",
+        ("sv", 21): "tjugoett",
+        ("sv", 135): "etthundratrettiofem",
+    }
+    for (lang, n), expect in cases.items():
+        assert num_to_words(Decimal(n), lang) == expect, (lang, n)
+    # decimal + sign words
+    assert num_to_words(Decimal("-1.5"), "it") == "meno uno virgola cinque"
+    assert num_to_words(Decimal("2.5"), "nl") == "twee komma vijf"
+
+
+def test_it_nl_pt_sv_in_document_context():
+    from gruut_ray.nlp.normalize import process_document
+
+    cases = {
+        ("it", "Ho 21 gatti."): "ventuno",
+        ("nl", "Ik heb 22 katten."): "tweeëntwintig",
+        ("pt", "Tenho 21 gatos."): "vinte e um",
+        ("sv", "Jag har 21 katter."): "tjugoett",
+    }
+    for (lang, text), expect in cases.items():
+        spoken = " ".join(s.text_spoken for s in process_document(text, lang))
+        assert expect in spoken, (lang, spoken)
