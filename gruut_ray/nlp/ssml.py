@@ -108,7 +108,14 @@ def parse_ssml(
     try:
         root = ET.fromstring(text)
     except ET.ParseError:
-        root = ET.fromstring(f"<speak>{text}</speak>")
+        try:
+            root = ET.fromstring(f"<speak>{text}</speak>")
+        except ET.ParseError:
+            # not XML at all (stray '<', control chars): degrade to plain
+            # text — mirrors the CLI's forgiving stdin handling
+            return [[N.SentenceTokens(
+                N.tokenize(text, default_lang, lex), implicit=True,
+                lang=default_lang)]]
 
     paragraphs: typing.List[typing.List[N.SentenceTokens]] = []
     pending_pause_ms = 0
