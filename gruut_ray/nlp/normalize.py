@@ -1004,6 +1004,9 @@ def assemble(paragraphs: typing.List[typing.List[SentenceTokens]],
                 + (words[-1].pause_after_ms if words else 0),
                 voice=words[0].voice if words else "",
             ))
+            post = cp.hooks.post_process_sentence
+            if post is not None:  # reference text_processor.py:1186-1199
+                post(out[-1])
     return out
 
 
@@ -1018,6 +1021,9 @@ def process_document(
     of ``TextProcessor.process()`` + ``.sentences()`` for plain text
     (reference gruut/__init__.py:36-91)."""
     lang = resolve_lang(lang)
+    pre = get_compiled(lang).hooks.pre_process_text
+    if pre is not None and not ssml:  # reference text_processor.py:1591-1593
+        text = pre(text)
     if ssml:
         from gruut_ray.nlp.ssml import parse_ssml
         paragraphs = parse_ssml(text, lang, lex)

@@ -80,6 +80,14 @@ class Hooks:
     ] = None
     is_maybe_date: typing.Optional[typing.Callable[[str], bool]] = None
     is_maybe_time: typing.Optional[typing.Callable[[str], bool]] = None
+    # whole-text rewrite before tokenization (reference pre_process_text,
+    # text_processor.py:1591-1593 — e.g. the Arabic diacritizer slot)
+    pre_process_text: typing.Optional[typing.Callable[[str], str]] = None
+    # per-sentence rewrite after assembly (reference post_process_sentence,
+    # text_processor.py:1186-1199 — e.g. French liaison); receives the
+    # SentenceOut and mutates it in place
+    post_process_sentence: typing.Optional[
+        typing.Callable[[typing.Any], None]] = None
 
 
 HOOK_REGISTRY: typing.Dict[str, Hooks] = {}

@@ -218,3 +218,36 @@ def test_batch_invariance_of_pure_function():
     b = process_document(text)
     assert [(s.text, [w.text for w in s.words]) for s in a] == \
            [(s.text, [w.text for w in s.words]) for s in b]
+
+
+def test_pre_and_post_process_hooks():
+    """User-extension hooks (reference pre_process_text /
+    post_process_sentence, gruut/const.py:603-740)."""
+    from gruut_ray.nlp.normalize import process_document
+    from gruut_ray.profiles import register_profile
+    from gruut_ray.profiles.base import (
+        HOOK_REGISTRY,
+        Hooks,
+        LanguageProfile,
+        register_hooks,
+    )
+
+    def pre(text: str) -> str:
+        return text.replace("§", "section")
+
+    def post(sent) -> None:
+        for w in sent.words:
+            if w.is_spoken:
+                w.phonemes = ["X"]
+
+    register_hooks("hooktest", Hooks(pre_process_text=pre,
+                                     post_process_sentence=post))
+    register_profile(LanguageProfile(lang="xx-hook", hooks="hooktest",
+                                     major_breaks=(".",)))
+    try:
+        sents = process_document("See § one.", "xx-hook")
+        assert sents[0].text_spoken == "See section one"
+        assert all(w.phonemes == ["X"] for s in sents for w in s.words
+                   if w.is_spoken)
+    finally:
+        HOOK_REGISTRY.pop("hooktest", None)
