@@ -6,12 +6,15 @@
 * simhash           — 64-bit SimHash signatures (near-dup by Hamming radius)
 * ngram_jaccard     — exact n-gram Jaccard between candidate pairs
 
-Scale notes: the only all-to-all exchanges are groupbys on (hash) or
-(band, band_hash) — both uniformly distributed keys, no skew.  Candidate
-pairs after banding are a tiny fraction of the corpus; component labels are
-resolved with iterative min-label propagation (bounded rounds) expressed as
-groupbys, not a driver-side union-find, so the path holds at 10^12 docs
-(the driver never sees per-doc data).
+Scale notes: the only all-to-all exchanges are groupbys/joins on (hash),
+(band, band_hash) or ids — uniformly distributed keys, no skew.  The band
+explode ships IDS ONLY (the num_perms×8B signatures stay in a small
+side table and join back onto the deduplicated candidate pairs — at
+10^12 docs that is the difference between ~16 TB and ~0.4 TB through the
+widest shuffle).  Component labels are resolved with distributed
+min-label propagation (groupby + hash join per round, label-sum
+convergence witness), not a driver-side union-find, so the path holds
+when dup components outgrow any single machine.
 """
 
 from __future__ import annotations
@@ -146,53 +149,105 @@ def minhash_lsh_dedup(
     Jaccard) → min-label propagation via groupby → anti-join survivors.
     """
     rows_per_band = num_perms // bands
-    signed = minhash_signatures(ds, text_col, num_perms, shingle_k)
+    # Signatures are computed once and kept OUT of the banding shuffle:
+    # shipping the (num_perms × 8B) sig through the 16-way band explode
+    # multiplies the widest exchange by the biggest column (at 10^12 docs,
+    # ~16 TB vs ~0.4 TB for ids-only banding).  Candidates get their sigs
+    # back via two hash joins against the small (id, sig) table, and only
+    # candidate pairs (a tiny fraction) are verified.
+    signed = minhash_signatures(ds.select_columns([id_col, text_col]),
+                                text_col, num_perms, shingle_k) \
+        .drop_columns([text_col]).materialize()
 
-    def explode(batch: pa.Table) -> pa.Table:
+    def explode_ids(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
-        sigs = np.asarray(batch.column("minhash").to_pylist(), dtype=np.uint64)
-        out_ids, out_band, out_bh, out_sig = [], [], [], []
-        for row_i, doc_id in enumerate(ids):
+        sigs = np.asarray(batch.column("minhash").to_pylist(),
+                          dtype=np.uint64)
+        n = len(ids)
+        out_ids = np.repeat(np.asarray(ids, dtype=np.int64), bands)
+        out_band = np.tile(np.arange(bands, dtype=np.int32), n)
+        out_bh = np.empty(n * bands, dtype=np.int64)
+        k = 0
+        for row_i in range(n):
             sig = sigs[row_i]
             for b in range(bands):
                 chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
-                bh = int(zlib.crc32(chunk.tobytes()))
-                out_ids.append(doc_id)
-                out_band.append(b)
-                out_bh.append(bh)
-                out_sig.append(sig)
+                out_bh[k] = zlib.crc32(chunk.tobytes())
+                k += 1
         return pa.table({
             id_col: pa.array(out_ids),
-            "band": pa.array(out_band, type=pa.int32()),
-            "band_hash": pa.array(out_bh, type=pa.int64()),
-            "minhash": pa.FixedSizeListArray.from_arrays(
-                pa.array(np.concatenate(out_sig) if out_sig else
-                         np.array([], dtype=np.uint64), type=pa.uint64()),
-                num_perms),
+            "band": pa.array(out_band),
+            "band_hash": pa.array(out_bh),
         })
 
-    exploded = signed.map_batches(explode, batch_format="pyarrow")
+    exploded = signed.map_batches(explode_ids, batch_format="pyarrow")
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        """Verified near-dup edges within one LSH bucket."""
+        """Candidate pairs within one LSH bucket (ids only; verification
+        happens after the sig join).  Buckets are tiny; pathological ones
+        are capped."""
         if len(group) < 2:
-            return pd.DataFrame({"src": [], "dst": []})
-        g = group.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sigs = np.stack(g["minhash"].to_numpy())
-        src, dst = [], []
-        # compare each to bucket-mates (buckets are tiny; quadratic is fine,
-        # cap pathological buckets)
-        limit = min(len(ids), 64)
-        for a in range(limit):
-            for b in range(a + 1, limit):
-                est = float((sigs[a] == sigs[b]).mean())
-                if est >= jaccard_threshold:
-                    src.append(int(ids[a])); dst.append(int(ids[b]))
-        return pd.DataFrame({"src": src, "dst": dst})
+            return pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                                 "dst": pd.Series([], dtype="int64")})
+        ids = np.sort(group[id_col].to_numpy())[:64]
+        a_idx, b_idx = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"src": ids[a_idx], "dst": ids[b_idx]})
 
-    edges = exploded.groupby(["band", "band_hash"]).map_groups(
+    candidates = exploded.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas")
+    # same pair can surface from several bands — dedupe before the joins
+    from ray.data.aggregate import Count
+
+    candidates = candidates.groupby(["src", "dst"]).aggregate(
+        Count(alias_name="_nb")).drop_columns(["_nb"]).map_batches(
+        lambda b: (pa.table({"src": pa.array([], type=pa.int64()),
+                             "dst": pa.array([], type=pa.int64())})
+                   if b.num_columns == 0 else
+                   pa.table({"src": pc.cast(b.column("src"), pa.int64()),
+                             "dst": pc.cast(b.column("dst"), pa.int64())})),
+        batch_format="pyarrow").repartition(8)
+
+    candidates = candidates.materialize()
+    if candidates.count() == 0:
+        return ds
+
+    def to_binary_sigs(b: pa.Table) -> pa.Table:
+        # pyarrow hash joins reject fixed_size_list payloads — carry the
+        # signature as a 1 KB binary blob through the joins instead
+        sigs = np.asarray(b.column("minhash").to_pylist(), dtype=np.uint64)
+        return pa.table({
+            "_sid": b.column(id_col),
+            "_sig": pa.array([row.tobytes() for row in sigs],
+                             type=pa.binary()),
+        })
+
+    sig_side = signed.map_batches(to_binary_sigs,
+                                  batch_format="pyarrow").repartition(8)
+
+    withsrc = candidates.join(sig_side, join_type="inner", num_partitions=8,
+                              on=("src",), right_on=("_sid",))
+    withsrc = withsrc.map_batches(
+        lambda b: pa.table({"src": b.column("src"), "dst": b.column("dst"),
+                            "sig_src": b.column("_sig")}),
+        batch_format="pyarrow").repartition(8)  # merge empty join partitions
+    both = withsrc.join(sig_side, join_type="inner", num_partitions=8,
+                        on=("dst",), right_on=("_sid",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"src": pa.array([], type=pa.int64()),
+                             "dst": pa.array([], type=pa.int64())})
+        src_sigs = np.stack([np.frombuffer(x, dtype=np.uint64)
+                             for x in batch.column("sig_src").to_pylist()])
+        dst_sigs = np.stack([np.frombuffer(x, dtype=np.uint64)
+                             for x in batch.column("_sig").to_pylist()])
+        est = (src_sigs == dst_sigs).mean(axis=1)
+        mask = pa.array(est >= jaccard_threshold)
+        kept = batch.filter(mask)
+        return pa.table({"src": kept.column("src"),
+                         "dst": kept.column("dst")})
+
+    edges = both.map_batches(verify, batch_format="pyarrow")
 
     # Distributed min-label propagation over the dup graph — everything
     # stays in Datasets (groupby + hash join); the driver never holds
