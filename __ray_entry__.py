@@ -138,6 +138,13 @@ def _q_revenue_by_segment(sf_dir: str):
                               _read(sf_dir, "customer"))
 
 
+def _q_revenue_by_priority(sf_dir: str):
+    from gruut_ray.pipelines.relational import revenue_by_priority
+
+    return revenue_by_priority(_read(sf_dir, "orders"),
+                               _read(sf_dir, "lineitem"))
+
+
 def _q_events_hourly(sf_dir: str):
     from gruut_ray.pipelines.relational import events_hourly_window
 
@@ -176,6 +183,12 @@ def _q_audit_sample(sf_dir: str):
 
     out = ds.map_batches(pick, batch_format="pyarrow")
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_events_sliding(sf_dir: str):
+    from gruut_ray.pipelines.relational import events_sliding_window
+
+    return events_sliding_window(_read(sf_dir, "events"))
 
 
 def _q_knn_top10(sf_dir: str):
@@ -376,7 +389,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audit_sample": _q_audit_sample,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_segment": _q_revenue_by_segment,
+        "revenue_by_priority": _q_revenue_by_priority,
         "events_hourly": _q_events_hourly,
+        "events_sliding": _q_events_sliding,
         "knn_top10": _q_knn_top10,
         "ann_lsh_top10": _q_ann_lsh_top10,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -472,6 +487,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
+        "revenue_by_priority": """
+            SELECT o_orderpriority,
+                   sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
         "events_hourly": """
             SELECT event_type,
                    to_timestamp(floor(epoch(ts) / 3600) * 3600)::TIMESTAMP
@@ -479,6 +501,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, sum(value) AS sum_value,
                    min(value) AS min_value, max(value) AS max_value
             FROM events
+            GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
+        """,
+        "events_sliding": """
+            WITH expanded AS (
+                SELECT event_type, value,
+                       to_timestamp(floor(epoch(ts) / 3600) * 3600
+                                    - k.k * 3600)::TIMESTAMP AS window_start
+                FROM events
+                CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+            )
+            SELECT event_type, window_start,
+                   count(*) AS n, sum(value) AS sum_value
+            FROM expanded
             GROUP BY event_type, window_start
             ORDER BY event_type, window_start
         """,

@@ -229,3 +229,84 @@ def asof_last_event(events: "ray.data.Dataset",
 
     out = slim.groupby("user_id").map_groups(per_user, batch_format="pandas")
     return (out.to_pandas().sort_values("event_id").reset_index(drop=True))
+
+
+def revenue_by_priority(orders: "ray.data.Dataset",
+                        lineitem: "ray.data.Dataset",
+                        num_partitions: int = 16):
+    """Large×large SHUFFLE join (orders ⋈ lineitem on orderkey) via the
+    native ``Dataset.join`` hash join — the pattern for joins where neither
+    side broadcasts.  Inputs are pre-projected to the join key + needed
+    columns so the exchange ships minimal bytes; the joined stream is
+    partially aggregated per batch before the tiny final groupby."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    o = orders.select_columns(["o_orderkey", "o_orderpriority"]) \
+        .repartition(num_partitions)
+    l = lineitem.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .repartition(num_partitions)
+    joined = l.join(o, join_type="inner", num_partitions=num_partitions,
+                    on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        revenue = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        df = pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "revenue": revenue,
+        }).to_pandas()
+        agg = df.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("revenue", "size"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return partial_then_merge(joined, partials, ["o_orderpriority"],
+                              {"revenue": "sum", "n_items": "sum"})
+
+
+def events_sliding_window(events: "ray.data.Dataset",
+                          window_hours: int = 3, slide_hours: int = 1):
+    """Sliding event-time window (3h window, 1h slide) per event_type:
+    each event belongs to ``window/slide`` overlapping windows — window
+    assignment is a flat_map-style column expansion inside map_batches
+    (each row emits its window replicas), then partial aggregation; no
+    watermark machinery needed on a bounded log (SURVEY §2.9)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    slide_us = slide_hours * 3_600_000_000
+    n_windows = window_hours // slide_hours
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        etype = np.asarray(batch.column("event_type").to_pylist())
+        value = batch.column("value").to_numpy()
+        # window start w covers [w, w + window) — event t is in windows
+        # starting at floor(t/slide)*slide - k*slide for k in 0..n-1
+        base = (ts // slide_us) * slide_us
+        rows = []
+        for k in range(n_windows):
+            rows.append(pd.DataFrame({
+                "event_type": etype,
+                "window_start": base - k * slide_us,
+                "value": value,
+            }))
+        df = pd.concat(rows, ignore_index=True)
+        agg = df.groupby(["event_type", "window_start"],
+                         as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = partial_then_merge(events, partials,
+                             ["event_type", "window_start"],
+                             {"n": "sum", "sum_value": "sum"})
+    out["window_start"] = pd.to_datetime(out["window_start"], unit="us")
+    return (out.sort_values(["event_type", "window_start"])
+            .reset_index(drop=True))
