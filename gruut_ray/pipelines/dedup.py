@@ -140,13 +140,16 @@ def minhash_lsh_dedup(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
     max_label_rounds: int = 5,
+    verify: str = "minhash",
 ) -> "ray.data.Dataset":
     """Near-duplicate removal.  Returns the dataset with duplicates dropped
     (the min-id representative of each near-dup component survives).
 
-    Stages: sign → explode to (band, band_hash, id, sig) rows → groupby
-    band buckets → verified candidate pairs (exact MinHash-estimated
-    Jaccard) → min-label propagation via groupby → anti-join survivors.
+    Stages: sign → explode ids to (band, band_hash) rows → groupby band
+    buckets → candidate pairs → verification join (``verify="minhash"``:
+    signature-agreement estimate; ``verify="ngram"``: exact word n-gram
+    Jaccard over the joined texts — costlier, shuffles candidate texts,
+    zero estimation error) → min-label propagation → anti-join survivors.
     """
     rows_per_band = num_perms // bands
     # Signatures are computed once and kept OUT of the banding shuffle:
@@ -221,8 +224,15 @@ def minhash_lsh_dedup(
                              type=pa.binary()),
         })
 
-    sig_side = signed.map_batches(to_binary_sigs,
-                                  batch_format="pyarrow").repartition(8)
+    if verify == "ngram":
+        sig_side = ds.map_batches(
+            lambda b: pa.table({
+                "_sid": pc.cast(b.column(id_col), pa.int64()),
+                "_sig": pc.cast(b.column(text_col), pa.large_string()),
+            }), batch_format="pyarrow").repartition(8)
+    else:
+        sig_side = signed.map_batches(to_binary_sigs,
+                                      batch_format="pyarrow").repartition(8)
 
     withsrc = candidates.join(sig_side, join_type="inner", num_partitions=8,
                               on=("src",), right_on=("_sid",))
@@ -233,21 +243,28 @@ def minhash_lsh_dedup(
     both = withsrc.join(sig_side, join_type="inner", num_partitions=8,
                         on=("dst",), right_on=("_sid",))
 
-    def verify(batch: pa.Table) -> pa.Table:
+    def verify_pairs(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"src": pa.array([], type=pa.int64()),
                              "dst": pa.array([], type=pa.int64())})
-        src_sigs = np.stack([np.frombuffer(x, dtype=np.uint64)
-                             for x in batch.column("sig_src").to_pylist()])
-        dst_sigs = np.stack([np.frombuffer(x, dtype=np.uint64)
-                             for x in batch.column("_sig").to_pylist()])
-        est = (src_sigs == dst_sigs).mean(axis=1)
-        mask = pa.array(est >= jaccard_threshold)
-        kept = batch.filter(mask)
+        if verify == "ngram":
+            a_texts = batch.column("sig_src").to_pylist()
+            b_texts = batch.column("_sig").to_pylist()
+            est = np.array([ngram_jaccard(a or "", b or "")
+                            for a, b in zip(a_texts, b_texts)])
+        else:
+            src_sigs = np.stack(
+                [np.frombuffer(x, dtype=np.uint64)
+                 for x in batch.column("sig_src").to_pylist()])
+            dst_sigs = np.stack(
+                [np.frombuffer(x, dtype=np.uint64)
+                 for x in batch.column("_sig").to_pylist()])
+            est = (src_sigs == dst_sigs).mean(axis=1)
+        kept = batch.filter(pa.array(est >= jaccard_threshold))
         return pa.table({"src": kept.column("src"),
                          "dst": kept.column("dst")})
 
-    edges = both.map_batches(verify, batch_format="pyarrow")
+    edges = both.map_batches(verify_pairs, batch_format="pyarrow")
 
     # Distributed min-label propagation over the dup graph — everything
     # stays in Datasets (groupby + hash join); the driver never holds

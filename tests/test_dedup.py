@@ -95,3 +95,19 @@ def test_ngram_jaccard():
     assert ngram_jaccard(BASE, "nothing in common here at all") == 0.0
     mid = ngram_jaccard(BASE, BASE + " with a small suffix added")
     assert 0.5 < mid < 1.0
+
+
+def test_ngram_verified_dedup(ray_session):
+    import ray.data
+
+    rows = [
+        (1, BASE),
+        (2, BASE + " tail"),            # true near-dup (high word-3gram J)
+        (9, "entirely different words everywhere nothing shared with base "
+            "content whatsoever in any shingle or gram"),
+    ]
+    ds = ray.data.from_arrow(_docs_table(rows))
+    kept = minhash_lsh_dedup(ds, jaccard_threshold=0.6,
+                             verify="ngram").to_pandas()
+    ids = sorted(kept["doc_id"].tolist())
+    assert ids == [1, 9]
