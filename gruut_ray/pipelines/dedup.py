@@ -183,7 +183,30 @@ def minhash_lsh_dedup(
             "band_hash": pa.array(out_bh),
         })
 
-    exploded = signed.map_batches(explode_ids, batch_format="pyarrow")
+    exploded = signed.map_batches(explode_ids,
+                                  batch_format="pyarrow").materialize()
+
+    # Most buckets hold exactly one doc (unique content) — prefilter to
+    # COLLISION buckets before the per-group pair generation, so the
+    # map_groups pass touches only the tiny colliding fraction instead of
+    # corpus × bands groups.
+    from ray.data.aggregate import Count as _Count
+
+    collisions = exploded.groupby(["band", "band_hash"]).aggregate(
+        _Count(alias_name="_n"))
+    collisions = collisions.map_batches(
+        lambda b: (pa.table({"band": pa.array([], type=pa.int32()),
+                             "band_hash": pa.array([], type=pa.int64())})
+                   if b.num_columns == 0 else
+                   pa.table({"band": pc.cast(b.column("band"), pa.int32()),
+                             "band_hash": pc.cast(b.column("band_hash"),
+                                                  pa.int64())}).filter(
+                       pc.greater(b.column("_n"), 1))),
+        batch_format="pyarrow").repartition(8).materialize()
+    if collisions.count() == 0:
+        return ds
+    exploded = exploded.join(collisions, join_type="left_semi",
+                             num_partitions=8, on=("band", "band_hash"))
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         """Candidate pairs within one LSH bucket (ids only; verification
