@@ -728,6 +728,186 @@ def sv_cardinal_int(n: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Catalan
+# ---------------------------------------------------------------------------
+
+_CA_ONES = ["zero", "u", "dos", "tres", "quatre", "cinc", "sis", "set",
+            "vuit", "nou", "deu", "onze", "dotze", "tretze", "catorze",
+            "quinze", "setze", "disset", "divuit", "dinou"]
+_CA_TENS = {2: "vint", 3: "trenta", 4: "quaranta", 5: "cinquanta",
+            6: "seixanta", 7: "setanta", 8: "vuitanta", 9: "noranta"}
+
+
+def _ca_under_100(n: int) -> str:
+    if n < 20:
+        return _CA_ONES[n]
+    tens, unit = divmod(n, 10)
+    if unit == 0:
+        return _CA_TENS[tens]
+    joiner = "-i-" if tens == 2 else "-"  # vint-i-un, trenta-dos
+    return f"{_CA_TENS[tens]}{joiner}{_CA_ONES[unit]}"
+
+
+def _ca_under_1000(n: int) -> str:
+    hundreds, rest = divmod(n, 100)
+    if hundreds == 0:
+        return _ca_under_100(rest)
+    head = "cent" if hundreds == 1 else f"{_CA_ONES[hundreds]}-cents"
+    return head if rest == 0 else f"{head} {_ca_under_100(rest)}"
+
+
+def ca_cardinal_int(n: int) -> str:
+    if n < 0:
+        return "menys " + ca_cardinal_int(-n)
+    if n < 1000:
+        return _ca_under_1000(n)
+    parts = []
+    millions, n = divmod(n, 10 ** 6)
+    if millions:
+        parts.append("un milió" if millions == 1
+                     else ca_cardinal_int(millions) + " milions")
+    thousands, n = divmod(n, 1000)
+    if thousands:
+        parts.append("mil" if thousands == 1
+                     else _ca_under_1000(thousands) + " mil")
+    if n:
+        parts.append(_ca_under_1000(n))
+    return " ".join(parts) if len(parts) > 1 else parts[0]
+
+
+# ---------------------------------------------------------------------------
+# Luxembourgish (German-pattern compounds)
+# ---------------------------------------------------------------------------
+
+_LB_ONES = ["null", "eent", "zwee", "dräi", "véier", "fënnef", "sechs",
+            "siwen", "aacht", "néng", "zéng", "eelef", "zwielef", "dräizéng",
+            "véierzéng", "fofzéng", "siechzéng", "siwwenzéng", "uechtzéng",
+            "nonzéng"]
+_LB_ONES_PREFIX = ["", "een", "zwee", "dräi", "véier", "fënnef", "sechs",
+                   "siwen", "aacht", "néng"]
+_LB_TENS = {2: "zwanzeg", 3: "drësseg", 4: "véierzeg", 5: "fofzeg",
+            6: "siechzeg", 7: "siwwenzeg", 8: "achtzeg", 9: "nonzeg"}
+
+
+def _lb_under_100(n: int) -> str:
+    if n < 20:
+        return _LB_ONES[n]
+    tens, unit = divmod(n, 10)
+    if unit == 0:
+        return _LB_TENS[tens]
+    return f"{_LB_ONES_PREFIX[unit]}an{_LB_TENS[tens]}"
+
+
+def _lb_under_1000(n: int) -> str:
+    hundreds, rest = divmod(n, 100)
+    if hundreds == 0:
+        return _lb_under_100(rest)
+    head = ("" if hundreds == 1 else _LB_ONES_PREFIX[hundreds]) + "honnert"
+    return head if rest == 0 else head + _lb_under_100(rest)
+
+
+def lb_cardinal_int(n: int) -> str:
+    if n < 0:
+        return "minus " + lb_cardinal_int(-n)
+    if n < 1000:
+        return _lb_under_1000(n)
+    parts = []
+    thousands, n = divmod(n, 1000)
+    if thousands:
+        parts.append("dausend" if thousands == 1
+                     else _lb_under_1000(thousands) + "dausend")
+    if n:
+        parts.append(_lb_under_1000(n))
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Swahili (fully regular: na-joined)
+# ---------------------------------------------------------------------------
+
+_SW_ONES = ["sifuri", "moja", "mbili", "tatu", "nne", "tano", "sita",
+            "saba", "nane", "tisa"]
+_SW_TENS = {1: "kumi", 2: "ishirini", 3: "thelathini", 4: "arobaini",
+            5: "hamsini", 6: "sitini", 7: "sabini", 8: "themanini",
+            9: "tisini"}
+
+
+def _sw_under_100(n: int) -> str:
+    if n < 10:
+        return _SW_ONES[n]
+    tens, unit = divmod(n, 10)
+    word = _SW_TENS[tens]
+    return word if unit == 0 else f"{word} na {_SW_ONES[unit]}"
+
+
+def sw_cardinal_int(n: int) -> str:
+    if n < 0:
+        return "kasoro " + sw_cardinal_int(-n)
+    if n < 100:
+        return _sw_under_100(n)
+    parts = []
+    millions, n = divmod(n, 10 ** 6)
+    if millions:
+        parts.append(f"milioni {sw_cardinal_int(millions)}")
+    thousands, n = divmod(n, 1000)
+    if thousands:
+        parts.append(f"elfu {sw_cardinal_int(thousands)}")
+    hundreds, n = divmod(n, 100)
+    if hundreds:
+        parts.append(f"mia {_SW_ONES[hundreds]}")
+    if n:
+        parts.append(_sw_under_100(n))
+    if len(parts) > 1:
+        return " na ".join(parts)
+    return parts[0] if parts else "sifuri"
+
+
+# ---------------------------------------------------------------------------
+# Persian (Farsi)
+# ---------------------------------------------------------------------------
+
+_FA_ONES = ["صفر", "یک", "دو", "سه", "چهار", "پنج", "شش", "هفت", "هشت",
+            "نه", "ده", "یازده", "دوازده", "سیزده", "چهارده", "پانزده",
+            "شانزده", "هفده", "هجده", "نوزده"]
+_FA_TENS = {2: "بیست", 3: "سی", 4: "چهل", 5: "پنجاه", 6: "شصت",
+            7: "هفتاد", 8: "هشتاد", 9: "نود"}
+_FA_HUNDREDS = {1: "صد", 2: "دویست", 3: "سیصد", 4: "چهارصد", 5: "پانصد",
+                6: "ششصد", 7: "هفتصد", 8: "هشتصد", 9: "نهصد"}
+
+
+def _fa_under_1000(n: int) -> str:
+    parts = []
+    hundreds, rest = divmod(n, 100)
+    if hundreds:
+        parts.append(_FA_HUNDREDS[hundreds])
+    if rest >= 20:
+        tens, unit = divmod(rest, 10)
+        parts.append(_FA_TENS[tens] if unit == 0
+                     else f"{_FA_TENS[tens]} و {_FA_ONES[unit]}")
+    elif rest:
+        parts.append(_FA_ONES[rest])
+    return " و ".join(parts) if parts else _FA_ONES[0]
+
+
+def fa_cardinal_int(n: int) -> str:
+    if n < 0:
+        return "منفی " + fa_cardinal_int(-n)
+    if n < 1000:
+        return _fa_under_1000(n)
+    parts = []
+    millions, n = divmod(n, 10 ** 6)
+    if millions:
+        parts.append(f"{_fa_under_1000(millions)} میلیون")
+    thousands, n = divmod(n, 1000)
+    if thousands:
+        parts.append("هزار" if thousands == 1
+                     else f"{_fa_under_1000(thousands)} هزار")
+    if n:
+        parts.append(_fa_under_1000(n))
+    return " و ".join(parts)
+
+
+# ---------------------------------------------------------------------------
 # Currency forms for the non-English locales (num2words to_currency parity
 # in structure: "<cardinal> <unit><sep> <cardinal> <subunit>"; exact unit
 # word choices are this engine's goldens — SURVEY §7 hard part 3)
@@ -817,6 +997,10 @@ _CARDINAL_INT = {
     "nl": nl_cardinal_int,
     "pt": pt_cardinal_int,
     "sv": sv_cardinal_int,
+    "ca": ca_cardinal_int,
+    "lb": lb_cardinal_int,
+    "sw": sw_cardinal_int,
+    "fa": fa_cardinal_int,
 }
 _ORDINAL = {"en": en_ordinal, "de": de_ordinal, "fr": fr_ordinal}
 _YEAR = {"en": en_year, "de": de_year}
@@ -824,6 +1008,7 @@ _DIGIT_WORDS = {
     "en": _EN_ONES, "de": _DE_ONES, "fr": _FR_ONES, "es": _ES_ONES,
     "ru": _RU_ONES, "zh": list(_ZH_DIGITS), "it": _IT_ONES,
     "nl": _NL_ONES, "pt": _PT_ONES, "sv": _SV_ONES,
+    "ca": _CA_ONES, "lb": _LB_ONES, "sw": _SW_ONES, "fa": _FA_ONES,
 }
 
 

@@ -136,8 +136,9 @@ def test_zh_cardinal(n, text):
 
 
 def test_unsupported_raises():
+    # ar/cs cardinals are the remaining unimplemented languages
     with pytest.raises(NumberVerbalizeError):
-        num_to_words(Decimal(5), "sw", to="cardinal")
+        num_to_words(Decimal(5), "ar", to="cardinal")
 
 
 def test_generic_currency_languages():
@@ -209,6 +210,41 @@ def test_it_nl_pt_sv_in_document_context():
         ("nl", "Ik heb 22 katten."): "tweeëntwintig",
         ("pt", "Tenho 21 gatos."): "vinte e um",
         ("sv", "Jag har 21 katter."): "tjugoett",
+    }
+    for (lang, text), expect in cases.items():
+        spoken = " ".join(s.text_spoken for s in process_document(text, lang))
+        assert expect in spoken, (lang, spoken)
+
+
+def test_ca_lb_sw_fa_cardinals():
+    from decimal import Decimal
+
+    from gruut_ray.nlp.numwords import num_to_words
+
+    cases = {
+        ("ca", 21): "vint-i-u",
+        ("ca", 356): "tres-cents cinquanta-sis",
+        ("lb", 21): "eenanzwanzeg",
+        ("lb", 147): "honnertsiwenanvéierzeg",
+        ("sw", 21): "ishirini na moja",
+        ("sw", 345): "mia tatu na arobaini na tano",
+        ("fa", 21): "بیست و یک",
+        ("fa", 345): "سیصد و چهل و پنج",
+    }
+    for (lang, n), expect in cases.items():
+        assert num_to_words(Decimal(n), lang) == expect, (lang, n)
+
+
+def test_ca_lb_sw_fa_in_document_context():
+    from gruut_ray.nlp.normalize import process_document
+
+    cases = {
+        # "-" word-breaks split compound numerals into words, like the
+        # reference word_breaks behavior
+        ("ca", "Tinc 21 gats."): "vint i u",
+        ("lb", "Ech hu 21 Kazen."): "eenanzwanzeg",
+        ("sw", "Nina paka 21 nzuri."): "ishirini na moja",
+        ("fa", "من 21 گربه دارم."): "بیست و یک",
     }
     for (lang, text), expect in cases.items():
         spoken = " ".join(s.text_spoken for s in process_document(text, lang))
