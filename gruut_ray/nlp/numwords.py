@@ -908,6 +908,119 @@ def fa_cardinal_int(n: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Czech
+# ---------------------------------------------------------------------------
+
+_CS_ONES = ["nula", "jedna", "dva", "tři", "čtyři", "pět", "šest", "sedm",
+            "osm", "devět", "deset", "jedenáct", "dvanáct", "třináct",
+            "čtrnáct", "patnáct", "šestnáct", "sedmnáct", "osmnáct",
+            "devatenáct"]
+_CS_TENS = {2: "dvacet", 3: "třicet", 4: "čtyřicet", 5: "padesát",
+            6: "šedesát", 7: "sedmdesát", 8: "osmdesát", 9: "devadesát"}
+
+
+def _cs_under_100(n: int) -> str:
+    if n < 20:
+        return _CS_ONES[n]
+    tens, unit = divmod(n, 10)
+    word = _CS_TENS[tens]
+    return word if unit == 0 else f"{word} {_CS_ONES[unit]}"
+
+
+def _cs_hundreds(h: int) -> str:
+    if h == 1:
+        return "sto"
+    if h == 2:
+        return "dvě stě"
+    if h in (3, 4):
+        return f"{_CS_ONES[h]} sta"
+    return f"{_CS_ONES[h]} set"
+
+
+def _cs_under_1000(n: int) -> str:
+    hundreds, rest = divmod(n, 100)
+    if hundreds == 0:
+        return _cs_under_100(rest)
+    head = _cs_hundreds(hundreds)
+    return head if rest == 0 else f"{head} {_cs_under_100(rest)}"
+
+
+def cs_cardinal_int(n: int) -> str:
+    if n < 0:
+        return "minus " + cs_cardinal_int(-n)
+    if n < 1000:
+        return _cs_under_1000(n)
+    parts = []
+    thousands, n = divmod(n, 1000)
+    if thousands:
+        if thousands == 1:
+            parts.append("tisíc")
+        elif 2 <= thousands <= 4:
+            parts.append(f"{_cs_under_1000(thousands)} tisíce")
+        else:
+            parts.append(f"{_cs_under_1000(thousands)} tisíc")
+    if n:
+        parts.append(_cs_under_1000(n))
+    return " ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Arabic (MSA, masculine counting forms)
+# ---------------------------------------------------------------------------
+
+_AR_ONES = ["صفر", "واحد", "اثنان", "ثلاثة", "أربعة", "خمسة", "ستة",
+            "سبعة", "ثمانية", "تسعة", "عشرة"]
+_AR_TEENS = {11: "أحد عشر", 12: "اثنا عشر"}
+_AR_TENS = {2: "عشرون", 3: "ثلاثون", 4: "أربعون", 5: "خمسون",
+            6: "ستون", 7: "سبعون", 8: "ثمانون", 9: "تسعون"}
+_AR_HUNDREDS = {1: "مئة", 2: "مئتان", 3: "ثلاثمئة", 4: "أربعمئة",
+                5: "خمسمئة", 6: "ستمئة", 7: "سبعمئة", 8: "ثمانمئة",
+                9: "تسعمئة"}
+
+
+def _ar_under_100(n: int) -> str:
+    if n <= 10:
+        return _AR_ONES[n]
+    if n in _AR_TEENS:
+        return _AR_TEENS[n]
+    if n < 20:
+        return f"{_AR_ONES[n - 10]} عشر"
+    tens, unit = divmod(n, 10)
+    if unit == 0:
+        return _AR_TENS[tens]
+    return f"{_AR_ONES[unit]} و{_AR_TENS[tens]}"  # unit wa-tens
+
+
+def _ar_under_1000(n: int) -> str:
+    hundreds, rest = divmod(n, 100)
+    if hundreds == 0:
+        return _ar_under_100(rest)
+    head = _AR_HUNDREDS[hundreds]
+    return head if rest == 0 else f"{head} و{_ar_under_100(rest)}"
+
+
+def ar_cardinal_int(n: int) -> str:
+    if n < 0:
+        return "سالب " + ar_cardinal_int(-n)
+    if n < 1000:
+        return _ar_under_1000(n)
+    parts = []
+    thousands, n = divmod(n, 1000)
+    if thousands:
+        if thousands == 1:
+            parts.append("ألف")
+        elif thousands == 2:
+            parts.append("ألفان")
+        elif 3 <= thousands <= 10:
+            parts.append(f"{_AR_ONES[thousands]} آلاف")
+        else:
+            parts.append(f"{_ar_under_1000(thousands)} ألف")
+    if n:
+        parts.append(_ar_under_1000(n))
+    return " و".join(parts)
+
+
+# ---------------------------------------------------------------------------
 # Currency forms for the non-English locales (num2words to_currency parity
 # in structure: "<cardinal> <unit><sep> <cardinal> <subunit>"; exact unit
 # word choices are this engine's goldens — SURVEY §7 hard part 3)
@@ -1001,6 +1114,8 @@ _CARDINAL_INT = {
     "lb": lb_cardinal_int,
     "sw": sw_cardinal_int,
     "fa": fa_cardinal_int,
+    "cs": cs_cardinal_int,
+    "ar": ar_cardinal_int,
 }
 _ORDINAL = {"en": en_ordinal, "de": de_ordinal, "fr": fr_ordinal}
 _YEAR = {"en": en_year, "de": de_year}
@@ -1009,6 +1124,7 @@ _DIGIT_WORDS = {
     "ru": _RU_ONES, "zh": list(_ZH_DIGITS), "it": _IT_ONES,
     "nl": _NL_ONES, "pt": _PT_ONES, "sv": _SV_ONES,
     "ca": _CA_ONES, "lb": _LB_ONES, "sw": _SW_ONES, "fa": _FA_ONES,
+    "cs": _CS_ONES, "ar": _AR_ONES[:10],
 }
 
 

@@ -136,9 +136,22 @@ def test_zh_cardinal(n, text):
 
 
 def test_unsupported_raises():
-    # ar/cs cardinals are the remaining unimplemented languages
+    # every profile language has cardinals now; unknown languages raise
     with pytest.raises(NumberVerbalizeError):
-        num_to_words(Decimal(5), "ar", to="cardinal")
+        num_to_words(Decimal(5), "xx", to="cardinal")
+
+
+def test_cs_ar_cardinals():
+    cases = {
+        ("cs", 21): "dvacet jedna",
+        ("cs", 345): "tři sta čtyřicet pět",
+        ("cs", 2500): "dva tisíce pět set",
+        ("ar", 21): "واحد وعشرون",
+        ("ar", 345): "ثلاثمئة وخمسة وأربعون",
+        ("ar", 2024): "ألفان وأربعة وعشرون",
+    }
+    for (lang, n), expect in cases.items():
+        assert num_to_words(Decimal(n), lang) == expect, (lang, n)
 
 
 def test_generic_currency_languages():
