@@ -223,6 +223,22 @@ def _q_ann_lsh_top10(sf_dir: str):
         score=lambda d: d["score"].astype("float64").round(6))
 
 
+def _q_ann_ivf_top10(sf_dir: str):
+    """IVF (k-means inverted lists) approximate top-k — the centroid-
+    bucketed scale path (rows-only; recall + exactness-at-full-probe
+    tested in tests/test_similarity.py)."""
+    import numpy as np
+
+    from gruut_ray.pipelines.similarity import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = ds.take(1)[0]
+    out = ivf_topk(ds, np.asarray([first["embedding"]], dtype=np.float32),
+                   dim=len(first["embedding"]), k=10, n_lists=16, nprobe=4)
+    return out[["vec_id", "score"]].assign(
+        score=lambda d: d["score"].astype("float64").round(6))
+
+
 def _q_embedding_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup pair count (LSH co-bucket + exact
     verify; pair-level goldens in tests/test_similarity.py)."""
@@ -394,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "knn_top10": _q_knn_top10,
         "ann_lsh_top10": _q_ann_lsh_top10,
+        "ann_ivf_top10": _q_ann_ivf_top10,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "normalize_spoken_tokens": _q_normalize_spoken_tokens,
         "phonemize_documents": _q_phonemize_documents,

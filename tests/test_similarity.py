@@ -61,3 +61,30 @@ def test_embedding_dup_pairs_finds_planted_dups(ray_session):
     assert (0, 1) in found or (0, 2) in found
     # scores are high cosine
     assert (pairs["score"] >= 0.98).all()
+
+
+def test_ivf_topk_recall_and_prune(ray_session):
+    from gruut_ray.pipelines.similarity import (
+        add_ivf_lists,
+        brute_force_topk,
+        ivf_topk,
+        train_centroids,
+    )
+
+    ds, emb = _emb_ds(ray_session, n=400)
+    cents = train_centroids(ds, dim=16, n_lists=8)
+    assert cents.shape == (8, 16)
+
+    q = emb[:1]
+    exact = set(brute_force_topk(ds, q, k=5)["vec_id"].tolist())
+    approx = set(ivf_topk(ds, q, dim=16, k=5, n_lists=8, nprobe=3,
+                          centroids=cents)["vec_id"].tolist())
+    assert len(exact & approx) / 5 >= 0.6  # near-dups share the query's list
+    assert 0 in approx
+    # full probe == exact
+    full = set(ivf_topk(ds, q, dim=16, k=5, n_lists=8, nprobe=8,
+                        centroids=cents)["vec_id"].tolist())
+    assert full == exact
+    # assignment column is a valid list id
+    listed = add_ivf_lists(ds, cents).to_pandas()
+    assert listed["ivf_list"].between(0, 7).all()
