@@ -186,6 +186,7 @@ ZH = LanguageProfile(
 
 AR = LanguageProfile(
     lang="ar",
+    month_names=("يناير", "فبراير", "مارس", "أبريل", "مايو", "يونيو", "يوليو", "أغسطس", "سبتمبر", "أكتوبر", "نوفمبر", "ديسمبر"),
     major_breaks=(".", "؟", "!"),
     minor_breaks=("،", ";", ":"),
     begin_punctuations=_Q_BEGIN,
@@ -197,6 +198,7 @@ AR = LanguageProfile(
 
 CS = LanguageProfile(
     lang="cs-cz",
+    month_names=("ledna", "února", "března", "dubna", "května", "června", "července", "srpna", "září", "října", "listopadu", "prosince"),
     begin_punctuations=('"', "“", "«", "[", "(", "<", "’", "„"),
     end_punctuations=('"', "”", "»", "]", ")", ">", "’"),
     default_currency="EUR",
@@ -210,6 +212,7 @@ CS = LanguageProfile(
 
 FA = LanguageProfile(
     lang="fa",
+    month_names=("ژانویه", "فوریه", "مارس", "آوریل", "مه", "ژوئن", "ژوئیه", "اوت", "سپتامبر", "اکتبر", "نوامبر", "دسامبر"),
     major_breaks=(".", "؟", "!"),
     begin_punctuations=('"', "“", "«", "[", "(", "<", "’", "„"),
     end_punctuations=('"', "”", "»", "]", ")", ">", "’"),
@@ -220,6 +223,7 @@ FA = LanguageProfile(
 
 IT = LanguageProfile(
     lang="it-it",
+    month_names=("gennaio", "febbraio", "marzo", "aprile", "maggio", "giugno", "luglio", "agosto", "settembre", "ottobre", "novembre", "dicembre"),
     minor_breaks=(",", ";", ":", "..."),
     begin_punctuations=_Q_BEGIN,
     end_punctuations=_Q_END,
@@ -234,6 +238,7 @@ IT = LanguageProfile(
 
 LB = LanguageProfile(
     lang="lb",
+    month_names=("Januar", "Februar", "Mäerz", "Abrëll", "Mee", "Juni", "Juli", "August", "September", "Oktober", "November", "Dezember"),
     minor_breaks=(",", ";", ":", "..."),
     begin_punctuations=_Q_BEGIN,
     end_punctuations=_Q_END,
@@ -248,6 +253,7 @@ LB = LanguageProfile(
 
 NL = LanguageProfile(
     lang="nl",
+    month_names=("januari", "februari", "maart", "april", "mei", "juni", "juli", "augustus", "september", "oktober", "november", "december"),
     minor_breaks=(",", ";", ":", "..."),
     begin_punctuations=_Q_BEGIN,
     end_punctuations=_Q_END,
@@ -262,6 +268,7 @@ NL = LanguageProfile(
 
 PT = LanguageProfile(
     lang="pt",
+    month_names=("janeiro", "fevereiro", "março", "abril", "maio", "junho", "julho", "agosto", "setembro", "outubro", "novembro", "dezembro"),
     minor_breaks=(",", ";", ":", "..."),
     begin_punctuations=_Q_BEGIN,
     end_punctuations=_Q_END,
@@ -276,6 +283,7 @@ PT = LanguageProfile(
 
 SV = LanguageProfile(
     lang="sv-se",
+    month_names=("januari", "februari", "mars", "april", "maj", "juni", "juli", "augusti", "september", "oktober", "november", "december"),
     minor_breaks=(",", ";", ":", "..."),
     begin_punctuations=_Q_BEGIN,
     end_punctuations=_Q_END,
@@ -290,6 +298,7 @@ SV = LanguageProfile(
 
 SW = LanguageProfile(
     lang="sw",
+    month_names=("Januari", "Februari", "Machi", "Aprili", "Mei", "Juni", "Julai", "Agosti", "Septemba", "Oktoba", "Novemba", "Desemba"),
     begin_punctuations=_Q_BEGIN,
     end_punctuations=_Q_END,
     default_date_format="dmy",
@@ -299,6 +308,7 @@ SW = LanguageProfile(
 
 CA = LanguageProfile(
     lang="ca-ce",
+    month_names=("gener", "febrer", "març", "abril", "maig", "juny", "juliol", "agost", "setembre", "octubre", "novembre", "desembre"),
     minor_breaks=(",", ";", ":", "..."),
     begin_punctuations=_Q_BEGIN,
     end_punctuations=_Q_END,

@@ -262,3 +262,22 @@ def test_ca_lb_sw_fa_in_document_context():
     for (lang, text), expect in cases.items():
         spoken = " ".join(s.text_spoken for s in process_document(text, lang))
         assert expect in spoken, (lang, spoken)
+
+
+def test_dates_verbalize_in_all_month_name_languages():
+    from gruut_ray.nlp.normalize import process_document
+
+    cases = {
+        ("it", "Era il 4/1/1999."): "gennaio",
+        ("nl", "Het was 4/1/1999."): "januari",
+        ("pt", "Foi em 4/1/1999."): "janeiro",
+        ("ca", "Era el 4/1/1999."): "gener",
+        ("cs", "Bylo to 4/1/1999."): "ledna",
+        ("sw", "Ilikuwa 4/1/1999."): "Januari",
+        ("ar", "كان في 4/1/1999."): "يناير",
+        ("lb", "Et war 4/1/1999."): "Januar",
+    }
+    for (lang, text), expect in cases.items():
+        spoken = " ".join(s.text_spoken for s in process_document(text, lang))
+        assert expect in spoken, (lang, spoken)
+        assert "1999" not in spoken, (lang, spoken)
