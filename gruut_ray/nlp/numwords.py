@@ -1056,6 +1056,46 @@ _GENERIC_CURRENCY_FORMS: dict = {
         "USD": (("美元", "美元"), ("美分", "美分")),
         "EUR": (("欧元", "欧元"), ("分", "分")),
     },
+    "it": {
+        "EUR": (("euro", "euro"), ("centesimo", "centesimi")),
+        "USD": (("dollaro", "dollari"), ("centesimo", "centesimi")),
+    },
+    "nl": {
+        "EUR": (("euro", "euro"), ("cent", "cent")),
+        "USD": (("dollar", "dollar"), ("cent", "cent")),
+    },
+    "pt": {
+        "EUR": (("euro", "euros"), ("cêntimo", "cêntimos")),
+        "USD": (("dólar", "dólares"), ("centavo", "centavos")),
+    },
+    "sv": {
+        "SEK": (("krona", "kronor"), ("öre", "öre")),
+        "EUR": (("euro", "euro"), ("cent", "cent")),
+        "USD": (("dollar", "dollar"), ("cent", "cent")),
+    },
+    "ca": {
+        "EUR": (("euro", "euros"), ("cèntim", "cèntims")),
+        "USD": (("dòlar", "dòlars"), ("centau", "centaus")),
+    },
+    "cs": {  # Czech uses the Slavic 3-form rule (1 / 2-4 / 5+)
+        "CZK": ((("koruna", "koruny", "korun"),),
+                (("haléř", "haléře", "haléřů"),)),
+        "EUR": ((("euro", "eura", "eur"),),
+                (("cent", "centy", "centů"),)),
+    },
+    "lb": {
+        "EUR": (("Euro", "Euro"), ("Cent", "Cent")),
+    },
+    "sw": {
+        "TZS": (("shilingi", "shilingi"), ("senti", "senti")),
+        "USD": (("dola", "dola"), ("senti", "senti")),
+        "EUR": (("yuro", "yuro"), ("senti", "senti")),
+    },
+    "fa": {
+        "IRR": (("ریال", "ریال"), ("دینار", "دینار")),
+        "USD": (("دلار", "دلار"), ("سنت", "سنت")),
+        "EUR": (("یورو", "یورو"), ("سنت", "سنت")),
+    },
 }
 
 
@@ -1070,7 +1110,7 @@ def generic_currency(num: Decimal, sl: str, currency: str,
     unit_forms, sub_forms = forms
 
     def word_for(n: int, f) -> str:
-        if sl == "ru":
+        if sl in ("ru", "cs"):  # Slavic 3-form plural (1 / 2-4 / 5+)
             return _ru_plural(n, f[0])
         sing, plur = f
         return sing if n == 1 else plur

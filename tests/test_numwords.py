@@ -281,3 +281,19 @@ def test_dates_verbalize_in_all_month_name_languages():
         spoken = " ".join(s.text_spoken for s in process_document(text, lang))
         assert expect in spoken, (lang, spoken)
         assert "1999" not in spoken, (lang, spoken)
+
+
+def test_currency_all_new_languages():
+    from gruut_ray.nlp.normalize import process_document
+
+    cases = {
+        ("it", "Costa €5,50."): "cinque euro cinquanta centesimi",
+        ("nl", "Het kost €5,50."): "vijf euro vijftig cent",
+        ("pt", "Custa €5,50."): "cinco euros cinquenta cêntimos",
+        ("ca", "Costa €5,50."): "cinc euros cinquanta cèntims",
+        ("cs", "Stojí €5."): "pět eur",
+        ("cs", "Stojí €3."): "tři eura",
+    }
+    for (lang, text), expect in cases.items():
+        spoken = " ".join(s.text_spoken for s in process_document(text, lang))
+        assert expect in spoken, (lang, spoken)
