@@ -99,3 +99,35 @@ def test_golden_ellipsis_minor_break():
     assert len(sents) == 1  # "..." is a minor break, not a sentence end
     kinds = [(w.text, w.is_minor_break) for s in sents for w in s.words]
     assert ("...", True) in kinds
+
+
+def test_golden_multiple_punctuation_sentences():
+    assert _sentences("Really?! You think so?") == \
+        ["Really?!", "You think so?"]
+
+
+def test_golden_initials_inside_sentence():
+    # dotted initialisms spell out instead of breaking the sentence
+    words = _spoken_words("The U.S.A. is large.")
+    assert words[:4] == ["The", "U", "S", "A"]
+    sents = _sentences("The U.S.A. is large.")
+    assert len(sents) == 1
+
+
+def test_golden_newline_single_paragraph():
+    # plain text is ONE paragraph chunk (reference
+    # text_processor.py:501-504); blank lines are whitespace, and
+    # paragraph structure comes only from SSML <p>
+    from gruut_ray.nlp.normalize import process_document
+
+    sents = process_document("First par one. Still first.\n\nSecond par.",
+                             "en")
+    assert [s.par_idx for s in sents] == [0, 0, 0]
+    assert len(sents) == 3
+
+
+def test_golden_number_list_not_sentence_broken():
+    # "1. 2. 3." — bare numbers before periods (list markers): each period
+    # is a major break; numbers verbalize
+    words = _spoken_words("I have 3.5 dollars.")
+    assert "three" in words and "five" in words

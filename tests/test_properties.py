@@ -117,3 +117,32 @@ def test_routed_quality_filter_matches_unrouted(ray_session):
               .select_columns(cols).to_pandas()
               .sort_values("doc_id").reset_index(drop=True))
     assert plain.equals(routed)
+
+
+def test_write_json_sink_nested(ray_session, tmp_path):
+    """ds.write_json emits the reference CLI's JSONL shape at corpus scale
+    (one JSON object per row, nested sentences intact)."""
+    import glob
+    import json
+
+    import pyarrow as pa
+    import ray.data
+
+    from gruut_ray.stages.phonemize import phonemize
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["I read it.", "Two cats."]),
+        "lang": pa.array(["en", "en"]),
+    }))
+    out_dir = str(tmp_path / "jsonl")
+    phonemize(ds, concurrency=1).write_json(out_dir)
+    rows = []
+    for path in glob.glob(out_dir + "/*.json"):
+        with open(path) as f:
+            rows.extend(json.loads(line) for line in f if line.strip())
+    assert len(rows) == 2
+    by_id = {r["doc_id"]: r for r in rows}
+    words = by_id[1]["sentences"][0]["words"]
+    assert [w["text"] for w in words][:3] == ["I", "read", "it"]
+    assert words[1]["phonemes"]
