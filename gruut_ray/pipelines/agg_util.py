@@ -32,7 +32,10 @@ def partial_then_merge(
     partials = ds.map_batches(partial_fn, batch_format="pyarrow").to_pandas()
     if partials.empty:
         return partials
-    out = partials.groupby(list(group_keys), as_index=False).agg(
+    # dropna=False: SQL GROUP BY keeps a NULL-keyed group; partial_fn
+    # implementations should do the same in their per-batch groupbys
+    out = partials.groupby(list(group_keys), as_index=False,
+                           dropna=False).agg(
         **{col: (col, how) for col, how in agg_spec.items()})
     if sort:
         out = out.sort_values(list(group_keys)).reset_index(drop=True)

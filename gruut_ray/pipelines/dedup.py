@@ -35,10 +35,16 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _content_hash_batch(batch: pa.Table, text_col: str) -> pa.Table:
+    """128-bit blake2b content hash — crc32's 2^32 space collides by the
+    birthday bound around 77k unique docs, silently merging distinct
+    documents; 128 bits is collision-free at any realistic corpus size."""
+    import hashlib
+
     texts = batch.column(text_col).to_pylist()
-    hashes = [zlib.crc32(t.encode()) * 0x9E3779B1 & _M64 for t in texts]
+    hashes = [hashlib.blake2b((t or "").encode(), digest_size=16).hexdigest()
+              for t in texts]
     return batch.append_column("content_hash",
-                               pa.array(hashes, type=pa.uint64()))
+                               pa.array(hashes, type=pa.string()))
 
 
 def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
@@ -215,9 +221,20 @@ def minhash_lsh_dedup(
         if len(group) < 2:
             return pd.DataFrame({"src": pd.Series([], dtype="int64"),
                                  "dst": pd.Series([], dtype="int64")})
-        ids = np.sort(group[id_col].to_numpy())[:64]
-        a_idx, b_idx = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"src": ids[a_idx], "dst": ids[b_idx]})
+        ids = np.sort(group[id_col].to_numpy())
+        head = ids[:64]
+        a_idx, b_idx = np.triu_indices(len(head), k=1)
+        src_ids = head[a_idx]
+        dst_ids = head[b_idx]
+        if len(ids) > 64:
+            # pathological bucket: STAR edges from the min id to every
+            # remaining member keep the cluster connected (O(n) edges)
+            tail = ids[64:]
+            src_ids = np.concatenate([src_ids,
+                                      np.full(len(tail), ids[0],
+                                              dtype=ids.dtype)])
+            dst_ids = np.concatenate([dst_ids, tail])
+        return pd.DataFrame({"src": src_ids, "dst": dst_ids})
 
     candidates = exploded.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas")
@@ -413,11 +430,16 @@ def simhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",
 
 
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
-    """Exact word n-gram Jaccard similarity."""
+    """Exact word n-gram Jaccard similarity.  Texts too short for any
+    n-gram fall back to unigram Jaccard — returning 1.0 for all short
+    pairs would mark unrelated snippets as duplicates."""
     ta = a.split()
     tb = b.split()
     sa = {tuple(ta[i:i + n]) for i in range(max(0, len(ta) - n + 1))}
     sb = {tuple(tb[i:i + n]) for i in range(max(0, len(tb) - n + 1))}
     if not sa and not sb:
-        return 1.0
+        ua, ub = set(ta), set(tb)
+        if not ua and not ub:
+            return 1.0 if a == b else 0.0
+        return len(ua & ub) / max(1, len(ua | ub))
     return len(sa & sb) / max(1, len(sa | sb))

@@ -171,7 +171,8 @@ def run_to_parquet(
         # stable partition id from url hash (not input order)
         urls = batch.column("url").to_pylist()
         import zlib
-        parts = [zlib.crc32(u.encode()) % num_partitions for u in urls]
+        parts = [zlib.crc32((u or "").encode()) % num_partitions
+                 for u in urls]
         return batch.append_column("part", pa.array(parts, type=pa.int32()))
 
     filtered = filtered.map_batches(add_part, batch_format="pyarrow")
@@ -182,6 +183,17 @@ def run_to_parquet(
         stats["partitions"][payload["part_id"]] = payload
 
     if todo:
+        # A crashed run may have left data files WITHOUT a manifest in a
+        # todo partition; write_parquet appends uniquely-named files, so
+        # stale generations would double every row — clean first.
+        import os
+        import shutil
+
+        for p in todo:
+            pdir = mf.partition_dir(out_dir, p)
+            if os.path.isdir(pdir):
+                shutil.rmtree(pdir)
+
         # One pass: split by partition id with a filtered write per partition
         # would re-execute the pipeline num_partitions times; instead
         # materialize per-partition row groups via a single write with

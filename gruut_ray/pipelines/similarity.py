@@ -52,13 +52,15 @@ def brute_force_topk(
                                         dtype=np.float32))
             scores = emb @ self.q.T  # (batch, nq)
             kk = min(k, len(ids))
-            top = np.argpartition(-scores, kk - 1, axis=0)[:kk]  # (kk, nq)
             out_q, out_id, out_s = [], [], []
             for qi in range(self.q.shape[0]):
-                rows = top[:, qi]
-                out_q.extend([qi] * len(rows))
-                out_id.extend(ids[rows].tolist())
-                out_s.extend(scores[rows, qi].tolist())
+                # deterministic (score desc, id asc) selection — a bare
+                # argpartition breaks ties arbitrarily at the k boundary
+                # and can disagree with the SQL oracle on tied scores
+                order = np.lexsort((ids, -scores[:, qi]))[:kk]
+                out_q.extend([qi] * len(order))
+                out_id.extend(ids[order].tolist())
+                out_s.extend(scores[order, qi].tolist())
             return pa.table({
                 "query_idx": pa.array(out_q, type=pa.int32()),
                 id_col: pa.array(out_id),
@@ -143,7 +145,11 @@ def embedding_dup_pairs(
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
-            return pd.DataFrame({"a": [], "b": [], "score": []})
+            # explicit dtypes: a bare empty frame is float64 and poisons
+            # the unified block schema (int ids upcast to double)
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float32")})
         g = group.sort_values(id_col)
         ids = g[id_col].to_numpy()
         emb = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float32))

@@ -25,9 +25,12 @@ BPE_ISH = re.compile(
 _WS = re.compile(r"\s+")
 
 
-def token_counts_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Adds n_ws_tokens (whitespace split) and n_bpe_tokens (regex
-    pretokenizer) columns — vectorized via Arrow where possible."""
+def token_counts_batch(batch: pa.Table, text_col: str = "text",
+                       include_bpe: bool = True) -> pa.Table:
+    """Adds n_ws_tokens (whitespace split) and, with ``include_bpe``,
+    n_bpe_tokens (regex pretokenizer).  The BPE pass is a per-row Python
+    findall and dominates the cost — callers that only need whitespace
+    counts should pass ``include_bpe=False`` to stay fully vectorized."""
     texts = batch.column(text_col)
     # whitespace tokens: count via arrow split_pattern_regex (vectorized)
     ws_counts = pc.list_value_length(
@@ -35,12 +38,14 @@ def token_counts_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     # empty strings produce [""] -> count 1; fix to 0
     empty = pc.equal(pc.utf8_trim_whitespace(texts), "")
     ws_counts = pc.if_else(empty, pa.scalar(0, pa.int32()), ws_counts)
-    bpe_counts = pa.array(
-        [len(BPE_ISH.findall(t)) if t else 0 for t in texts.to_pylist()],
-        type=pa.int64())
     batch = batch.append_column("n_ws_tokens",
                                 pc.cast(ws_counts, pa.int64()))
-    batch = batch.append_column("n_bpe_tokens", bpe_counts)
+    if include_bpe:
+        bpe_counts = pa.array(
+            [len(BPE_ISH.findall(t)) if t else 0
+             for t in texts.to_pylist()],
+            type=pa.int64())
+        batch = batch.append_column("n_bpe_tokens", bpe_counts)
     return batch
 
 
@@ -51,7 +56,7 @@ def tokens_by_lang(ds: "ray.data.Dataset", text_col: str = "text",
     from gruut_ray.pipelines.agg_util import partial_then_merge
 
     def partials(batch: pa.Table) -> pa.Table:
-        batch = token_counts_batch(batch, text_col)
+        batch = token_counts_batch(batch, text_col, include_bpe=False)
         tbl = pa.table({
             "lang": batch.column(lang_col),
             "n_ws_tokens": batch.column("n_ws_tokens"),
@@ -71,15 +76,19 @@ def tokens_by_lang(ds: "ray.data.Dataset", text_col: str = "text",
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """64-bit rolling-hash document fingerprint (content identity that is
-    whitespace-normalization-invariant)."""
+    """128-bit blake2b document fingerprint (content identity that is
+    whitespace-normalization-invariant; crc32's 2^32 space collides at
+    ~77k unique docs and would undercount vs a distinct-text oracle)."""
+    import hashlib
+
     texts = batch.column(text_col).to_pylist()
     fps = []
     for t in texts:
         norm = _WS.sub(" ", (t or "").strip())
-        fps.append(zlib.crc32(norm.encode()) * 0x9E3779B1 & ((1 << 63) - 1))
+        fps.append(hashlib.blake2b(norm.encode(),
+                                   digest_size=16).hexdigest())
     return batch.append_column("fingerprint",
-                               pa.array(fps, type=pa.int64()))
+                               pa.array(fps, type=pa.string()))
 
 
 def top_k_longest(ds: "ray.data.Dataset", k: int = 10,

@@ -84,3 +84,26 @@ def test_resume_skips_completed_partitions(cc_run, ray_session):
     # their manifests carry the original timestamps
     assert after[0]["completed_at"] == before[0]["completed_at"]
     assert stats["rows"] == 400
+
+
+def test_resume_cleans_stale_partition_files(cc_run, ray_session):
+    """Crash AFTER data write but BEFORE manifest stamping: the partition
+    dir holds orphan parquet files.  Resume must clean them — otherwise
+    write_parquet appends a second generation and every row doubles."""
+    out_dir, _ = cc_run
+    from gruut_ray.pipelines.quality_filter import run_to_parquet
+    from gruut_ray.sources.synth import synth_dataset
+
+    # simulate: manifest lost, data files left behind
+    os.remove(os.path.join(mf.partition_dir(out_dir, 1), mf.MANIFEST_NAME))
+    stale = glob.glob(os.path.join(mf.partition_dir(out_dir, 1),
+                                   "*.parquet"))
+    assert stale  # the orphan generation exists
+
+    ds = synth_dataset(400, parallelism=4)
+    run_to_parquet(ds, out_dir, num_partitions=4, html_col="html",
+                   use_ppl=False, quality_concurrency=(1, 2))
+    files = glob.glob(os.path.join(out_dir, "part=*", "*.parquet"))
+    tbl = pads.dataset(files).to_table(columns=["url"])
+    assert tbl.num_rows == 400  # no doubled rows
+    assert len(set(tbl.column("url").to_pylist())) == 400
