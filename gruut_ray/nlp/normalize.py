@@ -607,11 +607,21 @@ def _collapse_and_transform_time(tokens: typing.List[Tok], cp_of,
                     if cp.is_maybe_time(text):
                         time = cp.hooks.parse_time(text)
                         if time is not None:
-                            nt = Tok(WORD, text, "", t0.lang,
+                            first_ws, _ = get_whitespace(t0.ws)
+                            _, last_ws = get_whitespace(t1.ws)
+                            nt = Tok(WORD, text,
+                                     first_ws + text + last_ws, t0.lang,
                                      interpret_as=AS_TIME)
                             nt.time = time
                             nt.group = t0.group
                             nt.born = cur_pass
+                            # merged token inherits both sources' pauses,
+                            # marks, and voice (SSML attribution survives)
+                            nt.pause_after_ms = (t0.pause_after_ms
+                                                 + t1.pause_after_ms)
+                            nt.marks_before = t0.marks_before
+                            nt.marks_after = t1.marks_after
+                            nt.voice = t0.voice
                             out.append(nt)
                             i += 2
                             merged = True
@@ -672,7 +682,10 @@ def _verbalize_number(tok: Tok, cp: CompiledProfile):
     nums = [tok.number]
     if to == F_DIGITS:
         to = F_CARDINAL
-        nums = [Decimal(d) for d in str(int(tok.number.to_integral_value()))]
+        # abs(): the sign char is not a digit (Decimal('-') raises);
+        # negative say-as digits read the digits only, like num2words
+        nums = [Decimal(d)
+                for d in str(abs(int(tok.number.to_integral_value())))]
     texts = []
     for num in nums:
         try:
@@ -705,9 +718,6 @@ def _verbalize_currency(tok: Tok, cp: CompiledProfile):
     else:
         num_str = num_str.split("|", maxsplit=1)[0]
     return _words_from_text(num_str, tok, cp)
-
-
-_DATE_FORMAT_ALIAS = re.compile(r"^[dmyo]+$", re.IGNORECASE)
 
 
 def _verbalize_date(tok: Tok, cp: CompiledProfile):

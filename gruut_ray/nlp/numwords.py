@@ -1173,10 +1173,20 @@ def _short_lang(lang: str) -> str:
 
 
 # Magnitude bounds per language: the largest value the scale tables verbalize
-# correctly.  Beyond them we raise (num2words raises OverflowError similarly);
-# the caller leaves the token unexpanded instead of crashing mid-batch.
-_MAX_MAGNITUDE = {"en": 10 ** 18}
-_DEFAULT_MAX_MAGNITUDE = 10 ** 12
+# CORRECTLY (empirically probed: beyond these, tables either raise
+# IndexError/KeyError or compose semantic garbage like "tienhonderd
+# miljoen").  At/above the bound we raise NumberVerbalizeError — which the
+# verbalize callers catch, leaving the token unexpanded — never a bare
+# IndexError that would poison the document.
+_MAX_MAGNITUDE = {
+    "en": 10 ** 18,
+    "de": 10 ** 12, "fr": 10 ** 12, "es": 10 ** 12, "ru": 10 ** 12,
+    "zh": 10 ** 12, "pt": 10 ** 12,
+    "it": 10 ** 9, "nl": 10 ** 9, "sv": 10 ** 9, "ca": 10 ** 9,
+    "sw": 10 ** 9, "fa": 10 ** 9,
+    "cs": 10 ** 6, "lb": 10 ** 6, "ar": 10 ** 6,
+}
+_DEFAULT_MAX_MAGNITUDE = 10 ** 6
 
 
 def num_to_words(num: Decimal, lang: str, to: str = "cardinal",

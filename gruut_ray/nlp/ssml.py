@@ -48,13 +48,14 @@ _TIME_RE = re.compile(r"^([0-9]+(?:\.[0-9]*)?)\s*(ms|s)?$")
 
 
 def _parse_break_ms(value: str) -> int:
-    """<break time="250ms"|"2s"> (reference gruut/const.py:284-292)."""
+    """<break time="250ms"|"2s"> (reference gruut/const.py:284-292).
+    A unitless value returns 0 like the reference — defaulting to seconds
+    would turn the common author mistake time="250" into a 250 s pause."""
     m = _TIME_RE.match(value.strip().lower())
-    if m is None:
+    if m is None or m.group(2) is None:
         return 0
     num = float(m.group(1))
-    unit = m.group(2) or "s"
-    return int(num * 1000) if unit == "s" else int(num)
+    return int(num * 1000) if m.group(2) == "s" else int(num)
 
 
 def _strip_ns(tag: str) -> str:

@@ -150,17 +150,26 @@ class ImageResizeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch.column(self.image_col).to_pylist()
-        out = []
+        out, ok = [], []
         for blob in blobs:
-            pixels = decode_fake_image(blob)
-            ys = (np.arange(self.h) * pixels.shape[0] // self.h)
-            xs = (np.arange(self.w) * pixels.shape[1] // self.w)
-            resized = pixels[ys][:, xs]
-            header = _IMG_MAGIC + struct.pack("<III", self.w, self.h, 0)
-            out.append(header + resized.astype(np.uint8).tobytes())
+            try:  # poison-blob guard: pass corrupt payloads through
+                pixels = decode_fake_image(blob)
+                ys = (np.arange(self.h) * pixels.shape[0] // self.h)
+                xs = (np.arange(self.w) * pixels.shape[1] // self.w)
+                resized = pixels[ys][:, xs]
+                header = _IMG_MAGIC + struct.pack("<III", self.w, self.h, 0)
+                out.append(header + resized.astype(np.uint8).tobytes())
+                ok.append(True)
+            except Exception:
+                out.append(blob)
+                ok.append(False)
         batch = batch.drop_columns([self.image_col])
-        return batch.append_column(self.image_col,
-                                   pa.array(out, type=pa.binary()))
+        batch = batch.append_column(self.image_col,
+                                    pa.array(out, type=pa.binary()))
+        if "decode_ok" in batch.column_names:
+            batch = batch.drop_columns(["decode_ok"])
+        return batch.append_column("decode_ok",
+                                   pa.array(ok, type=pa.bool_()))
 
 
 class AudioFeatureStage:
@@ -213,6 +222,7 @@ def frame_sample(ds, *, every_n: int = 10, video_col: str = "video",
 
     def split(batch: pa.Table) -> pa.Table:
         keys = [c for c in batch.column_names if c != video_col]
+        key_types = {c: batch.schema.field(c).type for c in keys}
         out_cols: typing.Dict[str, list] = {c: [] for c in keys}
         out_cols["frame_idx"] = []
         out_cols[frame_col] = []
@@ -232,7 +242,11 @@ def frame_sample(ds, *, every_n: int = 10, video_col: str = "video",
                     out_cols[c].append(batch.column(c)[row_i].as_py())
                 out_cols["frame_idx"].append(fi)
                 out_cols[frame_col].append(frame)
-        arrays = {c: pa.array(v) for c, v in out_cols.items()}
+        # explicit types: a zero-frame batch would otherwise infer
+        # null-typed columns and break block schema unification
+        arrays = {c: pa.array(out_cols[c], type=key_types[c]) for c in keys}
+        arrays["frame_idx"] = pa.array(out_cols["frame_idx"],
+                                       type=pa.int32())
         arrays[frame_col] = pa.array(out_cols[frame_col], type=pa.binary())
         return pa.table(arrays)
 

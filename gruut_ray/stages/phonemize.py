@@ -122,7 +122,9 @@ class PhonemizeStage:
             out_words = []
             for w in sent.words:
                 phonemes = w.phonemes
-                in_lex = False
+                # explicit SSML/inline-lexicon pronunciations are
+                # authoritative, not out-of-vocabulary
+                in_lex = phonemes is not None and w.is_spoken
                 if w.is_spoken and phonemes is None:
                     if lex is not None:
                         pron = lex.lookup(w.text, role=w.role or None)

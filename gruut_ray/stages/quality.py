@@ -135,7 +135,13 @@ def partial_counters(batch: pa.Table) -> pa.Table:
     documents (SURVEY §2.5)."""
     import pyarrow.compute as pc
 
-    langs = batch.column("lang_id" if "lang_id" in batch.column_names else "lang")
+    names = batch.column_names
+    if "lang_id" in names:
+        langs = batch.column("lang_id")
+    elif "lang" in names:
+        langs = batch.column("lang")
+    else:  # stage defaults to en internally when no lang column exists
+        langs = pa.array(["en"] * batch.num_rows, type=pa.string())
     tbl = pa.table({
         "lang": langs,
         "kept": pc.cast(batch.column("keep"), pa.int64()),

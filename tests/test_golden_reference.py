@@ -131,3 +131,39 @@ def test_golden_number_list_not_sentence_broken():
     # is a major break; numbers verbalize
     words = _spoken_words("I have 3.5 dollars.")
     assert "three" in words and "five" in words
+
+
+def test_time_collapse_preserves_whitespace_and_pause():
+    # regression: the merged time token must keep surrounding whitespace
+    # and inherit SSML pauses from its source tokens
+    s = process_document("See you at 4:01 p.m. tomorrow ok", "en")[0]
+    assert s.text == "See you at four oh one P M tomorrow ok"
+    sents = process_document(
+        '<speak>at 4:01 <break time="300ms"/> p.m. ok</speak>', "en",
+        ssml=True)
+    pauses = {w.text: w.pause_after_ms for snt in sents for w in snt.words}
+    assert 300 in pauses.values()
+
+
+def test_negative_digits_say_as():
+    words = [w.text for s in process_document(
+        '<speak><say-as interpret-as="digits">-12</say-as></speak>',
+        "en", ssml=True) for w in s.words if w.is_spoken]
+    assert words == ["one", "two"]
+
+
+def test_unitless_break_ignored():
+    # reference const.py:284-292 ignores a unitless <break time>
+    sents = process_document('<speak>One.<break time="250"/>Two.</speak>',
+                             "en", ssml=True)
+    assert all(w.pause_after_ms == 0 for s in sents for w in s.words)
+
+
+def test_huge_numbers_stay_unexpanded_not_crash():
+    # languages whose scale tables end early must leave the token alone
+    for lang, text in [("cs", "Mám 2000000 korun."),
+                       ("nl", "Ik heb 2000000000 dingen."),
+                       ("ar", "لدي 2000000 شيء.")]:
+        sents = process_document(text, lang)
+        joined = " ".join(s.text_spoken for s in sents)
+        assert "2000000" in joined, (lang, joined)
