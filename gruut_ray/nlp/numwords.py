@@ -1169,7 +1169,9 @@ _DIGIT_WORDS = {
 
 
 def _short_lang(lang: str) -> str:
-    return lang.split("-", 1)[0].split("_", 1)[0].lower()
+    from gruut_ray.profiles import short_lang
+
+    return short_lang(lang)
 
 
 # Magnitude bounds per language: the largest value the scale tables verbalize

@@ -32,7 +32,7 @@ def oracle_labels(
         text = row.get(text_key) or ""
         if langid is not None:
             langs, scores = langid.predict([text])
-            lang = LangIdStage.SHORT.get(langs[0], langs[0])
+            lang = LangIdStage._short(langs[0])
             lang_score = float(scores[0])
         else:
             lang = row.get("lang", "en")

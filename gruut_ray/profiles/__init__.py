@@ -104,3 +104,9 @@ def get_compiled(lang: str) -> CompiledProfile:
 
 def known_langs() -> typing.List[str]:
     return sorted(p.lang for p in ALL_PROFILES)
+
+
+def short_lang(lang: str) -> str:
+    """'en-US' / 'en_us' / 'en' → 'en' (single canonical helper; the
+    quality, phonemize, and numwords layers all key state by short code)."""
+    return (lang or "en").replace("_", "-").split("-", 1)[0].lower()

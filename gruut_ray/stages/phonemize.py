@@ -97,7 +97,9 @@ class PhonemizeStage:
 
     @staticmethod
     def _short(lang: str) -> str:
-        return (lang or "en").replace("_", "-").split("-", 1)[0].lower()
+        from gruut_ray.profiles import short_lang
+
+        return short_lang(lang)
 
     def phonemize_doc(self, text: str, lang: str) -> typing.List[dict]:
         short = self._short(lang)

@@ -30,8 +30,11 @@ from gruut_ray.quality.ngram_lm import PerplexityScorer
 class LangIdStage:
     """Adds ``lang_id`` (detected language, short code) + ``lang_score``."""
 
-    SHORT = {"en-us": "en", "de-de": "de", "fr-fr": "fr", "es-es": "es",
-             "ru-ru": "ru", "zh-cn": "zh"}
+    @staticmethod
+    def _short(lang: str) -> str:
+        from gruut_ray.profiles import short_lang
+
+        return short_lang(lang)
 
     def __init__(self, langs: typing.Sequence[str] = DEFAULT_LANGS,
                  text_col: str = "text"):
@@ -42,7 +45,7 @@ class LangIdStage:
         texts = batch.column(self.text_col).to_pylist()
         langs, scores = self.model.predict(texts)
         batch = batch.append_column(
-            "lang_id", pa.array([self.SHORT.get(l, l) for l in langs],
+            "lang_id", pa.array([self._short(l) for l in langs],
                                 type=pa.string()))
         batch = batch.append_column(
             "lang_score", pa.array(scores, type=pa.float32()))
@@ -90,7 +93,7 @@ class QualityScrubStage:
         texts = batch.column(self.text_col).to_pylist()
         if self.langid_model is not None:
             pred, scores_f = self.langid_model.predict(texts)
-            short = [LangIdStage.SHORT.get(l, l) for l in pred]
+            short = [LangIdStage._short(l) for l in pred]
             for col, typ, vals in (("lang_id", pa.string(), short),
                                    ("lang_score", pa.float32(), scores_f)):
                 if col in batch.column_names:
