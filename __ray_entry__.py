@@ -14,8 +14,6 @@ import os
 from collections.abc import Callable
 from typing import Any
 
-# Whitespace tokenization pattern shared by the Ray query and its SQL oracle
-_WS_SPLIT_SQL = r"\s+"
 # RE2-safe BPE-ish pretokenizer (same pattern string passed to DuckDB)
 _BPE_SQL = r"'(?:s|t|re|ve|m|ll|d)| ?[0-9A-Za-z_]+| ?[^\s0-9A-Za-z_]+|\s+"
 
@@ -201,7 +199,6 @@ def _q_knn_top10(sf_dir: str):
     first = ds.take(1)[0]
     queries = np.asarray([first["embedding"]], dtype=np.float32)
     out = brute_force_topk(ds, queries, k=10)
-    out = out.rename(columns={"score": "score"})
     return out[["vec_id", "score"]].assign(
         score=lambda d: d["score"].astype("float64").round(6))
 

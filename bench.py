@@ -143,11 +143,14 @@ def _q_normalize():
     ds.map_batches(norm, batch_format="pyarrow", batch_size=256).sum("n")
 
 
+_ACTIVE_CPUS = [NUM_CPUS]  # set per run; module default otherwise
+
+
 def _q_phonemize():
     """Lexicon + G2P + POS phonemization over en documents."""
     from gruut_ray.stages.phonemize import phonemize
     ds = _read("documents", ["doc_id", "text", "lang"])
-    phonemize(ds, concurrency=max(2, NUM_CPUS // 4),
+    phonemize(ds, concurrency=max(2, _ACTIVE_CPUS[0] // 4),
               batch_size=128).sum("n_phonemes")
 
 
@@ -164,6 +167,7 @@ SECONDARY = {
 
 
 def run_bench(num_cpus: int, headline_only: bool = False) -> dict:
+    _ACTIVE_CPUS[0] = num_cpus
     _init_ray(num_cpus)
     queries: dict[str, float] = {}
 
@@ -207,8 +211,13 @@ def run_scaling(low: int = 8, high: int = 32) -> dict:
              "--child", "--num-cpus", str(cpus)],
             capture_output=True, text=True, timeout=1800,
             cwd=os.path.dirname(os.path.abspath(__file__)))
-        line = proc.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
+        lines = proc.stdout.strip().splitlines()
+        if proc.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"scaling child (num_cpus={cpus}) failed "
+                f"rc={proc.returncode}; stderr tail:\n"
+                + "\n".join(proc.stderr.splitlines()[-20:]))
+        results[cpus] = json.loads(lines[-1])
     thr_low = results[low]["headline"]["docs_per_sec"]
     thr_high = results[high]["headline"]["docs_per_sec"]
     efficiency = (thr_high / thr_low) / (high / low)

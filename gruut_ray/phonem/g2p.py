@@ -64,13 +64,32 @@ def parse_alignment(alignment: str) -> typing.List[typing.Tuple[str, str]]:
 def alignment_to_labels(alignment: str,
                         ) -> typing.Optional[typing.Tuple[str, typing.List[str]]]:
     """(word, per-grapheme labels).  Multi-grapheme groups put the phoneme
-    label on the first grapheme, eps on the rest."""
+    label on the first grapheme, eps on the rest.  Insertion groups (no
+    graphemes, e.g. ``_}t``) attach their phonemes to the PREVIOUS
+    grapheme's label — dropping them would train the model to omit
+    epenthetic phonemes."""
     word_chars: typing.List[str] = []
     labels: typing.List[str] = []
+    pending: typing.List[str] = []  # insertion phonemes before any grapheme
     for graphemes, phonemes in parse_alignment(alignment):
+        if not graphemes:
+            if phonemes:
+                if labels:
+                    prev = labels[-1]
+                    labels[-1] = (phonemes if prev == EPS_PHONEME
+                                  else f"{prev}{PHONEME_JOIN}{phonemes}")
+                else:
+                    pending.append(phonemes)
+            continue
         for k, ch in enumerate(graphemes):
             word_chars.append(ch)
-            labels.append(phonemes if k == 0 and phonemes else EPS_PHONEME)
+            label = phonemes if k == 0 and phonemes else EPS_PHONEME
+            if k == 0 and pending:
+                head = PHONEME_JOIN.join(pending)
+                label = head if label == EPS_PHONEME \
+                    else f"{head}{PHONEME_JOIN}{label}"
+                pending.clear()
+            labels.append(label)
     if not word_chars:
         return None
     return "".join(word_chars), labels

@@ -139,18 +139,46 @@ class PerceptronPOS:
     def train(cls, sentences: typing.Iterable[
             typing.Sequence[typing.Tuple[str, str]]], epochs: int = 5,
             ) -> "PerceptronPOS":
+        """Averaged perceptron (same totals/stamps scheme as
+        PerceptronG2P.train — plain last-weight perceptrons are unstable:
+        one late mistake can flip tags for common words)."""
         model = cls()
         data = [list(s) for s in sentences if s]
         weights = model.weights
+        totals: typing.Dict[str, typing.Dict[str, float]] = {}
+        stamps: typing.Dict[str, typing.Dict[str, int]] = {}
+        step = 0
+
+        def upd(feat: str, label: str, delta: float) -> None:
+            wts = weights.setdefault(feat, {})
+            tot = totals.setdefault(feat, {})
+            stp = stamps.setdefault(feat, {})
+            cur = wts.get(label, 0.0)
+            tot[label] = tot.get(label, 0.0) \
+                + (step - stp.get(label, 0)) * cur
+            stp[label] = step
+            wts[label] = cur + delta
+
         for _ in range(epochs):
             for sent in data:
+                step += 1
                 words = [w for w, _ in sent]
                 gold = [t for _, t in sent]
                 pred = model.tag(words)
                 for i, (p, g) in enumerate(zip(pred, gold)):
                     if p != g:
                         for f in word_features(words, i):
-                            wts = weights.setdefault(f, {})
-                            wts[g] = wts.get(g, 0.0) + 1.0
-                            wts[p] = wts.get(p, 0.0) - 1.0
+                            upd(f, g, +1.0)
+                            upd(f, p, -1.0)
+
+        for feat, wts in weights.items():
+            tot = totals.get(feat, {})
+            stp = stamps.get(feat, {})
+            for label, cur in list(wts.items()):
+                avg = (tot.get(label, 0.0)
+                       + (step - stp.get(label, 0)) * cur) / max(1, step)
+                if abs(avg) < 1e-9:
+                    del wts[label]
+                else:
+                    wts[label] = avg
         return model

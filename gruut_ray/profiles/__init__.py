@@ -84,7 +84,8 @@ def get_profile(lang: str) -> LanguageProfile:
         prof = LanguageProfile(lang=resolved, begin_punctuations=(
             '"', "“", "«", "[", "(", "<", "„"),
             end_punctuations=('"', "”", "»", "]", ")", ">"))
-        _REGISTRY[resolved] = prof
+        if len(_REGISTRY) < _MAX_CACHED_LANGS:  # dirty-data guard
+            _REGISTRY[resolved] = prof
     return prof
 
 
@@ -94,16 +95,23 @@ def get_profile(lang: str) -> LanguageProfile:
 _FAST_COMPILED: typing.Dict[str, CompiledProfile] = {}
 
 
+_MAX_CACHED_LANGS = 4096  # dirty-data guard: unbounded raw-string keys
+# from a corpus with garbage lang values would leak compiled profiles
+
+
 def get_compiled(lang: str) -> CompiledProfile:
     cp = _FAST_COMPILED.get(lang)
     if cp is None:
+        if len(_FAST_COMPILED) >= _MAX_CACHED_LANGS:
+            _FAST_COMPILED.clear()
         cp = compile_profile(get_profile(lang))
         _FAST_COMPILED[lang] = cp
     return cp
 
 
 def known_langs() -> typing.List[str]:
-    return sorted(p.lang for p in ALL_PROFILES)
+    """All registered languages, including user-registered profiles."""
+    return sorted(_REGISTRY)
 
 
 def short_lang(lang: str) -> str:

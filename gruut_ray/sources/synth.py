@@ -30,8 +30,7 @@ SEED = 0x5EED_CC
 LANGS = ("en-us", "de-de", "fr-fr", "es-es", "ru-ru", "zh-cn")
 _LANG_WEIGHTS = (0.40, 0.12, 0.12, 0.12, 0.12, 0.12)
 _LANG_CDF = np.cumsum(_LANG_WEIGHTS)
-_SHORT_CODE = {"en-us": "en", "de-de": "de", "fr-fr": "fr", "es-es": "es",
-               "ru-ru": "ru", "zh-cn": "zh"}
+
 
 _BASE_TS = datetime.datetime(2024, 1, 1)
 
@@ -63,66 +62,70 @@ def _vocab(lang: str) -> typing.List[str]:
     return v
 
 
-def _make_sentence(i: int, lang: str, sent_idx: int, n_words: int) -> str:
+def _make_sentence(i: int, lang: str, sent_idx: int, n_words: int,
+                   seed: int = SEED) -> str:
     vocab = _vocab(lang)
     V = len(vocab)
     chars = get_profile(lang).split_mode == "chars"
-    words = [vocab[_h(i, 1000 + sent_idx * 64 + k) % V] for k in range(n_words)]
+    words = [vocab[_h(i, 1000 + sent_idx * 64 + k, seed) % V]
+             for k in range(n_words)]
     # sprinkle numbers / currency / dates for normalizer work
-    extra = _h(i, 2000 + sent_idx) % 100
+    extra = _h(i, 2000 + sent_idx, seed) % 100
     if extra < 8:
-        words.append(str(_h(i, 2001 + sent_idx) % 5000))
+        words.append(str(_h(i, 2001 + sent_idx, seed) % 5000))
     elif extra < 12 and not chars:
-        words.append(f"${(_h(i, 2002 + sent_idx) % 900) + 1}.{_h(i, 2003 + sent_idx) % 100:02d}")
+        words.append(f"${(_h(i, 2002 + sent_idx, seed) % 900) + 1}.{_h(i, 2003 + sent_idx, seed) % 100:02d}")
     elif extra < 15 and lang == "en-us":
-        m = (_h(i, 2004 + sent_idx) % 12) + 1
-        d = (_h(i, 2005 + sent_idx) % 28) + 1
-        y = 1950 + _h(i, 2006 + sent_idx) % 70
+        m = (_h(i, 2004 + sent_idx, seed) % 12) + 1
+        d = (_h(i, 2005 + sent_idx, seed) % 28) + 1
+        y = 1950 + _h(i, 2006 + sent_idx, seed) % 70
         words.append(f"{m}/{d}/{y}")
     if chars:
         return "".join(words) + "。"
     words[0] = words[0][:1].upper() + words[0][1:]
-    end = "." if _h(i, 2100 + sent_idx) % 10 < 8 else ("?" if _h(i, 2100 + sent_idx) % 2 else "!")
+    end = "." if _h(i, 2100 + sent_idx, seed) % 10 < 8 else ("?" if _h(i, 2100 + sent_idx, seed) % 2 else "!")
     return " ".join(words) + end
 
 
-def make_text(i: int, lang: str) -> str:
+def make_text(i: int, lang: str, seed: int = SEED) -> str:
     """Document body for global row ``i``."""
-    doc_kind = _uniform(i, 10)
+    doc_kind = _h(i, 10, seed) / 2 ** 64
     if doc_kind < 0.04:
         # too short
-        return _make_sentence(i, lang, 0, 2 + _h(i, 11) % 3)[:40]
+        return _make_sentence(i, lang, 0, 2 + _h(i, 11, seed) % 3, seed)[:40]
     if doc_kind < 0.07:
         # symbol spam
-        n = 20 + _h(i, 12) % 30
+        n = 20 + _h(i, 12, seed) % 30
         syms = "#$%&*@!^~=+"
-        return " ".join(syms[_h(i, 13 + k) % len(syms)] * (1 + _h(i, 40 + k) % 3)
-                        for k in range(n))
+        return " ".join(
+            syms[_h(i, 13 + k, seed) % len(syms)]
+            * (1 + _h(i, 40 + k, seed) % 3)
+            for k in range(n))
     if doc_kind < 0.10:
         # heavy repetition
         vocab = _vocab(lang)
-        w = vocab[_h(i, 14) % len(vocab)]
+        w = vocab[_h(i, 14, seed) % len(vocab)]
         sep = "" if get_profile(lang).split_mode == "chars" else " "
-        return sep.join([w] * (60 + _h(i, 15) % 60))
+        return sep.join([w] * (60 + _h(i, 15, seed) % 60))
 
-    n_sents = 3 + _h(i, 16) % 8
-    sents = [_make_sentence(i, lang, s, 6 + _h(i, 17 + s) % 12)
+    n_sents = 3 + _h(i, 16, seed) % 8
+    sents = [_make_sentence(i, lang, s, 6 + _h(i, 17 + s, seed) % 12, seed)
              for s in range(n_sents)]
     # paragraph break in the middle sometimes
-    if n_sents >= 4 and _h(i, 18) % 3 == 0:
+    if n_sents >= 4 and _h(i, 18, seed) % 3 == 0:
         mid = n_sents // 2
         text = " ".join(sents[:mid]) + "\n\n" + " ".join(sents[mid:])
     else:
         text = " ".join(sents)
     if doc_kind >= 0.96:
         # inject PII (kept docs, but scrubbed)
-        user = f"user{_h(i, 19) % 10000}"
-        text += f" Contact {user}@example.com or +1 555-{_h(i, 20) % 900 + 100}-{_h(i, 21) % 9000 + 1000}."
+        user = f"user{_h(i, 19, seed) % 10000}"
+        text += f" Contact {user}@example.com or +1 555-{_h(i, 20, seed) % 900 + 100}-{_h(i, 21, seed) % 9000 + 1000}."
     return text
 
 
-def lang_for_row(i: int) -> str:
-    u = _uniform(i, 1)
+def lang_for_row(i: int, seed: int = SEED) -> str:
+    u = _h(i, 1, seed) / 2 ** 64
     return LANGS[int(np.searchsorted(_LANG_CDF, u))]
 
 
@@ -156,15 +159,17 @@ def make_batch_for_ids(ids: typing.Sequence[int],
     htmls = np.empty(count, dtype=object)
     texts = np.empty(count, dtype=object)
     langs = np.empty(count, dtype=object)
+    from gruut_ray.profiles import short_lang
+
     for k in range(count):
         i = int(ids[k])
-        lang = lang_for_row(i)
-        short = _SHORT_CODE[lang]
-        text = make_text(i, lang)
-        site = _h(i, 2) % 1000
+        lang = lang_for_row(i, seed)
+        short = short_lang(lang)
+        text = make_text(i, lang, seed)
+        site = _h(i, 2, seed) % 1000
         urls[k] = f"https://site{site}.example/{short}/{i:010d}"
         ts[k] = np.datetime64(_BASE_TS, "us") + np.timedelta64(
-            _h(i, 3) % (365 * 24 * 3600), "s")
+            _h(i, 3, seed) % (365 * 24 * 3600), "s")
         htmls[k] = build_html(text, title=f"Page {i}")
         texts[k] = text
         langs[k] = short
