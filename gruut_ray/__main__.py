@@ -20,12 +20,7 @@ import json
 import sys
 import typing
 
-from gruut_ray.nlp.normalize import (
-    PHONEME_BREAK_MAJOR,
-    PHONEME_BREAK_MINOR,
-    NormalizeOptions,
-    get_whitespace,
-)
+from gruut_ray.nlp.normalize import get_whitespace
 
 
 def get_args(argv: typing.Optional[typing.Sequence[str]] = None):
@@ -101,70 +96,26 @@ def _sentence_dict(s) -> dict:
     }
 
 
-def process_line(line: str, args, stage) -> typing.List:
-    """One input line → sentences with phonemes (like the reference's
-    process() + sentences() per line, gruut/__main__.py:136-170)."""
-    opts = NormalizeOptions(
-        detect_numbers=not args.no_numbers,
+def process_line(line: str, args) -> typing.List:
+    """One input line → sentences with phonemes, via the library surface
+    (one implementation shared with gruut_ray.sentences; flags map 1:1 to
+    the reference CLI's, gruut/__main__.py:136-170)."""
+    from gruut_ray.api import sentences
+
+    return list(sentences(
+        line,
+        lang=args.language,
+        ssml=args.ssml,
+        major_breaks=not args.no_major_breaks,
+        minor_breaks=not args.no_minor_breaks,
+        punctuations=not args.no_punctuation,
+        phonemes=not (args.no_lexicon and args.no_g2p),
+        pos=not args.no_pos,
         verbalize_numbers=not args.no_numbers,
-        detect_currency=not args.no_currency,
         verbalize_currency=not args.no_currency,
-        detect_dates=not args.no_dates,
         verbalize_dates=not args.no_dates,
-        detect_times=not args.no_times,
         verbalize_times=not args.no_times,
-    )
-    from gruut_ray.nlp.normalize import process_document
-
-    lex_check = None
-    g2p = None
-    if stage is not None:
-        short = stage._short(args.language)
-        word_set = stage._word_sets.get(short)
-        lex_check = (lambda w: w in word_set) if word_set else None
-        g2p = None if args.no_g2p else stage.g2p.get(short)
-
-    sents = process_document(line, lang=args.language, lex=lex_check,
-                             opts=opts, ssml=args.ssml)
-    if stage is not None:
-        from gruut_ray.phonem.pos import heuristic_tags, tags_to_roles
-
-        short = stage._short(args.language)
-        lex = None if args.no_lexicon else stage.lexicons.get(short)
-        for sent in sents:
-            spoken = [i for i, w in enumerate(sent.words) if w.is_spoken]
-            if not args.no_pos and short == "en" and spoken:
-                tags = heuristic_tags([sent.words[i].text for i in spoken])
-                roles = tags_to_roles(tags)
-                for k, i in enumerate(spoken):
-                    sent.words[i].pos = tags[k]
-                    if not sent.words[i].role:
-                        sent.words[i].role = roles[k]
-            for w in sent.words:
-                if not w.is_spoken or w.phonemes is not None:
-                    continue
-                pron = lex.lookup(w.text, role=w.role or None) if lex else None
-                if pron is None and lex and w.text != w.text.casefold():
-                    pron = lex.lookup(w.text.casefold(), role=w.role or None)
-                if pron is not None:
-                    w.phonemes = list(pron)
-                elif g2p is not None and w.text:
-                    w.phonemes = list(g2p(w.text))
-    # break/punct filtering (reference sentences() flags)
-    for sent in sents:
-        kept = []
-        for w in sent.words:
-            if w.is_major_break and args.no_major_breaks:
-                continue
-            if w.is_minor_break and args.no_minor_breaks:
-                continue
-            if w.is_punctuation and args.no_punctuation:
-                continue
-            kept.append(w)
-        for i, w in enumerate(kept):
-            w.idx = i
-        sent.words = kept
-    return sents
+    ))
 
 
 def main(argv: typing.Optional[typing.Sequence[str]] = None,
@@ -173,12 +124,6 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None,
     args = get_args(argv)
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
-
-    stage = None
-    if not (args.no_lexicon and args.no_g2p) or not args.no_pos:
-        from gruut_ray.stages.phonemize import PhonemizeStage
-
-        stage = PhonemizeStage(use_pos=not args.no_pos)
 
     if args.text:
         lines: typing.Iterable[str] = args.text
@@ -191,14 +136,18 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None,
         if args.csv else None
 
     for line in lines:
+        if not line.strip():
+            continue
         text_data: typing.List[str] = []
         if args.csv:
             row = next(csv.reader([line], delimiter=args.csv_delimiter))
-            text_data, line = row[:-1], row[-1]
-        if not line.strip():
-            continue
+            if len(row) < 2:
+                continue
+            # reference reads column 1 as text (gruut/__main__.py:102);
+            # all original columns are echoed in the output row
+            text_data, line = row, row[1]
         try:
-            sents = process_line(line, args, stage)
+            sents = process_line(line, args)
         except Exception:
             if args.no_fail:
                 continue
@@ -211,7 +160,7 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None,
             phonemes = args.phoneme_word_separator.join(
                 args.phoneme_separator.join(w.phonemes)
                 for s in sents for w in s.words if w.phonemes)
-            csv_writer.writerow([*text_data, line, words, phonemes])
+            csv_writer.writerow([*text_data, words, phonemes])
         else:
             for s in sents:
                 stdout.write(json.dumps(_sentence_dict(s), ensure_ascii=False))

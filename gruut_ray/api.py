@@ -14,15 +14,20 @@ import typing
 
 from gruut_ray.nlp.normalize import NormalizeOptions, SentenceOut
 
+import threading
+
 _STAGE = None
+_STAGE_LOCK = threading.Lock()
 
 
 def _stage():
     global _STAGE
     if _STAGE is None:
-        from gruut_ray.stages.phonemize import PhonemizeStage
+        with _STAGE_LOCK:  # one heavy lexicon/G2P build, even threaded
+            if _STAGE is None:
+                from gruut_ray.stages.phonemize import PhonemizeStage
 
-        _STAGE = PhonemizeStage()
+                _STAGE = PhonemizeStage()
     return _STAGE
 
 
@@ -83,11 +88,9 @@ def sentences(
             if w.is_break and not break_phonemes:
                 w.phonemes = None
             if phonemes and w.is_spoken and w.phonemes is None:
+                # Lexicon.lookup already probes casefolded/stripped forms
                 pron = lexicon.lookup(w.text, role=w.role or None) \
                     if lexicon else None
-                if pron is None and lexicon and w.text != w.text.casefold():
-                    pron = lexicon.lookup(w.text.casefold(),
-                                          role=w.role or None)
                 if pron is not None:
                     w.phonemes = list(pron)
                 elif g2p is not None and w.text:

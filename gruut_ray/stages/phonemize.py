@@ -129,10 +129,8 @@ class PhonemizeStage:
                 in_lex = phonemes is not None and w.is_spoken
                 if w.is_spoken and phonemes is None:
                     if lex is not None:
+                        # Lexicon.lookup probes casefolded/stripped forms
                         pron = lex.lookup(w.text, role=w.role or None)
-                        if pron is None and w.text != w.text.casefold():
-                            pron = lex.lookup(w.text.casefold(),
-                                              role=w.role or None)
                         if pron is not None:
                             phonemes = list(pron)
                             in_lex = True

@@ -38,7 +38,9 @@ def main(argv=None) -> int:
     with open(args.lexicon, encoding="utf-8") as f:
         for line in f:
             line = line.strip()
-            if not line or line.startswith("#"):
+            # reference format uses ';' comments (gruut/lexicon2db.py:77);
+            # '#' accepted too
+            if not line or line.startswith((";", "#")):
                 continue
             parts = line.split()
             if len(parts) < 2:
@@ -49,6 +51,11 @@ def main(argv=None) -> int:
                 role, rest = rest[0], rest[1:]
                 if role == args.empty_role:
                     role = ""
+                elif role and ":" not in role:
+                    # bare roles namespace to gruut:<ROLE> (reference
+                    # lexicon2db.py:88-89) so runtime POS lookups
+                    # (role='gruut:VBD') actually match
+                    role = f"gruut:{role}"
             if casing is not None:
                 word = casing(word)
             if rest:

@@ -93,3 +93,13 @@ def test_library_sentences_api():
                                     major_breaks=False, phonemes=False))
     assert [w.text for w in bare[0].words] == ["Hello", "world"]
     assert all(w.phonemes is None for w in bare[0].words)
+
+
+def test_csv_blank_lines_and_extra_columns():
+    # blank lines skip cleanly; text is column 1 like the reference
+    # (gruut/__main__.py:102), all original columns echoed
+    out = _run(["--csv"], "id1|hello|extra\n\nid2|ok\n")
+    rows = [r.split("|") for r in out.strip().splitlines()]
+    assert rows[0][:3] == ["id1", "hello", "extra"]
+    assert rows[0][3] == "hello"  # column 1 phonemized, not 'extra'
+    assert rows[1][0] == "id2"

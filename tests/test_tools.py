@@ -52,3 +52,16 @@ def test_g2p_train_predict_test(tmp_path, capsys):
     g2p_main(["test", "--model", model_path, "--lexicon", str(lexicon)])
     out = capsys.readouterr().out
     assert "PER: 0.0000" in out
+
+
+def test_lexicon2db_namespaces_bare_roles(tmp_path):
+    # reference lexicon2db.py:88-89: bare roles become gruut:<ROLE> so the
+    # runtime POS lookup (role='gruut:VBD') matches
+    src = tmp_path / "lex.txt"
+    src.write_text(";;; comment header\nread VBD ɹ ɛ d\n", encoding="utf-8")
+    db = str(tmp_path / "l.db")
+    lex_main(["--casing", "keep", "--lexicon", str(src),
+              "--database", db, "--role"])
+    lex = Lexicon.from_sqlite(db)
+    assert lex.lookup("read", role="gruut:VBD") == ("ɹ", "ɛ", "d")
+    assert lex.lookup(";;;") is None  # comment line skipped
