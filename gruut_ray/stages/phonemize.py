@@ -80,7 +80,10 @@ class PhonemizeStage:
         self.use_pos = use_pos
         self.keep_text = keep_text
 
+        from gruut_ray.phonem.multi_data import build_seed_lexicons
+
         self.lexicons: typing.Dict[str, Lexicon] = {"en": build_en_lexicon()}
+        self.lexicons.update(build_seed_lexicons())  # de/fr/es seeds
         if lexicon_paths:
             for lang, path in lexicon_paths.items():
                 self.lexicons[lang] = Lexicon.from_sqlite(path)

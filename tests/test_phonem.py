@@ -230,3 +230,17 @@ def test_phonemize_stage_in_ray(ray_session):
     assert (out["n_words"] == 3).all()
     first = out.iloc[0]["sentences"]
     assert first[0]["text_spoken"] == "The cat sat"
+
+
+def test_multilingual_seed_lexicons(stage):
+    # de/fr/es seeds phonemize function words and verbalizer output
+    sents = stage.phonemize_doc("Ich habe 2 Katzen.", "de")
+    words = {w["text"]: w for s in sents for w in s["words"]}
+    assert words["zwei"]["phonemes"] == ["ts", "v", "aɪ"]
+    assert words["zwei"]["in_lexicon"]
+    sents = stage.phonemize_doc("J'ai 2 chats.", "fr")
+    words = {w["text"]: w for s in sents for w in s["words"]}
+    assert words["deux"]["phonemes"] == ["d", "ø"]
+    sents = stage.phonemize_doc("Tengo 2 gatos.", "es")
+    words = {w["text"]: w for s in sents for w in s["words"]}
+    assert words["dos"]["phonemes"] == ["d", "o", "s"]
