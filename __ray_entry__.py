@@ -422,19 +422,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # CAST(sum(int) AS BIGINT): DuckDB sums integers into HUGEINT, which
+        # pandas renders float64 — the engine's int64 would hash-mismatch on
+        # representation alone (CORRECTNESS r01).
         "doc_count_by_lang": """
-            SELECT lang, count(*) AS n_docs, sum(length(text)) AS n_chars
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "tokens_by_lang": """
             SELECT lang, count(*) AS n_docs,
-                   sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS n_tokens,
-                   sum(length(text)) AS n_chars
+                   CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                        AS BIGINT) AS n_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "bpe_tokens_by_source": f"""
             SELECT source,
-                   sum(len(regexp_extract_all(text, '{_BPE_SQL.replace("'", "''")}')))
+                   CAST(sum(len(regexp_extract_all(text,
+                            '{_BPE_SQL.replace("'", "''")}'))) AS BIGINT)
                        AS n_bpe_tokens
             FROM documents GROUP BY source ORDER BY source
         """,
@@ -472,7 +478,8 @@ def oracle_sql() -> dict[str, str]:
         "suppliers_by_region": """
             SELECT r_name,
                    count(*) AS n_suppliers,
-                   sum(s_acctbal) AS total_acctbal
+                   CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS total_acctbal
             FROM supplier
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -482,28 +489,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE doc_id % 20 = 0 ORDER BY doc_id
         """,
+        # Money sums below use exact fixed-point (integer cents / basis
+        # points), mirroring the engine's arithmetic: summing doubles is
+        # order-dependent (~1e-6 noise on 1e8 sums, CORRECTNESS r01), while
+        # the integer sum → one double conversion → one division is
+        # bit-identical on both sides.
         "pricing_summary": """
+            WITH c AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS base_c,
+                       CAST(round(l_discount * 100) AS BIGINT) AS disc_bp,
+                       CAST(round(l_tax * 100) AS BIGINT) AS tax_bp
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            )
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-                   sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+                   CAST(sum(qty_c) AS DOUBLE) / 100.0 AS sum_qty,
+                   CAST(sum(base_c) AS DOUBLE) / 100.0 AS sum_base_price,
+                   CAST(sum(base_c * (100 - disc_bp)) AS DOUBLE) / 10000.0
+                       AS sum_disc_price,
+                   CAST(sum(base_c * (100 - disc_bp) * (100 + tax_bp))
+                        AS DOUBLE) / 1000000.0 AS sum_charge,
                    count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            FROM c
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
         "revenue_by_segment": """
             SELECT c_mktsegment,
-                   sum(o_totalprice) AS revenue,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS revenue,
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "revenue_by_priority": """
             SELECT o_orderpriority,
-                   sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS DOUBLE) / 10000.0 AS revenue,
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority

@@ -25,13 +25,23 @@ def partial_then_merge(
     group_keys: typing.Sequence[str],
     agg_spec: typing.Dict[str, str],
     sort: bool = True,
+    exact_int_cols: typing.Sequence[str] = (),
 ) -> pd.DataFrame:
     """map_batches(partial_fn) → collect partials → pandas merge.
 
-    ``agg_spec`` maps column -> "sum"|"min"|"max" (how partials combine)."""
+    ``agg_spec`` maps column -> "sum"|"min"|"max" (how partials combine).
+
+    ``exact_int_cols`` names integer partial columns (e.g. fixed-point money
+    in cents) that must merge with arbitrary-precision Python ints: int64
+    partials are exact per batch, but the cross-batch total of a hot group
+    can exceed 2**63 at 10^12-row scale.  Object-dtype summation on the tiny
+    partials table is exact at any scale and costs nothing (the partials are
+    keys × blocks rows)."""
     partials = ds.map_batches(partial_fn, batch_format="pyarrow").to_pandas()
     if partials.empty:
         return partials
+    for col in exact_int_cols:
+        partials[col] = partials[col].map(int)  # object dtype, unbounded
     # dropna=False: SQL GROUP BY keeps a NULL-keyed group; partial_fn
     # implementations should do the same in their per-batch groupbys
     out = partials.groupby(list(group_keys), as_index=False,

@@ -25,10 +25,24 @@ if typing.TYPE_CHECKING:
     import ray.data
 
 
+def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """2-decimal money/rate column → exact int64 hundredths.
+
+    TPC-H money columns carry exactly two decimals, so ``round(x*100)`` is
+    the stored integer recovered exactly (the float error is ~1e-9 ≪ 0.5).
+    All downstream sums are then exact integer arithmetic — deterministic
+    and independent of summation order, which is what lets the DuckDB
+    oracle hash-match bit-for-bit (CORRECTNESS r01 showed ~1e-6
+    order-of-summation noise when summing doubles directly)."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
 def pricing_summary(lineitem: "ray.data.Dataset",
                     cutoff: str = "1998-09-01") -> pd.DataFrame:
     """TPC-H Q1-shaped pricing summary (filter → partial agg → tiny groupby
-    → sort)."""
+    → sort).  Money sums are exact fixed-point: per-row integer cents
+    (disc_price in 1e-4 dollars, charge in 1e-6 dollars), int64 partials
+    per batch, arbitrary-precision merge, one float division at the end."""
     cutoff_ts = pa.scalar(np.datetime64(cutoff, "us"))
 
     def partials(batch: pa.Table) -> pa.Table:
@@ -36,21 +50,23 @@ def pricing_summary(lineitem: "ray.data.Dataset",
         if batch.num_rows == 0:
             return pa.table({"l_returnflag": pa.array([], pa.string()),
                              "l_linestatus": pa.array([], pa.string()),
-                             "sum_qty": pa.array([], pa.float64()),
-                             "sum_base_price": pa.array([], pa.float64()),
-                             "sum_disc_price": pa.array([], pa.float64()),
-                             "sum_charge": pa.array([], pa.float64()),
+                             "sum_qty": pa.array([], pa.int64()),
+                             "sum_base_price": pa.array([], pa.int64()),
+                             "sum_disc_price": pa.array([], pa.int64()),
+                             "sum_charge": pa.array([], pa.int64()),
                              "count_order": pa.array([], pa.int64())})
-        disc_price = pc.multiply(batch.column("l_extendedprice"),
-                                 pc.subtract(pa.scalar(1.0),
-                                             batch.column("l_discount")))
-        charge = pc.multiply(disc_price,
-                             pc.add(pa.scalar(1.0), batch.column("l_tax")))
+        base_c = _cents(batch.column("l_extendedprice"))
+        disc_bp = _cents(batch.column("l_discount"))      # basis points /100
+        tax_bp = _cents(batch.column("l_tax"))
+        # disc_price in 1e-4 $, charge in 1e-6 $ — exact ints, ≤ ~1e11/row
+        disc_price = pc.multiply(base_c,
+                                 pc.subtract(pa.scalar(100), disc_bp))
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(100), tax_bp))
         df = pa.table({
             "l_returnflag": batch.column("l_returnflag"),
             "l_linestatus": batch.column("l_linestatus"),
-            "qty": batch.column("l_quantity"),
-            "base": batch.column("l_extendedprice"),
+            "qty": _cents(batch.column("l_quantity")),
+            "base": base_c,
             "disc": disc_price,
             "charge": charge,
         }).to_pandas()
@@ -62,10 +78,17 @@ def pricing_summary(lineitem: "ray.data.Dataset",
 
     from gruut_ray.pipelines.agg_util import partial_then_merge
 
-    return partial_then_merge(
+    out = partial_then_merge(
         lineitem, partials, ["l_returnflag", "l_linestatus"],
         {"sum_qty": "sum", "sum_base_price": "sum", "sum_disc_price": "sum",
-         "sum_charge": "sum", "count_order": "sum"})
+         "sum_charge": "sum", "count_order": "sum"},
+        exact_int_cols=["sum_qty", "sum_base_price", "sum_disc_price",
+                        "sum_charge"])
+    out["sum_qty"] = (out["sum_qty"] / 100.0).astype("float64")
+    out["sum_base_price"] = (out["sum_base_price"] / 100.0).astype("float64")
+    out["sum_disc_price"] = (out["sum_disc_price"] / 1e4).astype("float64")
+    out["sum_charge"] = (out["sum_charge"] / 1e6).astype("float64")
+    return out
 
 
 def revenue_by_segment(orders: "ray.data.Dataset",
@@ -83,18 +106,24 @@ def revenue_by_segment(orders: "ray.data.Dataset",
             self.cust = ray.get(cust_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            df = batch.select(["o_custkey", "o_totalprice"]).to_pandas()
+            cents = _cents(batch.column("o_totalprice"))
+            df = pa.table({"o_custkey": batch.column("o_custkey"),
+                           "price_c": cents}).to_pandas()
             joined = df.merge(self.cust, left_on="o_custkey",
                               right_on="c_custkey", how="inner")
             agg = joined.groupby("c_mktsegment", as_index=False).agg(
-                revenue=("o_totalprice", "sum"),
-                n_orders=("o_totalprice", "size"))
+                revenue_c=("price_c", "sum"),
+                n_orders=("price_c", "size"))
             return pa.Table.from_pandas(agg, preserve_index=False)
 
     partials = orders.map_batches(JoinSeg, batch_format="pyarrow",
                                   concurrency=(1, 4)).to_pandas()
+    partials["revenue_c"] = partials["revenue_c"].map(int)  # exact merge
     out = partials.groupby("c_mktsegment", as_index=False).agg(
-        revenue=("revenue", "sum"), n_orders=("n_orders", "sum"))
+        revenue_c=("revenue_c", "sum"), n_orders=("n_orders", "sum"))
+    out["revenue"] = (out["revenue_c"] / 100.0).astype("float64")
+    out = out.drop(columns=["revenue_c"])[
+        ["c_mktsegment", "revenue", "n_orders"]]
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
@@ -170,15 +199,22 @@ def suppliers_by_region(supplier: "ray.data.Dataset",
         lookup = _cache.get("lookup")
         if lookup is None:  # fetched once per worker process, not per batch
             lookup = _cache["lookup"] = ray.get(lookup_ref)
-        df = batch.to_pandas()
+        df = pa.table({
+            "s_suppkey": batch.column("s_suppkey"),
+            "s_nationkey": batch.column("s_nationkey"),
+            "acctbal_c": _cents(batch.column("s_acctbal")),
+        }).to_pandas()
         df["r_name"] = df["s_nationkey"].map(lookup)
         agg = df.groupby("r_name", as_index=False).agg(
             n_suppliers=("s_suppkey", "size"),
-            total_acctbal=("s_acctbal", "sum"))
+            total_acctbal=("acctbal_c", "sum"))
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    return partial_then_merge(supplier, partials, ["r_name"],
-                              {"n_suppliers": "sum", "total_acctbal": "sum"})
+    out = partial_then_merge(supplier, partials, ["r_name"],
+                             {"n_suppliers": "sum", "total_acctbal": "sum"},
+                             exact_int_cols=["total_acctbal"])
+    out["total_acctbal"] = (out["total_acctbal"] / 100.0).astype("float64")
+    return out
 
 
 def asof_last_event(events: "ray.data.Dataset",
@@ -253,9 +289,10 @@ def revenue_by_priority(orders: "ray.data.Dataset",
                     on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partials(batch: pa.Table) -> pa.Table:
+        # exact fixed-point: cents × (100 - basis points) = 1e-4 dollars
         revenue = pc.multiply(
-            batch.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+            _cents(batch.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100), _cents(batch.column("l_discount"))))
         df = pa.table({
             "o_orderpriority": batch.column("o_orderpriority"),
             "revenue": revenue,
@@ -264,8 +301,11 @@ def revenue_by_priority(orders: "ray.data.Dataset",
             revenue=("revenue", "sum"), n_items=("revenue", "size"))
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    return partial_then_merge(joined, partials, ["o_orderpriority"],
-                              {"revenue": "sum", "n_items": "sum"})
+    out = partial_then_merge(joined, partials, ["o_orderpriority"],
+                             {"revenue": "sum", "n_items": "sum"},
+                             exact_int_cols=["revenue"])
+    out["revenue"] = (out["revenue"] / 1e4).astype("float64")
+    return out
 
 
 def events_sliding_window(events: "ray.data.Dataset",
