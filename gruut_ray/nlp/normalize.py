@@ -998,6 +998,12 @@ def assemble(paragraphs: typing.List[typing.List[SentenceTokens]],
                 ))
             cp = get_compiled(sent.lang or default_lang)
             text_with_ws = "".join(w.text_with_ws for w in words)
+            # a trailing word-level <break> becomes the sentence-level pause
+            # (reference pause attribution, :246-342); zero it on the word so
+            # consumers honoring both levels don't pause twice
+            trailing_pause = words[-1].pause_after_ms if words else 0
+            if words:
+                words[-1].pause_after_ms = 0
             out.append(SentenceOut(
                 idx=sent_idx,
                 par_idx=par_idx,
@@ -1008,10 +1014,7 @@ def assemble(paragraphs: typing.List[typing.List[SentenceTokens]],
                 lang=sent.lang or default_lang,
                 words=words,
                 pause_before_ms=sent.pause_before_ms,
-                # a trailing word-level <break> is also a sentence-level
-                # pause (reference pause attribution, :246-342)
-                pause_after_ms=sent.pause_after_ms
-                + (words[-1].pause_after_ms if words else 0),
+                pause_after_ms=sent.pause_after_ms + trailing_pause,
                 voice=words[0].voice if words else "",
             ))
             post = cp.hooks.post_process_sentence

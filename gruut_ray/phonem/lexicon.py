@@ -119,10 +119,17 @@ class Lexicon:
         return lex
 
     @classmethod
-    def from_text(cls, lines: typing.Iterable[str]) -> "Lexicon":
+    def from_text(cls, lines: typing.Iterable[str],
+                  has_roles: bool = False) -> "Lexicon":
         """Parse the reference's lexicon text format
-        (gruut/lexicon2db.py:66-96): ``word [role] phoneme phoneme ...``,
-        where a role token contains ``:`` (e.g. ``gruut:VBD``)."""
+        (gruut/lexicon2db.py:66-96): ``word [role] phoneme phoneme ...``.
+
+        Role parsing is gated on ``has_roles`` (mirroring the reference
+        builder's explicit ``--role`` flag) rather than auto-detected:
+        phoneme notations that legitimately contain ASCII colons (X-SAMPA
+        length marks like ``a:``) must not have their first phoneme consumed
+        as a bogus role (ADVICE r01).  With ``has_roles=True`` only tokens
+        namespaced ``gruut:...`` are treated as roles."""
         lex = cls()
         for line in lines:
             line = line.strip()
@@ -133,7 +140,7 @@ class Lexicon:
                 continue
             word, rest = parts[0], parts[1:]
             role = DEFAULT_ROLE
-            if rest and ":" in rest[0]:
+            if has_roles and rest and rest[0].startswith("gruut:"):
                 role, rest = rest[0], rest[1:]
             if rest:
                 lex.add(word, rest, role=role)

@@ -170,11 +170,35 @@ def embedding_dup_pairs(
 
 def train_centroids(ds: "ray.data.Dataset", dim: int, n_lists: int = 16,
                     sample_size: int = 2000, iters: int = 10,
-                    emb_col: str = "embedding", seed: int = 29) -> np.ndarray:
+                    emb_col: str = "embedding", seed: int = 29,
+                    id_col: str = "vec_id") -> np.ndarray:
     """K-means centroids from a bounded sample (Lloyd iterations in numpy).
     The sample — not the corpus — is all the driver ever holds; at 10^12
-    vectors the sample stays the same size."""
-    sample = ds.limit(sample_size).to_pandas()
+    vectors the sample stays the same size.
+
+    The sample is drawn corpus-wide via a deterministic per-row hash filter
+    (not ``limit(n)``, whose first-N rows bias centroids to a data prefix
+    on sorted/clustered corpora — ADVICE r01), then capped at
+    ``sample_size``."""
+    n_total = ds.count()
+    if n_total > sample_size:
+        # keep ~2x the target rate so the cap is reliably reached, then trim
+        mod = max(1, int(n_total / (sample_size * 2)))
+
+        def pick(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            ids = batch.column(id_col)
+            h = pc.bit_wise_xor(pc.multiply(ids, pa.scalar(0x9E3779B1,
+                                                           type=pa.int64())),
+                                pc.shift_right(ids, pa.scalar(13)))
+            keep = pc.equal(
+                pc.subtract(h, pc.multiply(pc.divide(h, mod), mod)), 0)
+            return batch.filter(keep)
+
+        sample = (ds.map_batches(pick, batch_format="pyarrow")
+                  .limit(sample_size).to_pandas())
+    else:
+        sample = ds.limit(sample_size).to_pandas()
     X = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float32))
     rng = np.random.default_rng(seed)
     centroids = X[rng.choice(len(X), size=min(n_lists, len(X)),

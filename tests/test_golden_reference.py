@@ -145,6 +145,18 @@ def test_time_collapse_preserves_whitespace_and_pause():
     assert 300 in pauses.values()
 
 
+def test_trailing_break_attributed_once():
+    # a trailing <break> must appear at exactly ONE level (sentence), not
+    # doubled onto the last word too — consumers honoring both levels
+    # would otherwise pause twice (ADVICE r01)
+    sents = process_document(
+        '<speak>Hello world <break time="300ms"/></speak>', "en", ssml=True)
+    total = sum(s.pause_after_ms + sum(w.pause_after_ms for w in s.words)
+                for s in sents)
+    assert total == 300
+    assert sents[-1].pause_after_ms == 300
+
+
 def test_negative_digits_say_as():
     words = [w.text for s in process_document(
         '<speak><say-as interpret-as="digits">-12</say-as></speak>',

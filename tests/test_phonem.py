@@ -81,9 +81,18 @@ def test_lexicon_from_text():
         "read gruut:VBD ɹ ɛ d",
         "# comment",
         "",
-    ])
+    ], has_roles=True)
     assert lex.lookup("hello") == ("h", "ə", "l", "oʊ")
     assert lex.lookup("read", role="gruut:VBD") == ("ɹ", "ɛ", "d")
+
+
+def test_lexicon_from_text_xsampa_colons_not_roles():
+    # ASCII-colon phoneme notations (X-SAMPA 'a:') must survive intact:
+    # role parsing is opt-in and namespaced (ADVICE r01)
+    lex = Lexicon.from_text(["naam n a: m"])
+    assert lex.lookup("naam") == ("n", "a:", "m")
+    lex2 = Lexicon.from_text(["naam n a: m"], has_roles=True)
+    assert lex2.lookup("naam") == ("n", "a:", "m")
 
 
 # ---------------------------------------------------------------------------
