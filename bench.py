@@ -30,11 +30,15 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "8"))
-# Scaling mode uses a longer run so fixed startup (~10s: worker/actor spawn,
-# read warmup) amortizes — the criterion models sustained 10^12-doc
-# throughput, where startup is noise.
+# Headline input is large enough that fixed startup (~6-9s of worker/actor
+# spawn + read warmup) stays under ~20% of wall time: the r01 default of 8
+# replicas measured actor spawn, not the pipeline (VERDICT r01), reporting
+# 0.27× the sustained docs/s.
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "64"))
+# Scaling mode runs even longer — the criterion models sustained
+# 10^12-doc throughput, where startup is pure noise.
 SCALING_REPLICATE = int(os.environ.get("GRAFT_BENCH_SCALING_REPLICATE", "192"))
+SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
 
 
 def _sf_of(path: str) -> float:
@@ -203,37 +207,56 @@ def run_bench(num_cpus: int, headline_only: bool = False) -> dict:
 # scaling mode: fresh-process runs at two parallelism levels
 # ---------------------------------------------------------------------------
 
-def run_scaling(low: int = 8, high: int = 32) -> dict:
-    results = {}
-    for cpus in (low, high):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--child", "--num-cpus", str(cpus)],
-            capture_output=True, text=True, timeout=1800,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-        lines = proc.stdout.strip().splitlines()
-        if proc.returncode != 0 or not lines:
-            raise RuntimeError(
-                f"scaling child (num_cpus={cpus}) failed "
-                f"rc={proc.returncode}; stderr tail:\n"
-                + "\n".join(proc.stderr.splitlines()[-20:]))
-        results[cpus] = json.loads(lines[-1])
-    thr_low = results[low]["headline"]["docs_per_sec"]
-    thr_high = results[high]["headline"]["docs_per_sec"]
-    efficiency = (thr_high / thr_low) / (high / low)
+def _scaling_child(cpus: int) -> dict:
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--child", "--num-cpus", str(cpus)],
+        capture_output=True, text=True, timeout=1800,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    lines = proc.stdout.strip().splitlines()
+    if proc.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"scaling child (num_cpus={cpus}) failed "
+            f"rc={proc.returncode}; stderr tail:\n"
+            + "\n".join(proc.stderr.splitlines()[-20:]))
+    return json.loads(lines[-1])
+
+
+def run_scaling(low: int = 8, high: int = 32,
+                repeats: int = SCALING_REPEATS) -> dict:
+    """Noise-robust scaling measurement (BASELINE.md §scaling).
+
+    Runs the same headline job in fresh processes at ``low`` and ``high``
+    cpus, ``repeats`` times each, legs INTERLEAVED so co-tenant load hits
+    both legs alike.  Efficiency is computed from the median throughput
+    per leg — the r01 single-pair protocol let one noisy 32-cpu run set
+    the round's number (VERDICT r01).  All raw runs are reported."""
+    runs: dict = {low: [], high: []}
+    docs = None
+    for _ in range(repeats):
+        for cpus in (low, high):
+            res = _scaling_child(cpus)
+            runs[cpus].append(res["headline"]["docs_per_sec"])
+            docs = res["headline"]["docs"]
+    import statistics
+    med_low = statistics.median(runs[low])
+    med_high = statistics.median(runs[high])
+    efficiency = (med_high / med_low) / (high / low)
     return {
         "metric": "scaling efficiency, fresh-process "
-                  f"num_cpus={low} vs num_cpus={high} (stand-in for N vs 4N nodes)",
+                  f"num_cpus={low} vs num_cpus={high} (stand-in for N vs "
+                  f"4N nodes), median of {repeats} interleaved runs/leg",
         "value": round(efficiency, 3),
         "unit": "efficiency",
         "queries": {
-            f"quality_filter@{low}cpus": results[low]["headline"]["sec"],
-            f"quality_filter@{high}cpus": results[high]["headline"]["sec"],
+            f"median_docs_per_sec@{low}cpus": med_low,
+            f"median_docs_per_sec@{high}cpus": med_high,
         },
         "sf": _sf_of(SF_DIR),
         "num_cpus": high,
-        "throughput_docs_per_sec": {str(low): thr_low, str(high): thr_high},
-        "docs": results[high]["headline"]["docs"],
+        "throughput_docs_per_sec": {str(low): med_low, str(high): med_high},
+        "raw_runs_docs_per_sec": {str(low): runs[low], str(high): runs[high]},
+        "docs": docs,
         "scaling_efficiency": round(efficiency, 3),
     }
 

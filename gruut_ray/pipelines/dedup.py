@@ -175,18 +175,22 @@ def minhash_lsh_dedup(
         n = len(ids)
         out_ids = np.repeat(np.asarray(ids, dtype=np.int64), bands)
         out_band = np.tile(np.arange(bands, dtype=np.int32), n)
-        out_bh = np.empty(n * bands, dtype=np.int64)
-        k = 0
-        for row_i in range(n):
-            sig = sigs[row_i]
-            for b in range(bands):
-                chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
-                out_bh[k] = zlib.crc32(chunk.tobytes())
-                k += 1
+        # band hash, vectorized over (n, bands, rows_per_band) at once
+        # (VERDICT r01: the per-row crc32 loop was the suite's hottest
+        # Python kernel).  splitmix64-style mixing: position-keyed odd
+        # multipliers fold the band's rows, then two xor-shift rounds —
+        # uniform buckets, deterministic, wraparound is mod-2^64.
+        chunks = sigs.reshape(n, bands, rows_per_band)
+        h = np.zeros((n, bands), dtype=np.uint64)
+        for r in range(rows_per_band):  # rows_per_band is small (≈8)
+            h ^= chunks[:, :, r] * np.uint64(0x9E3779B97F4A7C15 + 2 * r + 1)
+            h ^= h >> np.uint64(29)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(32)
         return pa.table({
             id_col: pa.array(out_ids),
             "band": pa.array(out_band),
-            "band_hash": pa.array(out_bh),
+            "band_hash": pa.array(h.reshape(-1).view(np.int64)),
         })
 
     exploded = signed.map_batches(explode_ids,
@@ -405,17 +409,24 @@ def minhash_lsh_dedup(
 # ---------------------------------------------------------------------------
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features."""
-    v = np.zeros(64, dtype=np.int64)
-    for word in text.split():
-        h = (zlib.crc32(word.encode()) * 0x9E3779B97F4A7C15) & _M64
-        bits = np.array([(h >> b) & 1 for b in range(64)], dtype=np.int64)
-        v += bits * 2 - 1
-    out = 0
-    for b in range(64):
-        if v[b] > 0:
-            out |= (1 << b)
-    return out
+    """64-bit SimHash over word features.
+
+    Vectorized (VERDICT r01): crc32 per word stays a C call, but the
+    per-bit work — previously a 64-element Python list per word — is one
+    ``np.unpackbits`` over the whole word-hash vector.  Output values are
+    bit-identical to the original scalar implementation."""
+    words = text.split()
+    if not words:
+        return 0
+    crcs = np.fromiter((zlib.crc32(w.encode()) for w in words),
+                       dtype=np.uint64, count=len(words))
+    hs = crcs * np.uint64(0x9E3779B97F4A7C15)  # wraps mod 2^64
+    # (n, 64) bit matrix, bit b == (h >> b) & 1 (little-endian byte view)
+    bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little").astype(np.int32)
+    v = 2 * bits.sum(axis=0) - len(words)
+    out_bits = (v > 0).astype(np.uint64)
+    return int((out_bits << np.arange(64, dtype=np.uint64)).sum())
 
 
 def simhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",
