@@ -16,6 +16,7 @@ Nothing in this package calls ``ray.init()``; the caller owns the Ray session.
 
 __version__ = "0.1.0"
 
-from gruut_ray.api import sentences  # noqa: F401
+from gruut_ray.api import (  # noqa: F401
+    get_supported_languages, is_language_supported, sentences)
 from gruut_ray.nlp.normalize import process_document, sentences_for_text  # noqa: F401
 from gruut_ray.profiles import get_profile, resolve_lang  # noqa: F401

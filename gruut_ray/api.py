@@ -16,25 +16,43 @@ from gruut_ray.nlp.normalize import NormalizeOptions, SentenceOut
 
 import threading
 
-_STAGE = None
+_STAGES: typing.Dict[str, typing.Any] = {}
 _STAGE_LOCK = threading.Lock()
 
 
-def _stage():
-    global _STAGE
-    if _STAGE is None:
+def _stage(espeak: bool = False):
+    key = "espeak" if espeak else "ipa"
+    stage = _STAGES.get(key)
+    if stage is None:
         with _STAGE_LOCK:  # one heavy lexicon/G2P build, even threaded
-            if _STAGE is None:
+            stage = _STAGES.get(key)
+            if stage is None:
                 from gruut_ray.stages.phonemize import PhonemizeStage
 
-                _STAGE = PhonemizeStage()
-    return _STAGE
+                stage = _STAGES[key] = PhonemizeStage(espeak=espeak)
+    return stage
+
+
+def is_language_supported(lang: str) -> bool:
+    """True if the engine supports ``lang``
+    (reference gruut/__init__.py:97-99)."""
+    from gruut_ray.profiles import known_langs, resolve_lang
+
+    return resolve_lang(lang) in known_langs()
+
+
+def get_supported_languages() -> typing.Set[str]:
+    """Set of supported languages (reference gruut/__init__.py:102-104)."""
+    from gruut_ray.profiles import known_langs
+
+    return set(known_langs())
 
 
 def sentences(
     text: str,
     lang: str = "en_US",
     ssml: bool = False,
+    espeak: bool = False,
     major_breaks: bool = True,
     minor_breaks: bool = True,
     punctuations: bool = True,
@@ -47,12 +65,13 @@ def sentences(
     verbalize_times: bool = True,
 ) -> typing.Iterable[SentenceOut]:
     """Process text into sentences (reference gruut/__init__.py:36-91
-    signature; espeak/explicit_lang are reference-model-pack concerns with
-    no equivalent here)."""
+    signature).  ``espeak=True`` selects the eSpeak phoneme variant of the
+    language data packs (reference ``model_prefix``); languages without an
+    eSpeak pack yield words with empty phonemes in that mode."""
     from gruut_ray.nlp.normalize import process_document
     from gruut_ray.phonem.pos import heuristic_tags, tags_to_roles
 
-    stage = _stage()
+    stage = _stage(espeak=espeak)
     short = stage._short(lang)
     word_set = stage._word_sets.get(short)
     lex_check = (lambda w: w in word_set) if word_set else None
@@ -94,7 +113,9 @@ def sentences(
                 if pron is not None:
                     w.phonemes = list(pron)
                 elif g2p is not None and w.text:
-                    w.phonemes = list(g2p(w.text))
+                    # reference lowercases before the G2P guess
+                    # (lang.py:116 transform_func=str.lower)
+                    w.phonemes = list(g2p(w.text.lower()))
             kept.append(w)
         for i, w in enumerate(kept):
             w.idx = i

@@ -72,6 +72,7 @@ class Tok:
         "in_lexicon", "implicit", "maybe_number", "maybe_date",
         "maybe_currency", "maybe_time", "from_broken", "phonemes", "group",
         "pause_after_ms", "born", "marks_before", "marks_after", "voice",
+        "prosody", "audio_src",
     )
 
     def __init__(self, kind: str, text: str, ws: str, lang: str, *,
@@ -111,6 +112,14 @@ class Tok:
         # SSML <voice name> in scope (reference voice stack,
         # text_processor.py:607-637); cosmetic for the text pipeline
         self.voice = ""
+        # SSML <prosody rate/pitch/volume> in scope, as a compact
+        # "rate=slow;pitch=high" string, and <audio src> whose fallback
+        # content produced this token.  The reference (gruut 2.4.0)
+        # processes the inner text of unknown elements and DROPS these
+        # attributes; carrying them attribution-only is a superset for
+        # TTS consumers.
+        self.prosody = ""
+        self.audio_src = ""
         # Index of the original top-level token this one descends from.
         # Sentence breaking moves whole groups, so punctuation split from
         # the same source token as a major break stays with it (reference
@@ -148,6 +157,8 @@ class WordOut:
     marks_before: typing.Optional[typing.List[str]] = None
     marks_after: typing.Optional[typing.List[str]] = None
     voice: str = ""
+    prosody: str = ""
+    audio_src: str = ""
 
     @property
     def is_break(self) -> bool:
@@ -622,6 +633,8 @@ def _collapse_and_transform_time(tokens: typing.List[Tok], cp_of,
                             nt.marks_before = t0.marks_before
                             nt.marks_after = t1.marks_after
                             nt.voice = t0.voice
+                            nt.prosody = t0.prosody
+                            nt.audio_src = t0.audio_src
                             out.append(nt)
                             i += 2
                             merged = True
@@ -813,6 +826,8 @@ def _apply_split(tokens, step, cp_of, lex,
             if repl:
                 for nt in repl:
                     nt.voice = tok.voice
+                    nt.prosody = tok.prosody
+                    nt.audio_src = tok.audio_src
                 repl[0].marks_before = tok.marks_before
                 repl[-1].pause_after_ms += tok.pause_after_ms
                 repl[-1].marks_after = tok.marks_after
@@ -995,6 +1010,8 @@ def assemble(paragraphs: typing.List[typing.List[SentenceTokens]],
                     marks_before=tok.marks_before,
                     marks_after=tok.marks_after,
                     voice=tok.voice,
+                    prosody=tok.prosody,
+                    audio_src=tok.audio_src,
                 ))
             cp = get_compiled(sent.lang or default_lang)
             text_with_ws = "".join(w.text_with_ws for w in words)

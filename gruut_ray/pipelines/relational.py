@@ -92,10 +92,22 @@ def pricing_summary(lineitem: "ray.data.Dataset",
 
 
 def revenue_by_segment(orders: "ray.data.Dataset",
-                       customer: "ray.data.Dataset") -> pd.DataFrame:
-    """Broadcast hash join: the customer dimension is ray.put once; each
-    orders batch maps custkey→segment with a pandas merge — no shuffle."""
+                       customer: "ray.data.Dataset",
+                       broadcast_limit: int = 5_000_000) -> pd.DataFrame:
+    """Orders ⋈ customer rollup with a size cut-over (VERDICT r01):
+
+    * customer ≤ ``broadcast_limit`` rows — broadcast hash join: the
+      dimension is ``ray.put`` once; each orders batch maps
+      custkey→segment with a pandas merge, no shuffle;
+    * larger — the dimension no longer fits every worker's heap
+      (it grows with scale factor), so fall back to the shuffle hash
+      join (same plan shape as :func:`revenue_by_priority`).
+
+    Both paths produce identical output (unit-tested)."""
     import ray
+
+    if customer.count() > broadcast_limit:
+        return _revenue_by_segment_shuffle(orders, customer)
 
     cust_df = customer.select_columns(
         ["c_custkey", "c_mktsegment"]).to_pandas()
@@ -118,6 +130,10 @@ def revenue_by_segment(orders: "ray.data.Dataset",
 
     partials = orders.map_batches(JoinSeg, batch_format="pyarrow",
                                   concurrency=(1, 4)).to_pandas()
+    return _finish_revenue_by_segment(partials)
+
+
+def _finish_revenue_by_segment(partials: pd.DataFrame) -> pd.DataFrame:
     partials["revenue_c"] = partials["revenue_c"].map(int)  # exact merge
     out = partials.groupby("c_mktsegment", as_index=False).agg(
         revenue_c=("revenue_c", "sum"), n_orders=("n_orders", "sum"))
@@ -125,6 +141,31 @@ def revenue_by_segment(orders: "ray.data.Dataset",
     out = out.drop(columns=["revenue_c"])[
         ["c_mktsegment", "revenue", "n_orders"]]
     return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def _revenue_by_segment_shuffle(orders: "ray.data.Dataset",
+                                customer: "ray.data.Dataset",
+                                num_partitions: int = 16) -> pd.DataFrame:
+    """Large-dimension path: project both sides to join key + needed
+    columns, native hash join, per-batch partial rollup."""
+    o = orders.select_columns(["o_custkey", "o_totalprice"]) \
+        .repartition(num_partitions)
+    c = customer.select_columns(["c_custkey", "c_mktsegment"]) \
+        .repartition(num_partitions)
+    joined = o.join(c, join_type="inner", num_partitions=num_partitions,
+                    on=("o_custkey",), right_on=("c_custkey",))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pa.table({
+            "c_mktsegment": batch.column("c_mktsegment"),
+            "price_c": _cents(batch.column("o_totalprice")),
+        }).to_pandas()
+        agg = df.groupby("c_mktsegment", as_index=False).agg(
+            revenue_c=("price_c", "sum"), n_orders=("price_c", "size"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = joined.map_batches(partials, batch_format="pyarrow").to_pandas()
+    return _finish_revenue_by_segment(parts)
 
 
 def events_hourly_window(events: "ray.data.Dataset") -> pd.DataFrame:

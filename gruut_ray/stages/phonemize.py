@@ -66,6 +66,16 @@ class PhonemizeStage:
     g2p_models : optional {short_lang: PerceptronG2P dict} trained models.
     use_pos : run the POS pass and set word roles (reference
         text_processor.py:1102-1113).
+    use_packs : discover and load gruut language data packs
+        (lexicon.db + CRF G2P models) from ``$GRUUT_RAY_DATA`` /
+        the reference checkout (see :mod:`gruut_ray.phonem.packs`).
+        Explicit ``lexicon_paths`` / ``g2p_models`` override pack data.
+    pack_langs : restrict pack loading to these short langs (None = all
+        discovered — per-actor init cost is a few seconds of sqlite scans).
+    espeak : load the packs' eSpeak phoneme variant instead of IPA
+        (reference ``model_prefix``, gruut/__init__.py:40,67).  The en
+        built-in IPA lexicon and the IPA seed lexicons are skipped in
+        this mode.
     """
 
     def __init__(self,
@@ -74,21 +84,38 @@ class PhonemizeStage:
                  lexicon_paths: typing.Optional[typing.Dict[str, str]] = None,
                  g2p_models: typing.Optional[typing.Dict[str, dict]] = None,
                  use_pos: bool = True,
-                 keep_text: bool = True):
+                 keep_text: bool = True,
+                 use_packs: bool = True,
+                 pack_langs: typing.Optional[typing.Sequence[str]] = None,
+                 espeak: bool = False):
         self.text_col = text_col
         self.lang_col = lang_col
         self.use_pos = use_pos
         self.keep_text = keep_text
+        self.espeak = espeak
 
         from gruut_ray.phonem.multi_data import build_seed_lexicons
 
-        self.lexicons: typing.Dict[str, Lexicon] = {"en": build_en_lexicon()}
-        self.lexicons.update(build_seed_lexicons())  # de/fr/es seeds
+        self.lexicons: typing.Dict[str, Lexicon] = {}
+        self.g2p: typing.Dict[str, typing.Callable] = {}
+        if not espeak:
+            self.lexicons["en"] = build_en_lexicon()
+            self.lexicons.update(build_seed_lexicons())  # de/fr/es seeds
+            self.g2p["en"] = EnRuleG2P()
+
+        if use_packs:
+            from gruut_ray.phonem import packs as _packs
+
+            found = _packs.discover()
+            if pack_langs is not None:
+                found = {k: v for k, v in found.items() if k in pack_langs}
+            self.lexicons.update(
+                _packs.load_pack_lexicons(found, espeak=espeak))
+            self.g2p.update(_packs.load_pack_g2p(found, espeak=espeak))
+
         if lexicon_paths:
             for lang, path in lexicon_paths.items():
                 self.lexicons[lang] = Lexicon.from_sqlite(path)
-
-        self.g2p: typing.Dict[str, typing.Callable] = {"en": EnRuleG2P()}
         if g2p_models:
             for lang, model_dict in g2p_models.items():
                 self.g2p[lang] = PerceptronG2P.from_dict(model_dict)
@@ -138,7 +165,9 @@ class PhonemizeStage:
                             phonemes = list(pron)
                             in_lex = True
                     if phonemes is None and g2p is not None and w.text:
-                        phonemes = list(g2p(w.text))
+                        # reference lowercases before the G2P guess
+                        # (lang.py:116 transform_func=str.lower)
+                        phonemes = list(g2p(w.text.lower()))
                 out_words.append({
                     "idx": w.idx,
                     "text": w.text,

@@ -111,3 +111,64 @@ def test_ngram_verified_dedup(ray_session):
                              verify="ngram").to_pandas()
     ids = sorted(kept["doc_id"].tolist())
     assert ids == [1, 9]
+
+
+def test_simhash_signatures_frozen_fixture():
+    """Frozen signature goldens over real sf0.001 docs (VERDICT r01 #9):
+    any change to the simhash kernel that alters outputs fails here."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    fix_path = os.path.join(os.path.dirname(__file__),
+                            "fixtures_simhash_sf0001.json")
+    with open(fix_path) as f:
+        expected = {int(k): v for k, v in json.load(f).items()}
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "text"])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    for doc_id, want in expected.items():
+        assert simhash64(texts[doc_id] or "") == want, doc_id
+
+
+def test_minhash_dedup_count_matches_exact_jaccard(ray_session):
+    """minhash_lsh_dedup survivor count vs brute-force exact n-gram
+    Jaccard ground truth on sf0.001 (VERDICT r01 #9)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from gruut_ray.pipelines.dedup import minhash_lsh_dedup, ngram_jaccard
+
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "text"])
+    ids = tbl["doc_id"].to_pylist()
+    texts = tbl["text"].to_pylist()
+
+    # ground truth: all-pairs exact Jaccard >= threshold -> components ->
+    # min-id survivor per component
+    threshold = 0.9
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    by_id = dict(zip(ids, texts))
+    id_list = sorted(ids)
+    for a_i in range(len(id_list)):
+        for b_i in range(a_i + 1, len(id_list)):
+            a, b = id_list[a_i], id_list[b_i]
+            if ngram_jaccard(by_id[a] or "", by_id[b] or "") >= threshold:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    expected_survivors = len({find(i) for i in ids})
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["doc_id", "text"])
+    kept = minhash_lsh_dedup(ds, jaccard_threshold=threshold,
+                             verify="ngram").count()
+    assert kept == expected_survivors

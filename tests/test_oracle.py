@@ -100,3 +100,17 @@ def test_quality_matches_oracle_labels(ray_session):
         for r in labels if eng_by_id[r["doc_id"]]["keep"] != r["keep"]
     ]
     assert not mismatches, mismatches[:5]
+
+
+def test_revenue_by_segment_broadcast_vs_shuffle(ray_session):
+    """The dimension-size cut-over (VERDICT r01 #10): broadcast path and
+    shuffle-join path must produce identical output."""
+    import ray.data
+
+    from gruut_ray.pipelines.relational import revenue_by_segment
+
+    orders = ray.data.read_parquet(os.path.join(SF_DIR, "orders.parquet"))
+    customer = ray.data.read_parquet(os.path.join(SF_DIR, "customer.parquet"))
+    broadcast = revenue_by_segment(orders, customer)
+    shuffled = revenue_by_segment(orders, customer, broadcast_limit=1)
+    pd.testing.assert_frame_equal(broadcast, shuffled)

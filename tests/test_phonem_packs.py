@@ -1,0 +1,214 @@
+"""Multi-language phonemizer parity against the reference's own test
+vectors (vendored from reference tests/test_sqlite_phonemizer.py — the
+"my hovercraft is full of eels" suite).
+
+Strict goldens run for languages whose pronunciations resolve fully from
+real gruut data packs (it, lb, sv via lexicon.db + CRF model.crf) or the
+committed seed lexicons (de, fr, es) — plus en in tests/test_phonem.py.
+Languages whose packs ship alignments but no IPA CRF model (cs, nl) check
+the lexicon words strictly and require non-empty trained-perceptron
+guesses for the rest.
+
+Pack-dependent tests skip cleanly when no gruut data packs are on disk
+(see gruut_ray/phonem/packs.py search order).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import gruut_ray
+from gruut_ray.phonem import packs
+
+PACKS = packs.discover()
+
+
+def get_phonemes(text, lang, espeak=False):
+    """(word, phonemes) pairs — reference tests/test_sqlite_phonemizer.py
+    get_phonemes shape."""
+    return [(w.text, list(w.phonemes))
+            for s in gruut_ray.sentences(text, lang=lang, espeak=espeak)
+            for w in s.words if w.phonemes]
+
+
+def _needs(lang, what="lexicon_db"):
+    pack = PACKS.get(lang)
+    return pytest.mark.skipif(
+        pack is None or getattr(pack, what, None) is None,
+        reason=f"no {lang} gruut data pack ({what}) found")
+
+
+# -- strict goldens: seeds (always run) -------------------------------------
+
+def test_hovercraft_de():
+    assert get_phonemes("Mein Luftkissenfahrzeug ist voller Aale.",
+                        "de_DE") == [
+        ("Mein", ["m", "aɪ̯", "n"]),
+        ("Luftkissenfahrzeug",
+         ["l", "ʊ", "f", "t", "k", "ɪ", "s", "z", "ɛ", "n",
+          "f", "a", "ʁ", "t", "s", "ɔ", "ɔʏ̯", "k"]),
+        ("ist", ["ʔ", "ɪ", "s", "t"]),
+        ("voller", ["v", "ɔ", "l", "l", "ɐ"]),
+        ("Aale", ["ʔ", "aː", "l", "ə"]),
+        (".", ["‖"]),
+    ]
+
+
+def test_hovercraft_fr():
+    assert get_phonemes("Mon aéroglisseur est plein d'anguilles.",
+                        "fr_FR") == [
+        ("Mon", ["m", "ɔ̃", "n"]),
+        ("aéroglisseur", ["a", "e", "ʁ", "ɔ", "ɡ", "l", "i", "s", "œ", "ʁ"]),
+        ("est", ["ɛ"]),
+        ("plein", ["p", "l", "ɛ̃"]),
+        ("d'anguilles", ["d", "ɑ̃", "ɡ", "i", "j"]),
+        (".", ["‖"]),
+    ]
+
+
+def test_hovercraft_es():
+    assert get_phonemes("Mi aerodeslizador está lleno de anguilas.",
+                        "es_ES") == [
+        ("Mi", ["m", "i"]),
+        ("aerodeslizador",
+         ["a", "e", "ɾ", "o", "d", "e", "s", "l", "i", "θ", "a", "d",
+          "o", "ɾ"]),
+        ("está", ["e", "s", "t", "a"]),
+        ("lleno", ["ʎ", "e", "n", "o"]),
+        ("de", ["d", "e"]),
+        ("anguilas", ["a", "n", "g", "i", "l", "a", "s"]),
+        (".", ["‖"]),
+    ]
+
+
+# -- strict goldens: real packs (lexicon.db + model.crf) --------------------
+
+@_needs("it")
+def test_hovercraft_it():
+    assert get_phonemes("Il mio hovercraft è pieno di anguille.",
+                        "it_IT") == [
+        ("Il", ["i", "l"]),
+        ("mio", ["ˈm", "i", "o"]),
+        ("hovercraft", ["o", "v", "e", "r", "k", "r", "a", "f", "t"]),
+        ("è", ["ɛ"]),
+        ("pieno", ["ˈp", "j", "ɛ", "n", "o"]),
+        ("di", ["ˈd", "i"]),
+        ("anguille", ["a", "n", "ɡ", "w", "i", "l", "l", "e"]),
+        (".", ["‖"]),
+    ]
+
+
+@_needs("lb")
+def test_hovercraft_lb():
+    # note the curly apostrophe in d’Sonn: the lb profile's replacement
+    # normalizes it and the CRF guess runs on the lowercased word —
+    # both required for reference parity
+    assert get_phonemes(
+        "An der Zäit hunn sech den Nordwand an d’Sonn gestridden.",
+        "lb_LB") == [
+        ("An", ["ɑ", "n"]),
+        ("der", ["d", "ɐ"]),
+        ("Zäit", ["ʦ", "æːɪ", "t"]),
+        ("hunn", ["h", "u", "n"]),
+        ("sech", ["z", "ə", "ɕ"]),
+        ("den", ["d", "ə", "n"]),
+        ("Nordwand", ["n", "o", "ʀ", "d", "v", "ɑ", "n", "t"]),
+        ("an", ["ɑ", "n"]),
+        ("d'Sonn", ["d", "z", "o", "n"]),
+        ("gestridden", ["g", "ə", "ʃ", "t", "ʀ", "i", "d", "ə", "n"]),
+        (".", ["‖"]),
+    ]
+
+
+@_needs("sv")
+def test_hovercraft_sv():
+    assert get_phonemes("Min svävare är full med ål.", "sv_SE") == [
+        ("Min", ["m", "iː", "n"]),
+        ("svävare", ["²s", "v", "'ɛː", "v", "a", "r", "ɛ"]),
+        ("är", ["ɛː", "r"]),
+        ("full", ["f", "ɵ", "l"]),
+        ("med", ["m", "eː", "d"]),
+        ("ål", ["oː", "l"]),
+        (".", ["‖"]),
+    ]
+
+
+# -- lexicon-strict + trained-perceptron guesses (cs, nl) -------------------
+
+@_needs("cs")
+def test_hovercraft_cs():
+    out = dict(get_phonemes("Moje vznášedlo je plné úhořů.", "cs-cz"))
+    assert out["Moje"] == ["m", "o", "j", "ɛ"]
+    assert out["vznášedlo"] == ["v", "z", "n", "aː", "ʃ", "ɛ", "d", "l", "o"]
+    assert out["je"] == ["j", "ɛ"]
+    assert out["plné"] == ["p", "l", "n", "ɛː"]
+    assert out["."] == ["‖"]
+    # úhořů is OOV: guessed by the committed trained perceptron (no IPA
+    # model.crf ships for cs) — which reproduces the reference golden
+    assert out["úhořů"] == ["uː", "ɦ", "o", "r̝", "uː"]
+
+
+@_needs("nl")
+def test_hovercraft_nl():
+    out = dict(get_phonemes("Mijn luchtkussenboot zit vol paling.", "nl"))
+    assert out["Mijn"] == ["m", "ɛi", "n"]
+    assert out["zit"] == ["z", "ɪ", "t"]
+    assert out["vol"] == ["v", "ɔ", "l"]
+    assert len(out.get("luchtkussenboot", [])) >= 8
+    assert len(out.get("paling", [])) >= 4
+
+
+@_needs("ca")
+def test_ca_pack_loads():
+    out = dict(get_phonemes("El meu aerolliscador està ple d'anguiles.",
+                            "ca"))
+    assert out["meu"] == ["m", "'e", "uw"]  # lexicon hit (reference golden)
+    # remaining words resolve via lexicon or ca CRF — all non-empty
+    assert all(len(p) > 0 for p in out.values())
+
+
+# -- espeak variant ---------------------------------------------------------
+
+@_needs("en", "espeak_crf_model")
+def test_espeak_mode_en():
+    out = dict(get_phonemes("My hovercraft is full of eels.", "en_US",
+                            espeak=True))
+    assert len(out) >= 6  # every word got espeak phonemes
+    assert out["hovercraft"]  # non-empty, from the espeak lexicon/CRF
+
+
+def test_espeak_mode_no_ray_packs_ok():
+    # espeak mode with no pack for the language: words keep empty phonemes
+    # (documented degradation), no crash
+    out = [(w.text, w.phonemes)
+           for s in gruut_ray.sentences("hello", lang="zh", espeak=True)
+           for w in s.words]
+    assert out  # processed without error
+
+
+# -- API surface ------------------------------------------------------------
+
+def test_supported_languages_api():
+    assert gruut_ray.is_language_supported("en_US")
+    assert gruut_ray.is_language_supported("de")
+    assert not gruut_ray.is_language_supported("xx-zz")
+    langs = gruut_ray.get_supported_languages()
+    assert {"en-us", "de-de", "fr-fr", "es-es"} <= langs
+
+
+# -- CRF model reader unit checks ------------------------------------------
+
+@_needs("lb", "crf_model")
+def test_crf_reader_matches_reference_outputs():
+    """Words whose reference pronunciations are CRF-derived (not in any
+    lexicon) reproduce bit-identically — validates the from-scratch
+    crf1d reader + Viterbi against known reference outputs."""
+    from gruut_ray.phonem.crf_g2p import CrfG2P
+
+    lb = CrfG2P.load(PACKS["lb"].crf_model)
+    assert list(lb("d'sonn")) == ["d", "z", "o", "n"]
+    if PACKS.get("it") and PACKS["it"].crf_model:
+        it = CrfG2P.load(PACKS["it"].crf_model)
+        assert list(it("il")) == ["i", "l"]
+        assert list(it("anguille")) == ["a", "n", "ɡ", "w", "i", "l",
+                                        "l", "e"]

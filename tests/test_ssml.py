@@ -174,3 +174,42 @@ def test_voice_attribute_tracked():
     assert ("Hi", "alice") in words and ("there", "alice") in words
     assert ("Bye", "") in words
     assert sents[0].voice == "alice"
+
+
+def test_prosody_text_processed_and_attributed():
+    # the reference (gruut 2.4.0) has no <prosody> handling: the element's
+    # text is processed like any unknown element and the attributes are
+    # dropped.  We match the text behavior and additionally carry the
+    # attributes onto the contained words.
+    sents = process_document(
+        '<speak>Say <prosody rate="slow" pitch="high">two words'
+        "</prosody> fast.</speak>", "en", ssml=True)
+    words = [w for s in sents for w in s.words if w.is_spoken]
+    texts = [w.text for w in words]
+    assert texts == ["Say", "two", "words", "fast"]
+    by_text = {w.text: w.prosody for w in words}
+    assert by_text["two"] == "rate=slow;pitch=high"
+    assert by_text["words"] == "rate=slow;pitch=high"
+    assert by_text["Say"] == "" and by_text["fast"] == ""
+
+
+def test_prosody_nesting_composes():
+    sents = process_document(
+        '<speak><prosody rate="slow"><prosody volume="loud">deep'
+        "</prosody></prosody></speak>", "en", ssml=True)
+    w = [w for s in sents for w in s.words if w.is_spoken][0]
+    assert w.prosody == "rate=slow;volume=loud"
+
+
+def test_audio_fallback_text_and_src():
+    # SSML <audio>: fallback content renders when audio can't play; the
+    # source is carried attribution-only
+    sents = process_document(
+        '<speak>Before <audio src="x.wav">fallback words</audio> after.'
+        "</speak>", "en", ssml=True)
+    words = [w for s in sents for w in s.words if w.is_spoken]
+    assert [w.text for w in words] == ["Before", "fallback", "words",
+                                      "after"]
+    by_text = {w.text: w.audio_src for w in words}
+    assert by_text["fallback"] == "x.wav" and by_text["words"] == "x.wav"
+    assert by_text["Before"] == "" and by_text["after"] == ""

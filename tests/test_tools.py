@@ -65,3 +65,28 @@ def test_lexicon2db_namespaces_bare_roles(tmp_path):
     lex = Lexicon.from_sqlite(db)
     assert lex.lookup("read", role="gruut:VBD") == ("ɹ", "ɛ", "d")
     assert lex.lookup(";;;") is None  # comment line skipped
+
+
+def test_corpus2db_roundtrip(tmp_path):
+    """corpus2db writes the reference g2p_alignments schema; packs can
+    read it back and alignments parse."""
+    from gruut_ray.phonem.packs import read_alignments
+    from gruut_ray.tools.corpus2db import main as corpus2db_main
+
+    corpus = tmp_path / "g2p.corpus"
+    corpus.write_text("t}t e}ˈɛ s}s t}t\n"
+                      "s|h}ʃ o|w}ˈoʊ\n"
+                      "w}w h}_ y}ˈaɪ\n"
+                      "t}t e}ˈɛ s}s t}t\n",  # dup word: first wins
+                      encoding="utf-8")
+    db = tmp_path / "out.db"
+    assert corpus2db_main(["--corpus", str(corpus),
+                           "--database", str(db)]) == 0
+    rows = read_alignments(str(db))
+    assert len(rows) == 3
+    import sqlite3
+    conn = sqlite3.connect(str(db))
+    words = {r[0] for r in conn.execute(
+        "SELECT word FROM g2p_alignments")}
+    conn.close()
+    assert words == {"test", "show", "why"}
