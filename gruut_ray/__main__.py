@@ -34,6 +34,9 @@ def get_args(argv: typing.Optional[typing.Sequence[str]] = None):
     parser.add_argument("--csv", action="store_true",
                         help="Input is id|text rows; output id|text|words|phonemes")
     parser.add_argument("--csv-delimiter", default="|")
+    parser.add_argument("--espeak", action="store_true",
+                        help="Use eSpeak phoneme variant of the language "
+                             "data packs (reference --espeak)")
     parser.add_argument("--no-numbers", action="store_true")
     parser.add_argument("--no-currency", action="store_true")
     parser.add_argument("--no-dates", action="store_true")
@@ -106,6 +109,7 @@ def process_line(line: str, args) -> typing.List:
         line,
         lang=args.language,
         ssml=args.ssml,
+        espeak=args.espeak,
         major_breaks=not args.no_major_breaks,
         minor_breaks=not args.no_minor_breaks,
         punctuations=not args.no_punctuation,

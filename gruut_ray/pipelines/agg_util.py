@@ -26,6 +26,7 @@ def partial_then_merge(
     agg_spec: typing.Dict[str, str],
     sort: bool = True,
     exact_int_cols: typing.Sequence[str] = (),
+    max_driver_rows: int = 2_000_000,
 ) -> pd.DataFrame:
     """map_batches(partial_fn) → collect partials → pandas merge.
 
@@ -36,8 +37,24 @@ def partial_then_merge(
     partials are exact per batch, but the cross-batch total of a hot group
     can exceed 2**63 at 10^12-row scale.  Object-dtype summation on the tiny
     partials table is exact at any scale and costs nothing (the partials are
-    keys × blocks rows)."""
-    partials = ds.map_batches(partial_fn, batch_format="pyarrow").to_pandas()
+    keys × blocks rows).
+
+    When the partials table itself outgrows ``max_driver_rows`` (key
+    cardinality × blocks — e.g. fine-grained time windows over a long
+    span), a distributed Ray groupby-aggregate shrinks it to one row per
+    key BEFORE the driver merge, so the driver never holds more than the
+    final result (VERDICT r01)."""
+    partials_ds = ds.map_batches(partial_fn,
+                                 batch_format="pyarrow").materialize()
+    if partials_ds.count() > max_driver_rows:
+        from ray.data.aggregate import Max, Min, Sum
+
+        agg_cls = {"sum": Sum, "min": Min, "max": Max}
+        partials_ds = (partials_ds.groupby(list(group_keys))
+                       .aggregate(*[agg_cls[how](col, alias_name=col)
+                                    for col, how in agg_spec.items()])
+                       .repartition(8))  # merge schema-less empties
+    partials = partials_ds.to_pandas()
     if partials.empty:
         return partials
     for col in exact_int_cols:

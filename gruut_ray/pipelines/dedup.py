@@ -147,6 +147,8 @@ def minhash_lsh_dedup(
     jaccard_threshold: float = 0.8,
     max_label_rounds: int = 5,
     verify: str = "minhash",
+    driver_pairs_limit: int = 50_000,
+    driver_explode_limit: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """Near-duplicate removal.  Returns the dataset with duplicates dropped
     (the min-id representative of each near-dup component survives).
@@ -196,28 +198,6 @@ def minhash_lsh_dedup(
     exploded = signed.map_batches(explode_ids,
                                   batch_format="pyarrow").materialize()
 
-    # Most buckets hold exactly one doc (unique content) — prefilter to
-    # COLLISION buckets before the per-group pair generation, so the
-    # map_groups pass touches only the tiny colliding fraction instead of
-    # corpus × bands groups.
-    from ray.data.aggregate import Count as _Count
-
-    collisions = exploded.groupby(["band", "band_hash"]).aggregate(
-        _Count(alias_name="_n"))
-    collisions = collisions.map_batches(
-        lambda b: (pa.table({"band": pa.array([], type=pa.int32()),
-                             "band_hash": pa.array([], type=pa.int64())})
-                   if b.num_columns == 0 else
-                   pa.table({"band": pc.cast(b.column("band"), pa.int32()),
-                             "band_hash": pc.cast(b.column("band_hash"),
-                                                  pa.int64())}).filter(
-                       pc.greater(b.column("_n"), 1))),
-        batch_format="pyarrow").repartition(8).materialize()
-    if collisions.count() == 0:
-        return ds
-    exploded = exploded.join(collisions, join_type="left_semi",
-                             num_partitions=8, on=("band", "band_hash"))
-
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         """Candidate pairs within one LSH bucket (ids only; verification
         happens after the sig join).  Buckets are tiny; pathological ones
@@ -240,6 +220,56 @@ def minhash_lsh_dedup(
             dst_ids = np.concatenate([dst_ids, tail])
         return pd.DataFrame({"src": src_ids, "dst": dst_ids})
 
+    # Small-corpus fast path (size cut-over): the exploded (id, band,
+    # band_hash) table is 20 B/row — below ``driver_explode_limit`` rows
+    # the collision-bucket prefilter + pair generation are a plain pandas
+    # groupby on the driver, replacing THREE all-to-all Ray ops whose
+    # fixed latencies dominate small inputs.  Output-identical
+    # (unit-tested); the distributed path below takes over at scale.
+    if exploded.count() <= driver_explode_limit:
+        ex = exploded.to_pandas()
+        ex = ex[ex.duplicated(["band", "band_hash"], keep=False)]
+        if ex.empty:
+            return ds
+        frames = [bucket_pairs(g)
+                  for _, g in ex.groupby(["band", "band_hash"], sort=False)]
+        pairs = pd.concat(frames, ignore_index=True).drop_duplicates()
+        if pairs.empty:
+            return ds
+        if len(pairs) <= driver_pairs_limit:
+            return _dedup_small_graph(ds, signed, pairs, id_col, text_col,
+                                      verify, jaccard_threshold)
+        import ray.data as _rd
+
+        candidates = _rd.from_arrow(pa.Table.from_pandas(
+            pairs.astype({"src": "int64", "dst": "int64"}),
+            preserve_index=False)).repartition(8).materialize()
+        return _dedup_verify_and_label(
+            ds, signed, candidates, id_col, text_col, verify,
+            jaccard_threshold, max_label_rounds)
+
+    # Most buckets hold exactly one doc (unique content) — prefilter to
+    # COLLISION buckets before the per-group pair generation, so the
+    # map_groups pass touches only the tiny colliding fraction instead of
+    # corpus × bands groups.
+    from ray.data.aggregate import Count as _Count
+
+    collisions = exploded.groupby(["band", "band_hash"]).aggregate(
+        _Count(alias_name="_n"))
+    collisions = collisions.map_batches(
+        lambda b: (pa.table({"band": pa.array([], type=pa.int32()),
+                             "band_hash": pa.array([], type=pa.int64())})
+                   if b.num_columns == 0 else
+                   pa.table({"band": pc.cast(b.column("band"), pa.int32()),
+                             "band_hash": pc.cast(b.column("band_hash"),
+                                                  pa.int64())}).filter(
+                       pc.greater(b.column("_n"), 1))),
+        batch_format="pyarrow").repartition(8).materialize()
+    if collisions.count() == 0:
+        return ds
+    exploded = exploded.join(collisions, join_type="left_semi",
+                             num_partitions=8, on=("band", "band_hash"))
+
     candidates = exploded.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas")
     # same pair can surface from several bands — dedupe before the joins
@@ -255,8 +285,31 @@ def minhash_lsh_dedup(
         batch_format="pyarrow").repartition(8)
 
     candidates = candidates.materialize()
-    if candidates.count() == 0:
+    n_pairs = candidates.count()
+    if n_pairs == 0:
         return ds
+
+    # Small-graph fast path (size cut-over, like the broadcast-join rule):
+    # below the threshold the whole verify + component labeling fits
+    # comfortably on the driver (the distributed path costs ~10 all-to-all
+    # Ray ops whose fixed latencies dominate small inputs); the driver
+    # path is output-identical (unit-tested).  At 10^12-doc scale the
+    # distributed propagation path takes over unchanged.
+    if n_pairs <= driver_pairs_limit:
+        return _dedup_small_graph(ds, signed, candidates.to_pandas(),
+                                  id_col, text_col, verify,
+                                  jaccard_threshold)
+    return _dedup_verify_and_label(ds, signed, candidates, id_col, text_col,
+                                   verify, jaccard_threshold,
+                                   max_label_rounds)
+
+
+def _dedup_verify_and_label(ds, signed, candidates, id_col: str,
+                            text_col: str, verify: str,
+                            jaccard_threshold: float,
+                            max_label_rounds: int):
+    """Distributed verify (sig/text joins) + min-label propagation over
+    the candidate-pair graph; returns the deduplicated corpus Dataset."""
 
     def to_binary_sigs(b: pa.Table) -> pa.Table:
         # pyarrow hash joins reject fixed_size_list payloads — carry the
@@ -401,6 +454,84 @@ def minhash_lsh_dedup(
         return ds
     return ds.join(drops, join_type="left_anti",
                    num_partitions=num_partitions,
+                   on=(id_col,), right_on=("node",))
+
+
+def _dedup_small_graph(ds, signed, pairs: pd.DataFrame, id_col: str,
+                       text_col: str, verify: str,
+                       jaccard_threshold: float):
+    """Driver-side verify + union-find for SMALL candidate-pair sets.
+
+    Candidate payloads (sigs or texts) are fetched with ONE broadcast-
+    filtered pass over the corpus (`ray.put` id set, filter inside
+    map_batches) — no hash joins; the component labeling is a plain
+    union-find over ≤ ``driver_pairs_limit`` edges.  Output-identical to
+    the distributed propagation path."""
+    import ray
+
+    cand_ids = set(pairs["src"].tolist()) | set(pairs["dst"].tolist())
+    ids_ref = ray.put(cand_ids)
+
+    source = ds if verify == "ngram" else signed
+    payload_col = text_col if verify == "ngram" else "minhash"
+
+    def fetch(batch: pa.Table, _cache={}) -> pa.Table:
+        wanted = _cache.get("ids")
+        if wanted is None:
+            wanted = _cache["ids"] = ray.get(ids_ref)
+        ids = batch.column(id_col).to_pylist()
+        mask = pa.array([i in wanted for i in ids], type=pa.bool_())
+        kept = batch.filter(mask)
+        if verify == "ngram":
+            payload = pc.cast(kept.column(payload_col), pa.large_string())
+        else:
+            sigs = np.asarray(kept.column(payload_col).to_pylist(),
+                              dtype=np.uint64)
+            payload = pa.array([row.tobytes() for row in sigs],
+                               type=pa.binary())
+        return pa.table({"_sid": pc.cast(kept.column(id_col), pa.int64()),
+                         "_payload": payload})
+
+    fetched = source.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    payload = dict(zip(fetched["_sid"], fetched["_payload"]))
+
+    src_ids = pairs["src"].to_numpy()
+    dst_ids = pairs["dst"].to_numpy()
+    if verify == "ngram":
+        ok = np.array([ngram_jaccard(payload.get(a) or "",
+                                     payload.get(b) or "")
+                       >= jaccard_threshold
+                       for a, b in zip(src_ids, dst_ids)])
+    else:
+        src_sigs = np.stack([np.frombuffer(payload[a], dtype=np.uint64)
+                             for a in src_ids])
+        dst_sigs = np.stack([np.frombuffer(payload[b], dtype=np.uint64)
+                             for b in dst_ids])
+        ok = (src_sigs == dst_sigs).mean(axis=1) >= jaccard_threshold
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(src_ids[ok], dst_ids[ok]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drops = [n for n in parent if find(n) != n]
+    if not drops:
+        return ds
+    import ray.data
+
+    drops_ds = ray.data.from_arrow(
+        pa.table({"node": pa.array(sorted(drops), type=pa.int64())}))
+    num_partitions = max(2, min(8, drops_ds.num_blocks()))
+    return ds.join(drops_ds.repartition(num_partitions),
+                   join_type="left_anti", num_partitions=num_partitions,
                    on=(id_col,), right_on=("node",))
 
 

@@ -172,3 +172,27 @@ def test_minhash_dedup_count_matches_exact_jaccard(ray_session):
     kept = minhash_lsh_dedup(ds, jaccard_threshold=threshold,
                              verify="ngram").count()
     assert kept == expected_survivors
+
+
+def test_minhash_small_vs_distributed_paths_identical(ray_session):
+    """The driver-pairs cut-over must not change results: run both paths
+    on the same input and compare surviving id sets."""
+    import ray.data
+
+    from gruut_ray.pipelines.dedup import minhash_lsh_dedup
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["doc_id", "text"])
+    def ids_of(out):
+        return sorted(r["doc_id"]
+                      for r in out.select_columns(["doc_id"]).take_all())
+
+    small = ids_of(minhash_lsh_dedup(ds, jaccard_threshold=0.9))
+    # mid path: driver-side banding, distributed verify + propagation
+    mid = ids_of(minhash_lsh_dedup(ds, jaccard_threshold=0.9,
+                                   driver_pairs_limit=0))
+    # fully distributed path (what runs at 10^12-doc scale)
+    dist = ids_of(minhash_lsh_dedup(ds, jaccard_threshold=0.9,
+                                    driver_pairs_limit=0,
+                                    driver_explode_limit=0))
+    assert small == mid == dist

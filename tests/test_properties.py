@@ -146,3 +146,29 @@ def test_write_json_sink_nested(ray_session, tmp_path):
     words = by_id[1]["sentences"][0]["words"]
     assert [w["text"] for w in words][:3] == ["I", "read", "it"]
     assert words[1]["phonemes"]
+
+
+def test_partial_then_merge_ray_shrink_path(ray_session):
+    """The high-cardinality guard (max_driver_rows) must produce output
+    identical to the pure driver merge."""
+    import pyarrow as pa
+    import ray.data
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    rows = [{"k": f"key{i % 50}", "v": i} for i in range(2000)]
+    ds = ray.data.from_items(rows)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        agg = df.groupby("k", as_index=False).agg(
+            v_sum=("v", "sum"), v_min=("v", "min"), v_max=("v", "max"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    spec = {"v_sum": "sum", "v_min": "min", "v_max": "max"}
+    driver = partial_then_merge(ds, partials, ["k"], spec)
+    shrunk = partial_then_merge(ds, partials, ["k"], spec,
+                                max_driver_rows=1)
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        driver, shrunk.astype(driver.dtypes.to_dict()))
