@@ -537,7 +537,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    to_timestamp(floor(epoch(ts) / 3600) * 3600)::TIMESTAMP
                        AS window_start,
-                   count(*) AS n, sum(value) AS sum_value,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS sum_value,
                    min(value) AS min_value, max(value) AS max_value
             FROM events
             GROUP BY event_type, window_start
@@ -552,7 +554,9 @@ def oracle_sql() -> dict[str, str]:
                 CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
             )
             SELECT event_type, window_start,
-                   count(*) AS n, sum(value) AS sum_value
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS sum_value
             FROM expanded
             GROUP BY event_type, window_start
             ORDER BY event_type, window_start

@@ -177,10 +177,11 @@ def events_hourly_window(events: "ray.data.Dataset") -> pd.DataFrame:
         df = pa.table({
             "event_type": batch.column("event_type"),
             "window_start": hour,
+            "value_c": _cents(batch.column("value")),  # exact fixed-point
             "value": batch.column("value"),
         }).to_pandas()
         agg = df.groupby(["event_type", "window_start"], as_index=False).agg(
-            n=("value", "size"), sum_value=("value", "sum"),
+            n=("value", "size"), sum_value=("value_c", "sum"),
             min_value=("value", "min"), max_value=("value", "max"))
         return pa.Table.from_pandas(agg, preserve_index=False)
 
@@ -189,8 +190,11 @@ def events_hourly_window(events: "ray.data.Dataset") -> pd.DataFrame:
     out = partial_then_merge(
         events, partials, ["event_type", "window_start"],
         {"n": "sum", "sum_value": "sum", "min_value": "min",
-         "max_value": "max"})
-    out["window_start"] = pd.to_datetime(out["window_start"], unit="us")
+         "max_value": "max"},
+        exact_int_cols=["sum_value"])
+    out["sum_value"] = (out["sum_value"] / 100.0).astype("float64")
+    out["window_start"] = pd.to_datetime(
+        out["window_start"], unit="us").astype("datetime64[us]")
     return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
 
@@ -368,7 +372,7 @@ def events_sliding_window(events: "ray.data.Dataset",
     def partials(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.int64()).to_numpy()
         etype = np.asarray(batch.column("event_type").to_pylist())
-        value = batch.column("value").to_numpy()
+        value_c = _cents(batch.column("value")).to_numpy()  # exact
         # window start w covers [w, w + window) — event t is in windows
         # starting at floor(t/slide)*slide - k*slide for k in 0..n-1
         base = (ts // slide_us) * slide_us
@@ -377,17 +381,20 @@ def events_sliding_window(events: "ray.data.Dataset",
             rows.append(pd.DataFrame({
                 "event_type": etype,
                 "window_start": base - k * slide_us,
-                "value": value,
+                "value_c": value_c,
             }))
         df = pd.concat(rows, ignore_index=True)
         agg = df.groupby(["event_type", "window_start"],
                          as_index=False).agg(
-            n=("value", "size"), sum_value=("value", "sum"))
+            n=("value_c", "size"), sum_value=("value_c", "sum"))
         return pa.Table.from_pandas(agg, preserve_index=False)
 
     out = partial_then_merge(events, partials,
                              ["event_type", "window_start"],
-                             {"n": "sum", "sum_value": "sum"})
-    out["window_start"] = pd.to_datetime(out["window_start"], unit="us")
+                             {"n": "sum", "sum_value": "sum"},
+                             exact_int_cols=["sum_value"])
+    out["sum_value"] = (out["sum_value"] / 100.0).astype("float64")
+    out["window_start"] = pd.to_datetime(
+        out["window_start"], unit="us").astype("datetime64[us]")
     return (out.sort_values(["event_type", "window_start"])
             .reset_index(drop=True))
