@@ -265,18 +265,24 @@ def run_scaling(low: int = 8, high: int = 32,
     the quantity that transfers to the real N vs 4N NODE criterion,
     where per-node density is constant.  All raw numbers are reported."""
     runs: dict = {low: [], high: []}
+    hw_runs = []
     docs = None
     for _ in range(repeats):
         for cpus in (low, high):
             res = _scaling_child(cpus)
             runs[cpus].append(res["headline"]["docs_per_sec"])
             docs = res["headline"]["docs"]
+        # calibrate INTERLEAVED with the pipeline legs so co-tenant load
+        # during calibration and measurement is comparable
+        hw_runs.append(measure_hardware_scaling(low, high))
     import statistics
     med_low = statistics.median(runs[low])
     med_high = statistics.median(runs[high])
     raw_efficiency = (med_high / med_low) / (high / low)
-    hw = measure_hardware_scaling(low, high)
-    vs_hw = raw_efficiency / hw["hardware_efficiency"]
+    hw_eff = statistics.median(r["hardware_efficiency"] for r in hw_runs)
+    hw = {"hardware_efficiency": hw_eff,
+          "runs": [r["hardware_efficiency"] for r in hw_runs]}
+    vs_hw = raw_efficiency / hw_eff
     return {
         "metric": "pipeline scaling efficiency normalized to measured "
                   f"single-box SMP ceiling, num_cpus={low} vs {high} "

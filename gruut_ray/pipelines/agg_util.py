@@ -43,10 +43,14 @@ def partial_then_merge(
     cardinality × blocks — e.g. fine-grained time windows over a long
     span), a distributed Ray groupby-aggregate shrinks it to one row per
     key BEFORE the driver merge, so the driver never holds more than the
-    final result (VERDICT r01)."""
+    final result (VERDICT r01).  The shrink path is NOT taken when
+    ``exact_int_cols`` is set: Ray's Sum combines in int64 and would wrap
+    before the exact merge ever ran — and exact-int users are
+    low-cardinality money rollups whose partials never approach the
+    threshold anyway."""
     partials_ds = ds.map_batches(partial_fn,
                                  batch_format="pyarrow").materialize()
-    if partials_ds.count() > max_driver_rows:
+    if not exact_int_cols and partials_ds.count() > max_driver_rows:
         from ray.data.aggregate import Max, Min, Sum
 
         agg_cls = {"sum": Sum, "min": Min, "max": Max}
@@ -57,13 +61,19 @@ def partial_then_merge(
     partials = partials_ds.to_pandas()
     if partials.empty:
         return partials
-    for col in exact_int_cols:
-        partials[col] = partials[col].map(int)  # object dtype, unbounded
     # dropna=False: SQL GROUP BY keeps a NULL-keyed group; partial_fn
     # implementations should do the same in their per-batch groupbys
-    out = partials.groupby(list(group_keys), as_index=False,
-                           dropna=False).agg(
-        **{col: (col, how) for col, how in agg_spec.items()})
+    grouped = partials.groupby(list(group_keys), as_index=False,
+                               dropna=False)
+    out = grouped.agg(**{col: (col, how) for col, how in agg_spec.items()
+                         if col not in exact_int_cols})
+    # exact columns: sum PYTHON ints per group — pandas re-infers int64
+    # from .map(int) (verified: Series.map(int).dtype == int64), so the
+    # only reliable arbitrary-precision path is summing inside Python
+    # before pandas boxes the result (kept exact even past 2**63).
+    for col in exact_int_cols:
+        sums = grouped[col].apply(lambda s: sum(int(x) for x in s))
+        out[col] = sums[col].to_numpy(dtype=object)
     if sort:
         out = out.sort_values(list(group_keys)).reset_index(drop=True)
     return out

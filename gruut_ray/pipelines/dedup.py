@@ -182,7 +182,10 @@ def minhash_lsh_dedup(
         # Python kernel).  splitmix64-style mixing: position-keyed odd
         # multipliers fold the band's rows, then two xor-shift rounds —
         # uniform buckets, deterministic, wraparound is mod-2^64.
-        chunks = sigs.reshape(n, bands, rows_per_band)
+        # truncate to bands*rows_per_band perms (matches the pre-
+        # vectorization slice loop when bands doesn't divide num_perms)
+        chunks = sigs[:, :bands * rows_per_band].reshape(
+            n, bands, rows_per_band)
         h = np.zeros((n, bands), dtype=np.uint64)
         for r in range(rows_per_band):  # rows_per_band is small (≈8)
             h ^= chunks[:, :, r] * np.uint64(0x9E3779B97F4A7C15 + 2 * r + 1)
@@ -478,9 +481,10 @@ def _dedup_small_graph(ds, signed, pairs: pd.DataFrame, id_col: str,
     def fetch(batch: pa.Table, _cache={}) -> pa.Table:
         wanted = _cache.get("ids")
         if wanted is None:
-            wanted = _cache["ids"] = ray.get(ids_ref)
-        ids = batch.column(id_col).to_pylist()
-        mask = pa.array([i in wanted for i in ids], type=pa.bool_())
+            wanted = _cache["ids"] = pa.array(
+                sorted(ray.get(ids_ref)), type=pa.int64())
+        mask = pc.is_in(pc.cast(batch.column(id_col), pa.int64()),
+                        value_set=wanted)
         kept = batch.filter(mask)
         if verify == "ngram":
             payload = pc.cast(kept.column(payload_col), pa.large_string())

@@ -134,12 +134,13 @@ def revenue_by_segment(orders: "ray.data.Dataset",
 
 
 def _finish_revenue_by_segment(partials: pd.DataFrame) -> pd.DataFrame:
-    partials["revenue_c"] = partials["revenue_c"].map(int)  # exact merge
-    out = partials.groupby("c_mktsegment", as_index=False).agg(
-        revenue_c=("revenue_c", "sum"), n_orders=("n_orders", "sum"))
-    out["revenue"] = (out["revenue_c"] / 100.0).astype("float64")
-    out = out.drop(columns=["revenue_c"])[
-        ["c_mktsegment", "revenue", "n_orders"]]
+    grouped = partials.groupby("c_mktsegment", as_index=False)
+    out = grouped.agg(n_orders=("n_orders", "sum"))
+    # sum PYTHON ints: pandas re-infers int64 from .map(int), which would
+    # silently wrap past 2**63 at extreme scale (code-review r02)
+    sums = grouped["revenue_c"].apply(lambda s: sum(int(x) for x in s))
+    out["revenue"] = (sums["revenue_c"] / 100.0).astype("float64")
+    out = out[["c_mktsegment", "revenue", "n_orders"]]
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 

@@ -182,7 +182,7 @@ def train_centroids(ds: "ray.data.Dataset", dim: int, n_lists: int = 16,
     ``sample_size``."""
     n_total = ds.count()
     if n_total > sample_size:
-        # keep ~2x the target rate so the cap is reliably reached, then trim
+        # keep ~2x the target rate so the cap is reliably reached
         mod = max(1, int(n_total / (sample_size * 2)))
 
         def pick(batch: pa.Table) -> pa.Table:
@@ -195,8 +195,15 @@ def train_centroids(ds: "ray.data.Dataset", dim: int, n_lists: int = 16,
                 pc.subtract(h, pc.multiply(pc.divide(h, mod), mod)), 0)
             return batch.filter(keep)
 
-        sample = (ds.map_batches(pick, batch_format="pyarrow")
-                  .limit(sample_size).to_pandas())
+        # collect ALL survivors (≈ 2x sample_size rows, uniformly spread),
+        # then stride-select down to sample_size — a .limit() here would
+        # re-introduce the prefix bias the hash filter exists to remove
+        # (code-review r02): the first sample_size survivors all live in
+        # the first half of a sorted/clustered corpus
+        sample = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+        if len(sample) > sample_size:
+            idx = np.linspace(0, len(sample) - 1, sample_size).astype(int)
+            sample = sample.iloc[idx]
     else:
         sample = ds.limit(sample_size).to_pandas()
     X = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float32))
@@ -251,7 +258,8 @@ def ivf_topk(
     At scale the assignment is precomputed once (``add_ivf_lists``) and the
     probe filter prunes blocks before any scoring matmul."""
     if centroids is None:
-        centroids = train_centroids(ds, dim, n_lists, emb_col=emb_col)
+        centroids = train_centroids(ds, dim, n_lists, emb_col=emb_col,
+                                    id_col=id_col)
     q = _normalize(np.asarray(queries, dtype=np.float32))
     probe_lists = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
     wanted = pa.array(sorted({int(x) for x in probe_lists.ravel()}),

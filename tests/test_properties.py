@@ -172,3 +172,29 @@ def test_partial_then_merge_ray_shrink_path(ray_session):
     import pandas as pd
     pd.testing.assert_frame_equal(
         driver, shrunk.astype(driver.dtypes.to_dict()))
+
+
+def test_partial_then_merge_exact_past_int64(ray_session):
+    """exact_int_cols must stay exact past 2**63 (code-review r02: a
+    plain pandas merge re-infers int64 and silently wraps)."""
+    import pyarrow as pa
+    import ray.data
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    # one row per block: each int64 BATCH partial fits (the documented
+    # per-batch bound); only the cross-batch merge exceeds 2**63
+    big = 2 ** 62
+    rows = [{"k": "hot", "v": big} for _ in range(6)]
+    ds = ray.data.from_items(rows).repartition(6)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        agg = df.groupby("k", as_index=False).agg(
+            v=("v", "sum"), n=("v", "size"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = partial_then_merge(ds, partials, ["k"], {"v": "sum", "n": "sum"},
+                             exact_int_cols=["v"])
+    assert int(out["v"].iloc[0]) == 6 * big  # 1.5 * 2**64: wraps if int64
+    assert int(out["n"].iloc[0]) == 6
