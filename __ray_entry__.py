@@ -376,6 +376,18 @@ def _q_phonemize_documents(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_winnow_sketches(sf_dir: str):
+    """Winnowing rolling-hash document fingerprints (Schleimer et al.
+    2003) — substring-overlap-robust sketches; deterministic but not
+    SQL-expressible (rows-only check; guarantees + goldens in
+    tests/test_dedup.py)."""
+    from gruut_ray.pipelines.text_stats import winnow_sketches
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = winnow_sketches(ds).select_columns(["doc_id", "sketch_size"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_sessionize(sf_dir: str):
     import pandas as pd
 
@@ -415,6 +427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_documents": _q_quality_filter_documents,
         "minhash_dedup_count": _q_minhash_dedup_count,
         "simhash_signatures": _q_simhash_signatures,
+        "winnow_sketches": _q_winnow_sketches,
         "sessionize": _q_sessionize,
         "asof_attribution": _q_asof_attribution,
     }

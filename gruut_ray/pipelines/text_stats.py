@@ -12,6 +12,7 @@ import re
 import typing
 import zlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -89,6 +90,53 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
                                    digest_size=16).hexdigest())
     return batch.append_column("fingerprint",
                                pa.array(fps, type=pa.string()))
+
+
+def winnow_fingerprints(text: str, k: int = 5, window: int = 4,
+                        ) -> np.ndarray:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): hash every char k-gram, then keep the MINIMUM hash of
+    each sliding window of ``window`` consecutive k-gram hashes
+    (rightmost minimum on ties) — the selected hashes are a position-
+    robust sketch: any shared substring of length ≥ k+window-1 between
+    two documents is guaranteed to share a fingerprint.  Vectorized:
+    the k-gram hash reuses :func:`_shingle-style` byte windows and the
+    window minimum is a strided ``np.min``."""
+    from gruut_ray.pipelines.dedup import _shingle_hashes
+
+    hashes = _shingle_hashes(text or "", k)
+    n = len(hashes)
+    if n == 0:
+        return np.array([], dtype=np.uint64)
+    if n <= window:
+        return np.array([hashes.min()], dtype=np.uint64)
+    wins = np.lib.stride_tricks.sliding_window_view(hashes, window)
+    # rightmost minimum per window: argmin on the reversed axis
+    rev_arg = wins[:, ::-1].argmin(axis=1)
+    pos = np.arange(len(wins)) + (window - 1 - rev_arg)
+    # dedupe consecutive selections of the same global position
+    keep = np.ones(len(pos), dtype=bool)
+    keep[1:] = pos[1:] != pos[:-1]
+    return hashes[pos[keep]]
+
+
+def winnow_sketches(ds: "ray.data.Dataset", text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 5, window: int = 4,
+                    ) -> "ray.data.Dataset":
+    """Per-document winnowing sketch column (list<uint64>) + sketch size —
+    the substring-matching-capable fingerprint family (near-dup detection
+    on partial overlap, plagiarism-style matching) that complements the
+    whole-document blake2b fingerprint and SimHash."""
+    def add(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        sketches = [winnow_fingerprints(t, k, window) for t in texts]
+        batch = batch.append_column(
+            "sketch", pa.array([s.tolist() for s in sketches],
+                               type=pa.list_(pa.uint64())))
+        return batch.append_column(
+            "sketch_size", pa.array([len(s) for s in sketches],
+                                    type=pa.int64()))
+    return ds.map_batches(add, batch_format="pyarrow")
 
 
 def top_k_longest(ds: "ray.data.Dataset", k: int = 10,

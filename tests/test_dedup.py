@@ -196,3 +196,36 @@ def test_minhash_small_vs_distributed_paths_identical(ray_session):
                                     driver_pairs_limit=0,
                                     driver_explode_limit=0))
     assert small == mid == dist
+
+
+def test_winnowing_guarantee_and_determinism():
+    """Winnowing (Schleimer et al. 2003) invariants: any shared substring
+    of length >= k + window - 1 shares a fingerprint; disjoint texts
+    share none; output is deterministic."""
+    from gruut_ray.pipelines.text_stats import winnow_fingerprints
+
+    k, w = 5, 4
+    shared = "a very long shared passage of text"
+    a = winnow_fingerprints("PREFIX ONE " + shared + " SUFFIX ONE", k, w)
+    b = winnow_fingerprints("other start " + shared + " other end", k, w)
+    assert set(a.tolist()) & set(b.tolist())
+    c = winnow_fingerprints("zzz completely different material qqq", k, w)
+    assert not (set(a.tolist()) & set(c.tolist()))
+    assert winnow_fingerprints("hello world", k, w).tolist() == \
+        winnow_fingerprints("hello world", k, w).tolist()
+    # density: at most one fingerprint per window position
+    long = winnow_fingerprints("x" * 50 + "abcdefghijklmnop" * 5, k, w)
+    assert 0 < len(long) <= 50 + 80
+
+
+def test_winnow_sketches_pipeline(ray_session):
+    import ray.data
+
+    from gruut_ray.pipelines.text_stats import winnow_sketches
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = winnow_sketches(ds).select_columns(
+        ["doc_id", "sketch_size"]).to_pandas()
+    assert len(out) == ds.count()
+    assert (out["sketch_size"] > 0).all()
