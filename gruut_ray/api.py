@@ -73,6 +73,7 @@ def sentences(
 
     stage = _stage(espeak=espeak)
     short = stage._short(lang)
+    stage._ensure_lang(short)  # lazy per-language pack load
     word_set = stage._word_sets.get(short)
     lex_check = (lambda w: w in word_set) if word_set else None
     opts = NormalizeOptions(

@@ -103,15 +103,20 @@ class PhonemizeStage:
             self.lexicons.update(build_seed_lexicons())  # de/fr/es seeds
             self.g2p["en"] = EnRuleG2P()
 
+        # Packs are resolved to PATHS here and loaded lazily on the first
+        # document of each language (_ensure_lang): an actor only pays for
+        # (and holds) the languages it actually serves — with lang-routed
+        # partitioning that is typically one or two of the 10+ available
+        # packs (~1.4 s and ~100 MB if all were loaded eagerly).  Mirrors
+        # the reference's Delayed* loaders (gruut/lang.py:2539-2606).
+        self._packs: typing.Dict[str, typing.Any] = {}
         if use_packs:
             from gruut_ray.phonem import packs as _packs
 
             found = _packs.discover()
             if pack_langs is not None:
                 found = {k: v for k, v in found.items() if k in pack_langs}
-            self.lexicons.update(
-                _packs.load_pack_lexicons(found, espeak=espeak))
-            self.g2p.update(_packs.load_pack_g2p(found, espeak=espeak))
+            self._packs = found
 
         if lexicon_paths:
             for lang, path in lexicon_paths.items():
@@ -122,6 +127,33 @@ class PhonemizeStage:
 
         self._word_sets = {lang: lex.word_set()
                            for lang, lex in self.lexicons.items()}
+        self._loaded_langs: typing.Set[str] = set(self.lexicons) | \
+            set(self.g2p)
+
+    def _ensure_lang(self, short: str) -> None:
+        """Load the language's pack lexicon/G2P on first use (memoized)."""
+        if short in self._loaded_langs:
+            return
+        self._loaded_langs.add(short)
+        pack = self._packs.get(short)
+        if pack is None:
+            return
+        from gruut_ray.phonem import packs as _packs
+        from gruut_ray.phonem.crf_g2p import CrfG2P
+
+        lex_path = pack.espeak_lexicon_db if self.espeak else pack.lexicon_db
+        if lex_path and short not in self.lexicons:
+            lex = Lexicon.from_sqlite(lex_path)
+            self.lexicons[short] = lex
+            self._word_sets[short] = lex.word_set()
+        crf_path = pack.espeak_crf_model if self.espeak else pack.crf_model
+        if short not in self.g2p:
+            if crf_path:
+                self.g2p[short] = CrfG2P.load(crf_path)
+            elif not self.espeak:
+                model = _packs.load_perceptron_model(short)
+                if model is not None:
+                    self.g2p[short] = model
 
     # -- per-document -------------------------------------------------------
 
@@ -133,6 +165,7 @@ class PhonemizeStage:
 
     def phonemize_doc(self, text: str, lang: str) -> typing.List[dict]:
         short = self._short(lang)
+        self._ensure_lang(short)
         lex = self.lexicons.get(short)
         word_set = self._word_sets.get(short)
         lex_check = (lambda w: w in word_set) if word_set else None
