@@ -280,8 +280,7 @@ def run_scaling(low: int = 8, high: int = 32,
     med_high = statistics.median(runs[high])
     raw_efficiency = (med_high / med_low) / (high / low)
     hw_eff = statistics.median(r["hardware_efficiency"] for r in hw_runs)
-    hw = {"hardware_efficiency": hw_eff,
-          "runs": [r["hardware_efficiency"] for r in hw_runs]}
+    hw = {"hardware_efficiency": hw_eff, "runs": hw_runs}  # incl. raw ops
     vs_hw = raw_efficiency / hw_eff
     return {
         "metric": "pipeline scaling efficiency normalized to measured "

@@ -43,14 +43,18 @@ def partial_then_merge(
     cardinality × blocks — e.g. fine-grained time windows over a long
     span), a distributed Ray groupby-aggregate shrinks it to one row per
     key BEFORE the driver merge, so the driver never holds more than the
-    final result (VERDICT r01).  The shrink path is NOT taken when
-    ``exact_int_cols`` is set: Ray's Sum combines in int64 and would wrap
-    before the exact merge ever ran — and exact-int users are
-    low-cardinality money rollups whose partials never approach the
-    threshold anyway."""
+    final result (VERDICT r01).  On that path ``exact_int_cols`` combine
+    in int64 (Ray's Sum): exactness then requires each KEY's total to fit
+    int64 — true for high-cardinality keys, whose per-key totals are
+    bounded by the key's slice (an hourly window), not the corpus.  The
+    unbounded-Python-int merge below still protects the other regime
+    (low-cardinality hot keys, e.g. global money rollups), whose partials
+    never approach ``max_driver_rows``."""
+    if not all(agg_spec.get(col) == "sum" for col in exact_int_cols):
+        raise ValueError("exact_int_cols must aggregate with 'sum'")
     partials_ds = ds.map_batches(partial_fn,
                                  batch_format="pyarrow").materialize()
-    if not exact_int_cols and partials_ds.count() > max_driver_rows:
+    if partials_ds.count() > max_driver_rows:
         from ray.data.aggregate import Max, Min, Sum
 
         agg_cls = {"sum": Sum, "min": Min, "max": Max}
@@ -65,8 +69,12 @@ def partial_then_merge(
     # implementations should do the same in their per-batch groupbys
     grouped = partials.groupby(list(group_keys), as_index=False,
                                dropna=False)
-    out = grouped.agg(**{col: (col, how) for col, how in agg_spec.items()
-                         if col not in exact_int_cols})
+    non_exact = {col: (col, how) for col, how in agg_spec.items()
+                 if col not in exact_int_cols}
+    if non_exact:
+        out = grouped.agg(**non_exact)
+    else:
+        out = grouped.size().drop(columns=["size"])
     # exact columns: sum PYTHON ints per group — pandas re-infers int64
     # from .map(int) (verified: Series.map(int).dtype == int64), so the
     # only reliable arbitrary-precision path is summing inside Python

@@ -104,10 +104,10 @@ def winnow_fingerprints(text: str, k: int = 5, window: int = 4,
     window minimum is a strided ``np.min``."""
     from gruut_ray.pipelines.dedup import _shingle_hashes
 
-    hashes = _shingle_hashes(text or "", k)
+    if not text:
+        return np.array([], dtype=np.uint64)  # no content, no fingerprints
+    hashes = _shingle_hashes(text, k)
     n = len(hashes)
-    if n == 0:
-        return np.array([], dtype=np.uint64)
     if n <= window:
         return np.array([hashes.min()], dtype=np.uint64)
     wins = np.lib.stride_tricks.sliding_window_view(hashes, window)

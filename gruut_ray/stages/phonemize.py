@@ -118,6 +118,10 @@ class PhonemizeStage:
                 found = {k: v for k, v in found.items() if k in pack_langs}
             self._packs = found
 
+        # explicit constructor args take precedence over pack data (same
+        # as the old eager path, where they were applied after the packs)
+        self._explicit_lex = set(lexicon_paths or ())
+        self._explicit_g2p = set(g2p_models or ())
         if lexicon_paths:
             for lang, path in lexicon_paths.items():
                 self.lexicons[lang] = Lexicon.from_sqlite(path)
@@ -127,33 +131,51 @@ class PhonemizeStage:
 
         self._word_sets = {lang: lex.word_set()
                            for lang, lex in self.lexicons.items()}
-        self._loaded_langs: typing.Set[str] = set(self.lexicons) | \
-            set(self.g2p)
+        self._pack_loaded: typing.Set[str] = set()
+        self._pack_failures: typing.Dict[str, int] = {}
 
     def _ensure_lang(self, short: str) -> None:
-        """Load the language's pack lexicon/G2P on first use (memoized)."""
-        if short in self._loaded_langs:
+        """Load the language's pack lexicon/G2P on first use (memoized).
+
+        Pack data OVERRIDES the seed lexicons / builtin G2P, matching the
+        eager path's precedence (seeds < packs < explicit args) — en's
+        OOV guesses must come from the en pack CRF, not EnRuleG2P, when
+        the pack is present.  A transient load failure is retried on the
+        next document (up to 3 times) and then degrades to seed data
+        with a warning — it must not silently disable the pack forever."""
+        if short in self._pack_loaded:
             return
-        self._loaded_langs.add(short)
         pack = self._packs.get(short)
         if pack is None:
+            self._pack_loaded.add(short)
             return
         from gruut_ray.phonem import packs as _packs
         from gruut_ray.phonem.crf_g2p import CrfG2P
 
-        lex_path = pack.espeak_lexicon_db if self.espeak else pack.lexicon_db
-        if lex_path and short not in self.lexicons:
-            lex = Lexicon.from_sqlite(lex_path)
-            self.lexicons[short] = lex
-            self._word_sets[short] = lex.word_set()
-        crf_path = pack.espeak_crf_model if self.espeak else pack.crf_model
-        if short not in self.g2p:
-            if crf_path:
-                self.g2p[short] = CrfG2P.load(crf_path)
-            elif not self.espeak:
-                model = _packs.load_perceptron_model(short)
-                if model is not None:
-                    self.g2p[short] = model
+        try:
+            lex_path = (pack.espeak_lexicon_db if self.espeak
+                        else pack.lexicon_db)
+            if lex_path and short not in self._explicit_lex:
+                lex = Lexicon.from_sqlite(lex_path)
+                self.lexicons[short] = lex
+                self._word_sets[short] = lex.word_set()
+            crf_path = (pack.espeak_crf_model if self.espeak
+                        else pack.crf_model)
+            if short not in self._explicit_g2p:
+                if crf_path:
+                    self.g2p[short] = CrfG2P.load(crf_path)
+                elif not self.espeak:
+                    model = _packs.load_perceptron_model(short)
+                    if model is not None:
+                        self.g2p[short] = model
+            self._pack_loaded.add(short)
+        except Exception as exc:  # noqa: BLE001 — degrade, don't poison docs
+            fails = self._pack_failures.get(short, 0) + 1
+            self._pack_failures[short] = fails
+            if fails >= 3:
+                self._pack_loaded.add(short)
+                print(f"gruut_ray: giving up loading {short} language pack "
+                      f"after {fails} attempts ({exc!r}); seed data only")
 
     # -- per-document -------------------------------------------------------
 

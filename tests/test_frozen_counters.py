@@ -28,9 +28,12 @@ def test_quality_filter_frozen_keep_count(ray_session):
 
 
 def test_phonemize_frozen_totals(ray_session):
+    # n_phonemes counts pack-CRF guesses for OOV words in en/de/es/fr
+    # (41249 would mean the packs' G2P models failed to load — the lazy-
+    # loading regression caught by code review r02)
     ph = _pd(QUERIES["phonemize_documents"](SF_DIR))
     assert int(ph["n_words"].sum()) == 42248
-    assert int(ph["n_phonemes"].sum()) == 41249
+    assert int(ph["n_phonemes"].sum()) == 93748
     assert int(ph["n_oov"].sum()) == 41442
 
 
