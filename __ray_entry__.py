@@ -366,8 +366,10 @@ def _q_asof_attribution(sf_dir: str):
 
 
 def _q_phonemize_documents(sf_dir: str):
-    """Normalize + POS + lexicon/G2P phonemize every en document (model-
-    driven — rows-only check; goldens live in tests/test_phonem.py)."""
+    """Normalize + POS + lexicon/G2P phonemize every document (per-lang
+    packs + seed lexicons + CRF/perceptron G2P; model-driven — rows-only
+    check; goldens live in tests/test_phonem.py, test_phonem_packs.py,
+    frozen totals in tests/test_frozen_counters.py)."""
     from gruut_ray.stages.phonemize import phonemize
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])

@@ -37,6 +37,23 @@ def get_args(argv: typing.Optional[typing.Sequence[str]] = None):
     parser.add_argument("--espeak", action="store_true",
                         help="Use eSpeak phoneme variant of the language "
                              "data packs (reference --espeak)")
+    parser.add_argument("--model-prefix", default="",
+                        help="Sub-directory of language data packs to use "
+                             "(reference --model-prefix; 'espeak' is the "
+                             "variant shipped with gruut packs)")
+    parser.add_argument("--stdin-format", choices=("auto", "lines",
+                                                   "document"),
+                        default="auto",
+                        help="Interpret stdin as one text per line or one "
+                             "whole document (auto: document for --ssml, "
+                             "lines otherwise; reference --stdin-format)")
+    parser.add_argument("--no-post-process", action="store_true",
+                        help="Disable per-sentence post-processing hooks "
+                             "(reference --no-post-process)")
+    parser.add_argument("--debug", action="store_true",
+                        help="Print DEBUG messages to stderr")
+    parser.add_argument("--version", action="version",
+                        version="gruut_ray engine (gruut 2.4.0 surface)")
     parser.add_argument("--no-numbers", action="store_true")
     parser.add_argument("--no-currency", action="store_true")
     parser.add_argument("--no-dates", action="store_true")
@@ -119,6 +136,7 @@ def process_line(line: str, args) -> typing.List:
         verbalize_currency=not args.no_currency,
         verbalize_dates=not args.no_dates,
         verbalize_times=not args.no_times,
+        post_process=not args.no_post_process,
     ))
 
 
@@ -129,9 +147,22 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None,
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
 
+    if args.debug:
+        import logging
+
+        logging.basicConfig(level=logging.DEBUG)
+    if args.model_prefix:
+        if args.model_prefix != "espeak":
+            print(f"unknown --model-prefix {args.model_prefix!r} "
+                  "(only 'espeak' packs ship with gruut data)",
+                  file=sys.stderr)
+            return 2
+        args.espeak = True
+
     if args.text:
         lines: typing.Iterable[str] = args.text
-    elif args.ssml:
+    elif args.stdin_format == "document" or \
+            (args.stdin_format == "auto" and args.ssml):
         lines = [stdin.read()]
     else:
         lines = (line.rstrip("\n") for line in stdin)

@@ -63,6 +63,7 @@ def sentences(
     verbalize_currency: bool = True,
     verbalize_dates: bool = True,
     verbalize_times: bool = True,
+    post_process: bool = True,
 ) -> typing.Iterable[SentenceOut]:
     """Process text into sentences (reference gruut/__init__.py:36-91
     signature).  ``espeak=True`` selects the eSpeak phoneme variant of the
@@ -85,7 +86,7 @@ def sentences(
     )
 
     sents = process_document(text, lang=lang, lex=lex_check, opts=opts,
-                             ssml=ssml)
+                             ssml=ssml, post_process=post_process)
     lexicon = stage.lexicons.get(short)
     g2p = stage.g2p.get(short)
     for sent in sents:

@@ -974,7 +974,8 @@ def run_fixed_point(
 
 def assemble(paragraphs: typing.List[typing.List[SentenceTokens]],
              default_lang: str,
-             break_phonemes: bool = True) -> typing.List[SentenceOut]:
+             break_phonemes: bool = True,
+             post_process: bool = True) -> typing.List[SentenceOut]:
     """Token lists -> flat Sentence/Word records (reference
     text_processor.py:102-391)."""
     out: typing.List[SentenceOut] = []
@@ -1034,7 +1035,7 @@ def assemble(paragraphs: typing.List[typing.List[SentenceTokens]],
                 pause_after_ms=sent.pause_after_ms + trailing_pause,
                 voice=words[0].voice if words else "",
             ))
-            post = cp.hooks.post_process_sentence
+            post = cp.hooks.post_process_sentence if post_process else None
             if post is not None:  # reference text_processor.py:1186-1199
                 post(out[-1])
     return out
@@ -1046,10 +1047,12 @@ def process_document(
     lex: LexiconCheck = None,
     opts: NormalizeOptions = DEFAULT_OPTIONS,
     ssml: bool = False,
+    post_process: bool = True,
 ) -> typing.List[SentenceOut]:
     """Normalize one document into sentences of words — the fused equivalent
     of ``TextProcessor.process()`` + ``.sentences()`` for plain text
-    (reference gruut/__init__.py:36-91)."""
+    (reference gruut/__init__.py:36-91).  ``post_process=False`` skips the
+    profile's per-sentence hooks (reference CLI ``--no-post-process``)."""
     lang = resolve_lang(lang)
     pre = get_compiled(lang).hooks.pre_process_text
     if pre is not None and not ssml:  # reference text_processor.py:1591-1593
@@ -1061,7 +1064,7 @@ def process_document(
         paragraphs = [[SentenceTokens(tokenize(text, lang, lex), implicit=True,
                                       lang=lang)]]
     run_fixed_point(paragraphs, lex, opts)
-    return assemble(paragraphs, lang)
+    return assemble(paragraphs, lang, post_process=post_process)
 
 
 def sentences_for_text(text: str, lang: str = "en-us", ssml: bool = False,

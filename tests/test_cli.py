@@ -103,3 +103,27 @@ def test_csv_blank_lines_and_extra_columns():
     assert rows[0][:3] == ["id1", "hello", "extra"]
     assert rows[0][3] == "hello"  # column 1 phonemized, not 'extra'
     assert rows[1][0] == "id2"
+
+
+def test_cli_reference_parity_flags(capsys):
+    from gruut_ray.__main__ import main
+    import io, json
+
+    # --stdin-format document: whole stdin is one text
+    out = io.StringIO()
+    rc = main(["--stdin-format", "document", "-l", "en"],
+              stdin=io.StringIO("One sentence. Two sentence."), stdout=out)
+    assert rc == 0
+    recs = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert len(recs) == 2  # both sentences from the single document
+
+    # --model-prefix espeak behaves like --espeak; unknown prefix errors
+    out = io.StringIO()
+    assert main(["--model-prefix", "espeak", "hello"], stdout=out) == 0
+    assert main(["--model-prefix", "nope", "hello"],
+                stdout=io.StringIO()) == 2
+
+    # --no-post-process accepted and passes through
+    out = io.StringIO()
+    assert main(["--no-post-process", "hello world"], stdout=out) == 0
+    assert json.loads(out.getvalue().splitlines()[0])["text"]
