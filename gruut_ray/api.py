@@ -85,10 +85,16 @@ def sentences(
         detect_times=verbalize_times, verbalize_times=verbalize_times,
     )
 
+    # post hooks run HERE, after phonemization — the reference's
+    # post_process_sentence timing (hooks like French liaison read
+    # word.phonemes, text_processor.py:1186-1199) — not inside
+    # process_document's assemble
     sents = process_document(text, lang=lang, lex=lex_check, opts=opts,
-                             ssml=ssml, post_process=post_process)
+                             ssml=ssml, post_process=False)
     lexicon = stage.lexicons.get(short)
     g2p = stage.g2p.get(short)
+    from gruut_ray.profiles import get_compiled
+
     for sent in sents:
         spoken = [i for i, w in enumerate(sent.words) if w.is_spoken]
         if pos and short == "en" and spoken:
@@ -122,4 +128,8 @@ def sentences(
         for i, w in enumerate(kept):
             w.idx = i
         sent.words = kept
+        if post_process:
+            post = get_compiled(sent.lang or lang).hooks.post_process_sentence
+            if post is not None:
+                post(sent)
         yield sent

@@ -6,6 +6,7 @@ from __future__ import annotations
 import typing
 
 import gruut_ray.profiles.en  # noqa: F401  (registers English hooks)
+import gruut_ray.profiles.fr  # noqa: F401  (registers French liaison hook)
 from gruut_ray.profiles.base import (  # noqa: F401
     CompiledProfile,
     LanguageProfile,

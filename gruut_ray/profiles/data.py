@@ -103,6 +103,7 @@ DE = LanguageProfile(
 
 FR = LanguageProfile(
     lang="fr-fr",
+    hooks="fr",
     minor_breaks=(",", ";", ":", "..."),
     begin_punctuations=_Q_BEGIN,
     end_punctuations=_Q_END,

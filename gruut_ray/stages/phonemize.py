@@ -192,8 +192,13 @@ class PhonemizeStage:
         word_set = self._word_sets.get(short)
         lex_check = (lambda w: w in word_set) if word_set else None
 
+        # post hooks run after phonemes attach (reference
+        # post_process_sentence timing — e.g. French liaison reads
+        # word.phonemes), so assemble() must not run them
         sentences = process_document(text or "", lang=lang or "en",
-                                     lex=lex_check)
+                                     lex=lex_check, post_process=False)
+        from gruut_ray.profiles import get_compiled
+
         g2p = self.g2p.get(short)
         out_sents: typing.List[dict] = []
         for sent in sentences:
@@ -206,7 +211,7 @@ class PhonemizeStage:
                     w.pos = tags[k]
                     if not w.role:  # explicit roles (gruut:letter) win
                         w.role = roles[k]
-            out_words = []
+            in_lex_flags: typing.List[bool] = []
             for w in sent.words:
                 phonemes = w.phonemes
                 # explicit SSML/inline-lexicon pronunciations are
@@ -223,13 +228,21 @@ class PhonemizeStage:
                         # reference lowercases before the G2P guess
                         # (lang.py:116 transform_func=str.lower)
                         phonemes = list(g2p(w.text.lower()))
+                w.phonemes = list(phonemes) if phonemes else None
+                in_lex_flags.append(in_lex)
+            post = get_compiled(sent.lang or lang or "en") \
+                .hooks.post_process_sentence
+            if post is not None:
+                post(sent)
+            out_words = []
+            for w, in_lex in zip(sent.words, in_lex_flags):
                 out_words.append({
                     "idx": w.idx,
                     "text": w.text,
                     "text_with_ws": w.text_with_ws,
                     "pos": w.pos or "",
                     "role": w.role or "",
-                    "phonemes": phonemes or [],
+                    "phonemes": list(w.phonemes) if w.phonemes else [],
                     "is_major_break": w.is_major_break,
                     "is_minor_break": w.is_minor_break,
                     "is_punctuation": w.is_punctuation,

@@ -212,3 +212,38 @@ def test_crf_reader_matches_reference_outputs():
         assert list(it("il")) == ["i", "l"]
         assert list(it("anguille")) == ["a", "n", "ɡ", "w", "i", "l",
                                         "l", "e"]
+
+
+# -- French liaison (reference tests/test_fr.py, gruut/lang.py:553-676) -----
+
+def _fr_word(text, word, post_process=True):
+    sent = next(iter(gruut_ray.sentences(text, lang="fr_FR",
+                                         post_process=post_process)))
+    return next(w for w in sent.words if w.text == word).phonemes
+
+
+@_needs("fr", "crf_model")
+def test_fr_liason_after_determiner():
+    assert _fr_word("Les arbres", "Les", post_process=False) == ["l", "e"]
+    assert _fr_word("Les arbres", "Les") == ["l", "e", "z"]
+
+
+@_needs("fr", "crf_model")
+def test_fr_liason_adjective_noun():
+    text = "J’ai des petites oreilles."
+    assert _fr_word(text, "petites", post_process=False) == \
+        ["p", "ə", "t", "i", "t"]
+    assert _fr_word(text, "petites") == ["p", "ə", "t", "i", "t", "z"]
+
+
+@_needs("fr", "crf_model")
+def test_fr_liason_pronoun_verb():
+    assert _fr_word("On est là!", "On", post_process=False) == ["ɔ̃"]
+    assert _fr_word("On est là!", "On") == ["ɔ̃", "n"]
+
+
+@_needs("fr", "crf_model")
+def test_fr_liason_tres():
+    text = "C’est très amusant!"
+    assert _fr_word(text, "très", post_process=False) == ["t", "ʁ", "ɛ"]
+    assert _fr_word(text, "très") == ["t", "ʁ", "ɛ", "z"]
