@@ -7,6 +7,7 @@ import typing
 
 import gruut_ray.profiles.en  # noqa: F401  (registers English hooks)
 import gruut_ray.profiles.fr  # noqa: F401  (registers French liaison hook)
+import gruut_ray.profiles.misc_hooks  # noqa: F401  (ca/fa post hooks)
 from gruut_ray.profiles.base import (  # noqa: F401
     CompiledProfile,
     LanguageProfile,

@@ -213,6 +213,7 @@ CS = LanguageProfile(
 
 FA = LanguageProfile(
     lang="fa",
+    hooks="fa",
     month_names=("ژانویه", "فوریه", "مارس", "آوریل", "مه", "ژوئن", "ژوئیه", "اوت", "سپتامبر", "اکتبر", "نوامبر", "دسامبر"),
     major_breaks=(".", "؟", "!"),
     begin_punctuations=('"', "“", "«", "[", "(", "<", "’", "„"),
@@ -309,6 +310,7 @@ SW = LanguageProfile(
 
 CA = LanguageProfile(
     lang="ca-ce",
+    hooks="ca",
     month_names=("gener", "febrer", "març", "abril", "maig", "juny", "juliol", "agost", "setembre", "octubre", "novembre", "desembre"),
     minor_breaks=(",", ";", ":", "..."),
     begin_punctuations=_Q_BEGIN,

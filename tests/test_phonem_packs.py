@@ -247,3 +247,32 @@ def test_fr_liason_tres():
     text = "C’est très amusant!"
     assert _fr_word(text, "très", post_process=False) == ["t", "ʁ", "ɛ"]
     assert _fr_word(text, "très") == ["t", "ʁ", "ɛ", "z"]
+
+
+# -- Catalan / Persian post hooks (reference lang.py:2424-2470, 507-524) ----
+
+def test_ca_l_pal_l_fix():
+    from gruut_ray.nlp.normalize import SentenceOut, WordOut
+    from gruut_ray.profiles import get_compiled
+
+    w = WordOut(idx=0, text="illa", text_with_ws="illa ",
+                phonemes=["i", "l", "ʎ", "l", "a"])
+    sent = SentenceOut(idx=0, par_idx=0, text="illa", text_with_ws="illa ",
+                       text_spoken="illa", lang="ca", words=[w])
+    get_compiled("ca").hooks.post_process_sentence(sent)
+    assert w.phonemes == ["i", "l", "l", "a"]
+
+
+def test_fa_ezafe_appended():
+    from gruut_ray.nlp.normalize import SentenceOut, WordOut
+    from gruut_ray.profiles import get_compiled
+
+    w = WordOut(idx=0, text="کتاب", text_with_ws="کتاب ",
+                phonemes=["k", "e", "t", "ɒː", "b"], pos="Ne")
+    other = WordOut(idx=1, text="من", text_with_ws="من ",
+                    phonemes=["m", "æ", "n"], pos="")
+    sent = SentenceOut(idx=0, par_idx=0, text="", text_with_ws="",
+                       text_spoken="", lang="fa", words=[w, other])
+    get_compiled("fa").hooks.post_process_sentence(sent)
+    assert w.phonemes[-1] == "e̞"
+    assert other.phonemes == ["m", "æ", "n"]
