@@ -74,6 +74,15 @@ def _elem_id(elem) -> str:
     return ""
 
 
+def _elem_lang(elem, default: str) -> str:
+    """lang or xml:lang attribute (namespace-agnostic; reference reads
+    xml:lang per the SSML spec, e.g. tests/test_ssml.py wikipedia case)."""
+    for key, value in elem.attrib.items():
+        if key == "lang" or key.endswith("}lang"):
+            return value
+    return default
+
+
 def _collect_inline_lexicons(root) -> typing.Dict[
         str, typing.Dict[typing.Tuple[str, str], typing.List[str]]]:
     """<lexicon xml:id=...><lexeme [role]><grapheme>w</grapheme>
@@ -196,7 +205,9 @@ def parse_ssml(
              audio_src: str = "") -> None:
         nonlocal pending_pause_ms
         tag = _strip_ns(elem.tag).lower()
-        lang = resolve_lang(elem.get("lang", lang))
+        if tag in ("metadata", "meta", "desc"):
+            return  # non-content elements (SSML spec; reference skips them)
+        lang = resolve_lang(_elem_lang(elem, lang))
         if tag == "voice":
             voice = elem.get("name", voice)
         if tag == "prosody":

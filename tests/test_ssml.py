@@ -213,3 +213,122 @@ def test_audio_fallback_text_and_src():
     by_text = {w.text: w.audio_src for w in words}
     assert by_text["fallback"] == "x.wav" and by_text["words"] == "x.wav"
     assert by_text["Before"] == "" and by_text["after"] == ""
+
+
+def test_wikipedia_example():
+    # reference tests/test_ssml.py:14-62 (lang codes canonicalized here:
+    # es-MX resolves to the es profile)
+    import gruut_ray
+
+    text = """<?xml version="1.0"?>
+<speak xmlns="http://www.w3.org/2001/10/synthesis"
+       xmlns:dc="http://purl.org/dc/elements/1.1/"
+       version="1.0">
+  <metadata>
+    <dc:title xml:lang="en">Telephone Menu: Level 1</dc:title>
+  </metadata>
+  <p>
+    <s xml:lang="en-US">
+      <voice name="David" gender="male" age="25">
+        For English, press <emphasis>one</emphasis>.
+      </voice>
+    </s>
+    <s xml:lang="es-MX">
+      <voice name="Miguel" gender="male" age="25">
+        Para español, oprima el <emphasis>dos</emphasis>.
+      </voice>
+    </s>
+  </p>
+</speak>"""
+    rows = [(s.idx, w.idx, w.lang, w.voice, w.text)
+            for s in gruut_ray.sentences(text, ssml=True)
+            for w in s.words]
+    assert rows == [
+        (0, 0, "en-us", "David", "For"),
+        (0, 1, "en-us", "David", "English"),
+        (0, 2, "en-us", "David", ","),
+        (0, 3, "en-us", "David", "press"),
+        (0, 4, "en-us", "David", "one"),
+        (0, 5, "en-us", "David", "."),
+        (1, 0, "es-es", "Miguel", "Para"),
+        (1, 1, "es-es", "Miguel", "español"),
+        (1, 2, "es-es", "Miguel", ","),
+        (1, 3, "es-es", "Miguel", "oprima"),
+        (1, 4, "es-es", "Miguel", "el"),
+        (1, 5, "es-es", "Miguel", "dos"),
+        (1, 6, "es-es", "Miguel", "."),
+    ]
+
+
+def test_lang_s_vendored():
+    # reference tests/test_ssml.py:64-106 — per-<s> xml:lang switches the
+    # date verbalizer (en "February first two thousand" vs it "due
+    # gennaio duemila", no article)
+    import gruut_ray
+
+    text = """<?xml version="1.0" encoding="ISO-8859-1"?>
+    <speak version="1.1" xml:lang="en-US">
+    <s>Today, 2/1/2000.</s>
+    <s xml:lang="it">Un mese fà, 2/1/2000.</s>
+    </speak>"""
+    rows = [(s.idx, w.idx, w.lang, w.text)
+            for s in gruut_ray.sentences(text, ssml=True) for w in s.words]
+    assert rows == [
+        (0, 0, "en-us", "Today"), (0, 1, "en-us", ","),
+        (0, 2, "en-us", "February"), (0, 3, "en-us", "first"),
+        (0, 4, "en-us", ","), (0, 5, "en-us", "two"),
+        (0, 6, "en-us", "thousand"), (0, 7, "en-us", "."),
+        (1, 0, "it-it", "Un"), (1, 1, "it-it", "mese"),
+        (1, 2, "it-it", "fà"), (1, 3, "it-it", ","),
+        (1, 4, "it-it", "due"), (1, 5, "it-it", "gennaio"),
+        (1, 6, "it-it", "duemila"), (1, 7, "it-it", "."),
+    ]
+
+
+def test_token_zh_vendored():
+    # reference tests/test_ssml.py:174-229 — explicit <token>/<w> spans
+    # stay whole while surrounding zh text splits per character
+    import gruut_ray
+
+    text = """<speak xml:lang="zh-CN">
+  <token>南京市</token><token>长江大桥</token>。
+  南京市长<w>江大桥</w>。
+  上海是个<w>大都会</w>。
+  上海人<w>大都</w>会那么说。
+</speak>"""
+    rows = [(s.idx, w.idx, w.text)
+            for s in gruut_ray.sentences(text, ssml=True) for w in s.words]
+    assert rows == [
+        (0, 0, "南京市"), (0, 1, "长江大桥"), (0, 2, "。"),
+        (1, 0, "南"), (1, 1, "京"), (1, 2, "市"), (1, 3, "长"),
+        (1, 4, "江大桥"), (1, 5, "。"),
+        (2, 0, "上"), (2, 1, "海"), (2, 2, "是"), (2, 3, "个"),
+        (2, 4, "大都会"), (2, 5, "。"),
+        (3, 0, "上"), (3, 1, "海"), (3, 2, "人"), (3, 3, "大都"),
+        (3, 4, "会"), (3, 5, "那"), (3, 6, "么"), (3, 7, "说"),
+        (3, 8, "。"),
+    ]
+
+
+def test_lang_element_vendored():
+    # reference tests/test_ssml.py:263-304 — <w xml:lang> and <lang>
+    # switch language inline without breaking the sentence
+    import gruut_ray
+
+    text = """<speak xml:lang="en-US">
+  The French word for cat is <w xml:lang="fr">chat</w>.
+  He prefers to eat pasta that is <lang xml:lang="it">al dente</lang>.
+</speak>"""
+    rows = [(s.idx, w.idx, w.lang, w.text)
+            for s in gruut_ray.sentences(text, ssml=True) for w in s.words]
+    assert rows == [
+        (0, 0, "en-us", "The"), (0, 1, "en-us", "French"),
+        (0, 2, "en-us", "word"), (0, 3, "en-us", "for"),
+        (0, 4, "en-us", "cat"), (0, 5, "en-us", "is"),
+        (0, 6, "fr-fr", "chat"), (0, 7, "en-us", "."),
+        (1, 0, "en-us", "He"), (1, 1, "en-us", "prefers"),
+        (1, 2, "en-us", "to"), (1, 3, "en-us", "eat"),
+        (1, 4, "en-us", "pasta"), (1, 5, "en-us", "that"),
+        (1, 6, "en-us", "is"), (1, 7, "it-it", "al"),
+        (1, 8, "it-it", "dente"), (1, 9, "en-us", "."),
+    ]
