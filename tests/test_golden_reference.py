@@ -179,3 +179,58 @@ def test_huge_numbers_stay_unexpanded_not_crash():
         sents = process_document(text, lang)
         joined = " ".join(s.text_spoken for s in sents)
         assert "2000000" in joined, (lang, joined)
+
+
+# -- full pragmatic-segmenter golden-rule suite -----------------------------
+# (reference tests/test_golden_rules.py — sentences() with number/currency
+# verbalization disabled, exactly as the reference's _get_sentences helper)
+
+_GOLDEN_RULE_CASES = [
+    ("Hello World. My name is Jonas.",
+     ["Hello World.", "My name is Jonas."]),
+    ("What is your name? My name is Jonas.",
+     ["What is your name?", "My name is Jonas."]),
+    ("There it is! I found it.", ["There it is!", "I found it."]),
+    ("My name is Jonas E. Smith.", ["My name is Jonas E Smith."]),
+    ("Please turn to p. 55.", ["Please turn to p 55."]),
+    ("Were Jane and co. at the party?",
+     ["Were Jane and company at the party?"]),
+    ("They closed the deal with Pitt, Briggs & Co. at noon.",
+     ["They closed the deal with Pitt, Briggs and Company at noon."]),
+    ("Let's ask Jane and co. They should know.",
+     ["Let's ask Jane and company They should know."]),
+    ("They closed the deal with Pitt, Briggs & Co. It closed yesterday.",
+     ["They closed the deal with Pitt, Briggs and Company It closed "
+      "yesterday."]),
+    ("I can see Mt. Fuji from here.", ["I can see Mount Fuji from here."]),
+    # (the Saint/street disambiguation rule is commented out in the
+    # reference too — gruut expands both "St."s the same way; we pin our
+    # actual behavior: "Street" for both, no sentence break)
+    ("St. Michael's Church is on 5th st. near the light.",
+     ["Street Michael's Church is on 5th street near the light."]),
+    ("That is JFK Jr.'s book.", ["That is JFK Junior's book."]),
+    ("I visited the U.S.A. last year.", ["I visited the U S A last year."]),
+    ("I have lived in the U.S. for 20 years.",
+     ["I have lived in the U S for 20 years."]),
+    ("She has $100.00 in her bag.", ["She has $100.00 in her bag."]),
+    ("Hello!! Long time no see.", ["Hello!!", "Long time no see."]),
+    ("Hello?? Who is there?", ["Hello??", "Who is there?"]),
+    ("Hello!? Is that you?", ["Hello!?", "Is that you?"]),
+    ("Hello?! Is that you?", ["Hello?!", "Is that you?"]),
+    ("This is a sentence\ncut off in the middle because pdf.",
+     ["This is a sentence cut off in the middle because pdf."]),
+    ("It was a cold \nnight in the city.",
+     ["It was a cold night in the city."]),
+    ("I never meant that.... She left the store.",
+     ["I never meant that....", "She left the store."]),
+]
+
+
+def test_golden_rules_full_suite():
+    import gruut_ray
+
+    for text, expected in _GOLDEN_RULE_CASES:
+        got = [s.text for s in gruut_ray.sentences(
+            text, lang="en_US", verbalize_numbers=False,
+            verbalize_currency=False)]
+        assert got == expected, (text, got, expected)
