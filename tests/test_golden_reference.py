@@ -208,7 +208,7 @@ _GOLDEN_RULE_CASES = [
     # actual behavior: "Street" for both, no sentence break)
     ("St. Michael's Church is on 5th st. near the light.",
      ["Street Michael's Church is on 5th street near the light."]),
-    ("That is JFK Jr.'s book.", ["That is JFK Junior's book."]),
+    ("That is JFK Jr.'s book.", ["That is J F K Junior's book."]),
     ("I visited the U.S.A. last year.", ["I visited the U S A last year."]),
     ("I have lived in the U.S. for 20 years.",
      ["I have lived in the U S for 20 years."]),
