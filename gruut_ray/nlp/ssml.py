@@ -21,8 +21,9 @@ supports the subset that affects batch text processing:
   additionally carried attribution-only onto the contained words
   (``Tok.prosody`` / ``Tok.audio_src``), like ``<voice>``.
 
-``<lexicon uri=...>`` is not fetched — no network at scale; pre-resolve
-external lexicons offline.
+``<lexicon uri="file://...">`` loads a local W3C PLS document (reference
+tests/test_ssml.py:358-386); network URIs are not fetched — no network
+at scale, pre-resolve remote lexicons offline.
 """
 
 from __future__ import annotations
@@ -88,14 +89,26 @@ def _collect_inline_lexicons(root) -> typing.Dict[
     """<lexicon xml:id=...><lexeme [role]><grapheme>w</grapheme>
     <phoneme>p p</phoneme></lexeme>... (reference
     text_processor.py:596-1001 IN_LEXICON states; format shown in
-    reference tests/test_ssml.py:305-340).  URI-based lexicons are not
-    fetched (no network at scale — pre-resolve offline, SURVEY §2.1)."""
+    reference tests/test_ssml.py:305-340).  file:// URIs load local
+    PLS documents; network URIs are not fetched (no network at scale
+    — pre-resolve offline, SURVEY §2.1)."""
     lexicons: typing.Dict[str, dict] = {}
     for elem in root.iter():
         if _strip_ns(elem.tag).lower() != "lexicon":
             continue
         lex_id = _elem_id(elem)
         entries = lexicons.setdefault(lex_id, {})
+        uri = elem.get("uri", "")
+        if uri.startswith("file://"):
+            # LOCAL file URIs only (reference tests/test_ssml.py
+            # test_lexicon_external): a W3C PLS document whose root holds
+            # the lexemes.  Network URIs stay unsupported — no network at
+            # scale; pre-resolve remote lexicons offline.
+            try:
+                with open(uri[len("file://"):], encoding="utf-8") as f:
+                    elem = ET.fromstring(f.read())
+            except (OSError, ET.ParseError):
+                continue
         for lexeme in elem:
             if _strip_ns(lexeme.tag).lower() != "lexeme":
                 continue

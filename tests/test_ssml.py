@@ -332,3 +332,27 @@ def test_lang_element_vendored():
         (1, 6, "en-us", "is"), (1, 7, "it-it", "al"),
         (1, 8, "it-it", "dente"), (1, 9, "en-us", "."),
     ]
+
+
+def test_lexicon_external_file_uri():
+    # reference tests/test_ssml.py:358-386 — <lexicon uri="file://..."/>
+    # loads a local W3C PLS document (network URIs stay unsupported)
+    import os
+
+    import gruut_ray
+
+    pls = "/root/reference/etc/sample_lexicon.xml"
+    if not os.path.isfile(pls):
+        import pytest
+        pytest.skip("reference sample_lexicon.xml not available")
+    text = f"""<?xml version="1.0"?>
+<speak version="1.1" xml:lang="en-US">
+  <lexicon xml:id="test" alphabet="ipa" uri="file://{pls}" />
+  <lookup ref="test">
+    <w>tomato</w>
+  </lookup>
+</speak>"""
+    rows = [(s.idx, w.idx, w.phonemes)
+            for s in gruut_ray.sentences(text, ssml=True)
+            for w in s.words]
+    assert rows == [(0, 0, ["t", "ə", "m", "e", "i̥", "ɾ", "o", "u̥"])]
