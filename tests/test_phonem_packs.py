@@ -276,3 +276,60 @@ def test_fa_ezafe_appended():
     get_compiled("fa").hooks.post_process_sentence(sent)
     assert w.phonemes[-1] == "e̞"
     assert other.phonemes == ["m", "æ", "n"]
+
+
+@_needs("pt", "crf_model")
+def test_hovercraft_pt():
+    # full golden parity via the pt CRF G2P alone (no pt lexicon.db ships
+    # in this checkout — every word is a CRF guess and matches exactly)
+    assert get_phonemes("O meu hovercraft está cheio de enguias.",
+                        "pt") == [
+        ("O", ["u"]),
+        ("meu", ["m", "ew"]),
+        ("hovercraft", ["o", "v", "e", "ɹ", "k", "ɾ", "ɐ", "f", "t", "ʃ"]),
+        ("está", ["e", "s", "t", "ɐ"]),
+        ("cheio", ["ʃ", "ej", "u"]),
+        ("de", ["d", "ʒ", "i"]),
+        ("enguias", ["ẽ", "ɡ", "j", "ɐ", "s"]),
+        (".", ["‖"]),
+    ]
+
+
+@_needs("sw", "crf_model")
+def test_hovercraft_sw():
+    # full golden parity via the sw CRF G2P alone
+    assert get_phonemes("Gari langu linaloangama limejaa na mikunga.",
+                        "sw") == [
+        ("Gari", ["ɠ", "ɑ", "ɾ", "i"]),
+        ("langu", ["l", "ɑ", "ᵑg", "u"]),
+        ("linaloangama",
+         ["l", "i", "n", "ɑ", "l", "ɔ", "ɑ", "ᵑg", "ɑ", "m", "ɑ"]),
+        ("limejaa", ["l", "i", "m", "ɛ", "ʄ", "ɑ", "ɑ"]),
+        ("na", ["n", "ɑ"]),
+        ("mikunga", ["m", "i", "k", "u", "ᵑg", "ɑ"]),
+        (".", ["‖"]),
+    ]
+
+
+@_needs("ru", "crf_model")
+def test_hovercraft_ru_partial():
+    # CRF guesses match the goldens except vowel length on three words
+    # whose reference pronunciations come from the (unshipped) ru lexicon
+    out = dict(get_phonemes("Моё судно на воздушной подушке полно угрей.",
+                            "ru_RU"))
+    assert out["Моё"] == ["m", "o", "j", "oː"]
+    assert out["судно"] == ["s", "uː", "d", "n", "o"]
+    assert out["воздушной"] == ["v", "o", "z", "d", "uː", "ʂ", "n", "o", "j"]
+    assert out["подушке"] == ["p", "o", "d", "uː", "ʂ", "kʲ", "e"]
+    assert all(out.values())
+
+
+@_needs("fa", "crf_model")
+def test_hovercraft_fa_partial():
+    # fa golden needs the hazm POS tagger (ezafe) + lexicon; the CRF body
+    # of the first word matches the golden minus the trailing ezafe vowel
+    out = dict(get_phonemes("هاورکرافت من پر مارماهى است", "fa"))
+    assert out["هاورکرافت"] == ["h", "ɒː", "v", "æ", "ɾ", "k", "æ", "ɾ",
+                                "ɒː", "f", "t"]
+    assert out["من"] == ["m", "æ", "n"]
+    assert all(out.values())
