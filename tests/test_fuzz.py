@@ -66,3 +66,27 @@ def test_whitespace_reconstruction(text):
 def test_ssml_auto_wrap_never_crashes(text):
     # arbitrary (usually non-XML) text through the SSML path
     process_document(text, "en", ssml=True)
+
+
+@settings(max_examples=150, deadline=None)
+@given(any_text)
+def test_ssml_parser_never_crashes(text):
+    """Malformed web text fed through the SSML path (broken tags, stray
+    entities, control chars) must degrade, never raise."""
+    for wrapper in (text, f"<speak>{text}</speak>",
+                    f"<speak><s>{text}</s><prosody rate='x'>{text}"
+                    f"</prosody></speak>"):
+        sents = process_document(wrapper, lang="en", ssml=True)
+        for s in sents:
+            for w in s.words:
+                assert w.text is not None
+
+
+@settings(max_examples=100, deadline=None)
+@given(any_text)
+def test_ssml_attributes_never_crash(text):
+    clean = text.replace('"', "").replace("<", "").replace(">", "")
+    ssml = (f'<speak><voice name="{clean}"><break time="{clean}"/>'
+            f'<audio src="{clean}">x</audio>'
+            f'<say-as interpret-as="{clean}">5</say-as></voice></speak>')
+    process_document(ssml, lang="en", ssml=True)
