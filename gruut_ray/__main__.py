@@ -151,6 +151,10 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None,
         import logging
 
         logging.basicConfig(level=logging.DEBUG)
+    if args.csv and args.stdin_format == "document":
+        print("--csv reads one id|text row per line; it cannot combine "
+              "with --stdin-format document", file=sys.stderr)
+        return 2
     if args.model_prefix:
         if args.model_prefix != "espeak":
             print(f"unknown --model-prefix {args.model_prefix!r} "

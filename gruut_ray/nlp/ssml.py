@@ -104,9 +104,23 @@ def _collect_inline_lexicons(root) -> typing.Dict[
             # test_lexicon_external): a W3C PLS document whose root holds
             # the lexemes.  Network URIs stay unsupported — no network at
             # scale; pre-resolve remote lexicons offline.
+            #
+            # SECURITY: loading is OPT-IN via $GRUUT_RAY_ALLOW_FILE_LEXICONS
+            # — this engine processes UNTRUSTED web documents, and a
+            # hostile <lexicon uri="file:///dev/zero"> would otherwise
+            # hang/OOM a worker or read local files into output phonemes.
+            # Reads are capped and restricted to regular files.
+            import os
+
+            if not os.environ.get("GRUUT_RAY_ALLOW_FILE_LEXICONS"):
+                continue
+            path = uri[len("file://"):]
             try:
-                with open(uri[len("file://"):], encoding="utf-8") as f:
-                    elem = ET.fromstring(f.read())
+                if not os.path.isfile(path) or \
+                        os.path.getsize(path) > 5_000_000:
+                    continue
+                with open(path, encoding="utf-8") as f:
+                    elem = ET.fromstring(f.read(5_000_001))
             except (OSError, ET.ParseError):
                 continue
         for lexeme in elem:

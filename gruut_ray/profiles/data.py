@@ -223,6 +223,14 @@ FA = LanguageProfile(
     stopwords=("و", "در", "به", "از", "که", "این", "را", "با", "است", "برای"),
 )
 
+# NOTE: the reference attaches its French liaison hook to Italian
+# (gruut/lang.py get_it_settings "post_process_sentence":
+# fr_post_process_sentence) — but that hook is INERT there: its liaison
+# conditions all require POS tags and no Italian POS model ships, so it
+# never fires.  Wiring our table-based French function-word variant onto
+# Italian text WOULD fire (le/la/... are also Italian articles), changing
+# output where the reference doesn't — so Italian deliberately gets no
+# hook.
 IT = LanguageProfile(
     lang="it-it",
     month_names=("gennaio", "febbraio", "marzo", "aprile", "maggio", "giugno", "luglio", "agosto", "settembre", "ottobre", "novembre", "dicembre"),

@@ -132,6 +132,8 @@ class PhonemizeStage:
         self._word_sets = {lang: lex.word_set()
                            for lang, lex in self.lexicons.items()}
         self._pack_loaded: typing.Set[str] = set()
+        self._pack_lex_done: typing.Set[str] = set()
+        self._pack_g2p_done: typing.Set[str] = set()
         self._pack_failures: typing.Dict[str, int] = {}
 
     def _ensure_lang(self, short: str) -> None:
@@ -140,9 +142,10 @@ class PhonemizeStage:
         Pack data OVERRIDES the seed lexicons / builtin G2P, matching the
         eager path's precedence (seeds < packs < explicit args) — en's
         OOV guesses must come from the en pack CRF, not EnRuleG2P, when
-        the pack is present.  A transient load failure is retried on the
-        next document (up to 3 times) and then degrades to seed data
-        with a warning — it must not silently disable the pack forever."""
+        the pack is present.  Lexicon and G2P load independently (a
+        failed component is retried on the next document, up to 3 times,
+        without re-loading the one that succeeded); EVERY failure is
+        logged to stderr so a degraded actor is visible, not silent."""
         if short in self._pack_loaded:
             return
         pack = self._packs.get(short)
@@ -152,30 +155,48 @@ class PhonemizeStage:
         from gruut_ray.phonem import packs as _packs
         from gruut_ray.phonem.crf_g2p import CrfG2P
 
-        try:
-            lex_path = (pack.espeak_lexicon_db if self.espeak
-                        else pack.lexicon_db)
-            if lex_path and short not in self._explicit_lex:
+        import sys
+
+        ok = True
+        lex_path = (pack.espeak_lexicon_db if self.espeak
+                    else pack.lexicon_db)
+        if lex_path and short not in self._explicit_lex \
+                and short not in self._pack_lex_done:
+            try:
                 lex = Lexicon.from_sqlite(lex_path)
                 self.lexicons[short] = lex
                 self._word_sets[short] = lex.word_set()
-            crf_path = (pack.espeak_crf_model if self.espeak
-                        else pack.crf_model)
-            if short not in self._explicit_g2p:
+                self._pack_lex_done.add(short)
+            except Exception as exc:  # noqa: BLE001 — degrade per component
+                ok = False
+                print(f"gruut_ray: failed loading {short} pack lexicon "
+                      f"({exc!r})", file=sys.stderr)
+        crf_path = (pack.espeak_crf_model if self.espeak
+                    else pack.crf_model)
+        if short not in self._explicit_g2p \
+                and short not in self._pack_g2p_done:
+            try:
                 if crf_path:
                     self.g2p[short] = CrfG2P.load(crf_path)
                 elif not self.espeak:
                     model = _packs.load_perceptron_model(short)
                     if model is not None:
                         self.g2p[short] = model
+                self._pack_g2p_done.add(short)
+            except Exception as exc:  # noqa: BLE001
+                ok = False
+                print(f"gruut_ray: failed loading {short} pack G2P "
+                      f"({exc!r})", file=sys.stderr)
+        if ok:
             self._pack_loaded.add(short)
-        except Exception as exc:  # noqa: BLE001 — degrade, don't poison docs
-            fails = self._pack_failures.get(short, 0) + 1
-            self._pack_failures[short] = fails
-            if fails >= 3:
-                self._pack_loaded.add(short)
-                print(f"gruut_ray: giving up loading {short} language pack "
-                      f"after {fails} attempts ({exc!r}); seed data only")
+            return
+        fails = self._pack_failures.get(short, 0) + 1
+        self._pack_failures[short] = fails
+        if fails >= 3:
+            self._pack_loaded.add(short)
+            print(f"gruut_ray: giving up on {short} language pack after "
+                  f"{fails} attempts; continuing with partial/seed data",
+                  file=sys.stderr)
 
     # -- per-document -------------------------------------------------------
 

@@ -333,3 +333,41 @@ def test_hovercraft_fa_partial():
                                 "ɒː", "f", "t"]
     assert out["من"] == ["m", "æ", "n"]
     assert all(out.values())
+
+
+def test_ca_sandhi_pairs():
+    """Catalan diphthong/fusion/elision between contiguous words
+    (reference lang.py:2259-2421 vowel classes and cases)."""
+    from gruut_ray.nlp.normalize import SentenceOut, WordOut
+    from gruut_ray.profiles import get_compiled
+
+    def run(*words):
+        ws = [WordOut(idx=i, text=t, text_with_ws=t + " ",
+                      phonemes=list(p)) for i, (t, p) in enumerate(words)]
+        sent = SentenceOut(idx=0, par_idx=0, text="", text_with_ws="",
+                           text_spoken="", lang="ca", words=ws)
+        get_compiled("ca").hooks.post_process_sentence(sent)
+        return [w.phonemes for w in ws]
+
+    # diphthong case 1: stressed non-high vowel + i -> glide j
+    got = run(("casa", ["k", "'a"]), ("insecte", ["i", "n"]))
+    assert got == [["k", "'a"], ["j", "n"]]
+    # fusion case 2: i + i -> single i
+    got = run(("si", ["s", "i"]), ("vius", ["i", "w", "s"]))
+    assert got == [["s"], ["i", "w", "s"]]
+    # elision case 1: stressed + neutral -> neutral dropped
+    assert run(("està", ["t", "'a"]), ("en", ["ə", "n"])) == \
+        [["t", "'a"], ["n"]]
+    # preposition "a" protected from fusion/elision
+    got = run(("porta", ["t", "ə"]), ("a", ["ə"]))
+    assert got == [["t", "ə"], ["ə"]]
+    # punctuation between words blocks the pair
+    from gruut_ray.nlp.normalize import SentenceOut as S, WordOut as W
+    ws = [W(idx=0, text="si", text_with_ws="si ", phonemes=["s", "i"]),
+          W(idx=1, text=",", text_with_ws=", ", is_punctuation=True),
+          W(idx=2, text="vius", text_with_ws="vius ",
+            phonemes=["i", "w", "s"])]
+    sent = S(idx=0, par_idx=0, text="", text_with_ws="", text_spoken="",
+             lang="ca", words=ws)
+    get_compiled("ca").hooks.post_process_sentence(sent)
+    assert ws[0].phonemes == ["s", "i"]  # no fusion across the comma

@@ -334,9 +334,11 @@ def test_lang_element_vendored():
     ]
 
 
-def test_lexicon_external_file_uri():
+def test_lexicon_external_file_uri(monkeypatch):
     # reference tests/test_ssml.py:358-386 — <lexicon uri="file://..."/>
-    # loads a local W3C PLS document (network URIs stay unsupported)
+    # loads a local W3C PLS document (network URIs stay unsupported).
+    # Loading is opt-in: hostile web SSML must not read worker-local
+    # files, so it requires $GRUUT_RAY_ALLOW_FILE_LEXICONS.
     import os
 
     import gruut_ray
@@ -345,6 +347,7 @@ def test_lexicon_external_file_uri():
     if not os.path.isfile(pls):
         import pytest
         pytest.skip("reference sample_lexicon.xml not available")
+    monkeypatch.setenv("GRUUT_RAY_ALLOW_FILE_LEXICONS", "1")
     text = f"""<?xml version="1.0"?>
 <speak version="1.1" xml:lang="en-US">
   <lexicon xml:id="test" alphabet="ipa" uri="file://{pls}" />
@@ -356,3 +359,19 @@ def test_lexicon_external_file_uri():
             for s in gruut_ray.sentences(text, ssml=True)
             for w in s.words]
     assert rows == [(0, 0, ["t", "ə", "m", "e", "i̥", "ɾ", "o", "u̥"])]
+
+
+def test_lexicon_external_file_uri_denied_by_default(monkeypatch):
+    # without the opt-in env var a file:// lexicon is ignored: the word
+    # gets no phonemes from it (security: untrusted web SSML)
+    import gruut_ray
+
+    monkeypatch.delenv("GRUUT_RAY_ALLOW_FILE_LEXICONS", raising=False)
+    text = """<speak xml:lang="en-US">
+  <lexicon xml:id="t" uri="file:///root/reference/etc/sample_lexicon.xml"/>
+  <lookup ref="t"><w>xqzw</w></lookup>
+</speak>"""
+    words = [w for s in gruut_ray.sentences(text, ssml=True, phonemes=False)
+             for w in s.words]
+    assert [w.text for w in words] == ["xqzw"]
+    assert not words[0].phonemes  # the PLS file was not consulted
