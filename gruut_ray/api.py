@@ -91,13 +91,20 @@ def sentences(
     # process_document's assemble
     sents = process_document(text, lang=lang, lex=lex_check, opts=opts,
                              ssml=ssml, post_process=False)
-    lexicon = stage.lexicons.get(short)
-    g2p = stage.g2p.get(short)
     from gruut_ray.profiles import get_compiled
 
+    def _models_for(word_lang: str):
+        """Per-WORD lexicon/G2P: multi-language SSML (xml:lang) must not
+        phonemize Spanish words with the English lexicon (the reference
+        resolves settings per word.lang)."""
+        wshort = stage._short(word_lang or lang)
+        stage._ensure_lang(wshort)
+        return stage.lexicons.get(wshort), stage.g2p.get(wshort)
+
     for sent in sents:
+        sent_short = stage._short(sent.lang or lang)
         spoken = [i for i, w in enumerate(sent.words) if w.is_spoken]
-        if pos and short == "en" and spoken:
+        if pos and sent_short == "en" and spoken:
             tags = heuristic_tags([sent.words[i].text for i in spoken])
             roles = tags_to_roles(tags)
             for k, i in enumerate(spoken):
@@ -115,6 +122,7 @@ def sentences(
             if w.is_break and not break_phonemes:
                 w.phonemes = None
             if phonemes and w.is_spoken and w.phonemes is None:
+                lexicon, g2p = _models_for(w.lang or sent.lang)
                 # Lexicon.lookup already probes casefolded/stripped forms
                 pron = lexicon.lookup(w.text, role=w.role or None) \
                     if lexicon else None

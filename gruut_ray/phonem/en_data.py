@@ -53,7 +53,7 @@ EN_SEED: dict = {
     "if": "ɪ f",
     "in": "ɪ n",
     "into": "ˈɪ n t u",
-    "is": "ɪ z",
+    "is": "ˈɪ z",
     "it": "ɪ t",
     "its": "ɪ t s",
     "just": "dʒ ʌ s t",
@@ -63,12 +63,12 @@ EN_SEED: dict = {
     "make": "m eɪ k",
     "me": "m i",
     "most": "m oʊ s t",
-    "my": "m aɪ",
+    "my": "m ˈaɪ",
     "new": "n u",
     "no": "n oʊ",
     "not": "n ɑ t",
     "now": "n aʊ",
-    "of": "ʌ v",
+    "of": "ə v",
     "on": "ɑ n",
     "one": "w ʌ n",
     "only": "ˈoʊ n l i",
@@ -165,9 +165,9 @@ EN_SEED: dict = {
     "whose": "h u z",
     "women": "ˈw ɪ m ə n",
     # test-suite classics
-    "hovercraft": "ˈh ʌ v ɚ k ɹ æ f t",
-    "full": "f ʊ l",
-    "eels": "i l z",
+    "hovercraft": "h ˈʌ v ɚ k ɹ ˌæ f t",
+    "full": "f ˈʊ l",
+    "eels": "ˈi l z",
 }
 
 # homographs: word → {role → IPA}; default role listed first

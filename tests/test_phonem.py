@@ -180,7 +180,7 @@ def test_phonemize_doc_lexicon_and_g2p(stage):
     assert by_text["The"]["phonemes"] == ["ð", "ə"]
     assert by_text["The"]["in_lexicon"]
     assert by_text["hovercraft"]["phonemes"] == list(
-        "ˈh ʌ v ɚ k ɹ æ f t".split())
+        "h ˈʌ v ɚ k ɹ ˌæ f t".split())
     # every spoken word got phonemes (g2p covers OOV)
     assert all(w["phonemes"] for w in words)
 

@@ -371,3 +371,39 @@ def test_ca_sandhi_pairs():
              lang="ca", words=ws)
     get_compiled("ca").hooks.post_process_sentence(sent)
     assert ws[0].phonemes == ["s", "i"]  # no fusion across the comma
+
+
+def test_multilang_ssml_phonemizes_per_word_language():
+    """Multi-language SSML (xml:lang) must resolve lexicon/G2P per WORD:
+    the es sentence's words get Spanish phonemes, not English guesses
+    (code-review r02 #2; reference resolves settings per word.lang)."""
+    text = """<speak xml:lang="en-US">
+  <s>full of eels.</s>
+  <s xml:lang="es">lleno de anguilas.</s>
+</speak>"""
+    sents = list(gruut_ray.sentences(text, ssml=True))
+    en = {w.text: w.phonemes for w in sents[0].words if w.is_spoken}
+    es = {w.text: w.phonemes for w in sents[1].words if w.is_spoken}
+    # the en sentence phonemizes exactly as a plain en-only run would
+    plain_en = {w.text: w.phonemes
+                for s in gruut_ray.sentences("full of eels.", lang="en_US")
+                for w in s.words if w.is_spoken}
+    assert en == plain_en
+    # the es sentence resolves from the SPANISH seed lexicon
+    assert es["lleno"] == ["ʎ", "e", "n", "o"]
+    assert es["de"] == ["d", "e"]               # es 'de', not English
+    assert es["anguilas"] == ["a", "n", "g", "i", "l", "a", "s"]
+
+
+def test_hovercraft_en():
+    # reference tests/test_sqlite_phonemizer.py test_en_us — full golden
+    assert get_phonemes("My hovercraft is full of eels.", "en_US") == [
+        ("My", ["m", "ˈaɪ"]),
+        ("hovercraft",
+         ["h", "ˈʌ", "v", "ɚ", "k", "ɹ", "ˌæ", "f", "t"]),
+        ("is", ["ˈɪ", "z"]),
+        ("full", ["f", "ˈʊ", "l"]),
+        ("of", ["ə", "v"]),
+        ("eels", ["ˈi", "l", "z"]),
+        (".", ["‖"]),
+    ]
