@@ -38,9 +38,10 @@ def partial_then_merge(
     can exceed 2**63 at 10^12-row scale.  The Python-int merge on the
     driver path is exact at any scale; on the distributed SHRINK path
     (below) exactness additionally requires each key's total to fit
-    int64 — see the shrink-path note — and a wrap there is detected for
-    the non-negative quantities these columns carry (cents, counts) via
-    a sign check.
+    int64 — true for the per-key-bounded quantities that trip the
+    shrink (an hourly window's cents), an explicitly documented bound
+    rather than a runtime check (values may be legitimately negative —
+    account balances — so no sign heuristic can detect a wrap).
 
     When the partials table itself outgrows ``max_driver_rows`` (key
     cardinality × blocks — e.g. fine-grained time windows over a long
@@ -68,15 +69,6 @@ def partial_then_merge(
     partials = partials_ds.to_pandas()
     if partials.empty:
         return partials
-    for col in exact_int_cols:
-        # shrink-path overflow tripwire: exact-int quantities here are
-        # non-negative by construction (cents, basis points, counts), so
-        # an int64 wraparound in Ray's Sum shows up as a negative value
-        if (partials[col] < 0).any():
-            raise OverflowError(
-                f"exact_int_cols[{col!r}] went negative after the "
-                "distributed shrink — a per-key int64 overflow; raise "
-                "max_driver_rows or reduce the fixed-point scale")
     # dropna=False: SQL GROUP BY keeps a NULL-keyed group; partial_fn
     # implementations should do the same in their per-batch groupbys
     grouped = partials.groupby(list(group_keys), as_index=False,
