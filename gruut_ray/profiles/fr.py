@@ -60,8 +60,9 @@ _VERB = {
     "vont", "vais", "va", "allons", "allez",
 }
 
+# exactly the reference's fr_is_vowel set (gruut/lang.py:643-662)
 _VOWELS = {
-    "i", "y", "u", "e", "ø", "o", "ə", "ɛ", "ɛː", "œ", "ɔ", "a", "ɑ",
+    "i", "y", "u", "e", "ø", "o", "ə", "ɛ", "œ", "ɔ", "a",
     "ɔ̃", "ɛ̃", "ɑ̃", "œ̃",
 }
 

@@ -48,6 +48,10 @@ def _is_neutral(p: str) -> bool:
 
 def _ca_diphthong(w1, w2) -> None:
     """reference diphthong_if_needed (gruut/lang.py:2344-2421)."""
+    # a preceding pair's elision/fusion can empty a one-phoneme word
+    # (reference guards the same way, lang.py:2348)
+    if not (w1.phonemes and w2.phonemes):
+        return
     last1, first2 = w1.phonemes[-1], w2.phonemes[0]
     if (_is_stressed(last1) and not _is_high(last1)) \
             and _is_high_unstressed(first2):

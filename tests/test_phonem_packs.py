@@ -373,6 +373,30 @@ def test_ca_sandhi_pairs():
     assert ws[0].phonemes == ["s", "i"]  # no fusion across the comma
 
 
+def test_ca_sandhi_emptied_word_no_crash():
+    """Elision can pop the ONLY phoneme of a one-phoneme word; the next
+    pair's diphthong check must guard the empty list (reference
+    diphthong_if_needed returns on empty, lang.py:2348). These inputs
+    raised IndexError through the public API before the fix."""
+    from gruut_ray.nlp.normalize import SentenceOut, WordOut
+    from gruut_ray.profiles import get_compiled
+
+    ws = [WordOut(idx=0, text="està", text_with_ws="està ",
+                  phonemes=["t", "'a"]),
+          WordOut(idx=1, text="e", text_with_ws="e ", phonemes=["ə"]),
+          WordOut(idx=2, text="b", text_with_ws="b ", phonemes=["'e"])]
+    sent = SentenceOut(idx=0, par_idx=0, text="", text_with_ws="",
+                       text_spoken="", lang="ca", words=ws)
+    get_compiled("ca").hooks.post_process_sentence(sent)  # must not raise
+    assert ws[1].phonemes == []  # elided to empty, pair 2 skipped
+
+    # end-to-end through the public API (the ADVICE repro inputs)
+    for text in ("mà e i", "està e b"):
+        for s in gruut_ray.sentences(text, lang="ca"):
+            for w in s.words:
+                assert w.phonemes is not None or True  # just must not raise
+
+
 def test_multilang_ssml_phonemizes_per_word_language():
     """Multi-language SSML (xml:lang) must resolve lexicon/G2P per WORD:
     the es sentence's words get Spanish phonemes, not English guesses
