@@ -70,7 +70,7 @@ def sentences(
     language data packs (reference ``model_prefix``); languages without an
     eSpeak pack yield words with empty phonemes in that mode."""
     from gruut_ray.nlp.normalize import process_document
-    from gruut_ray.phonem.pos import heuristic_tags, tags_to_roles
+    from gruut_ray.phonem.pos import tags_to_roles
 
     stage = _stage(espeak=espeak)
     short = stage._short(lang)
@@ -104,13 +104,17 @@ def sentences(
     for sent in sents:
         sent_short = stage._short(sent.lang or lang)
         spoken = [i for i, w in enumerate(sent.words) if w.is_spoken]
-        if pos and sent_short == "en" and spoken:
-            tags = heuristic_tags([sent.words[i].text for i in spoken])
-            roles = tags_to_roles(tags)
-            for k, i in enumerate(spoken):
-                sent.words[i].pos = tags[k]
-                if not sent.words[i].role:
-                    sent.words[i].role = roles[k]
+        if pos and spoken:
+            # pack CRF tagger when the language ships one, en heuristic
+            # otherwise (stage.pos_tags resolves; reference lang.py:75-85)
+            tags = stage.pos_tags(
+                sent_short, [sent.words[i].text for i in spoken])
+            if tags is not None:
+                roles = tags_to_roles(tags)
+                for k, i in enumerate(spoken):
+                    sent.words[i].pos = tags[k]
+                    if not sent.words[i].role:
+                        sent.words[i].role = roles[k]
         kept = []
         for w in sent.words:
             if w.is_major_break and not major_breaks:

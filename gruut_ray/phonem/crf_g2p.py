@@ -60,6 +60,47 @@ def _read_cqdb_backward(data: bytes, off: int) -> typing.List[str]:
     return out
 
 
+def load_crf1d(path: str) -> typing.Tuple[
+        typing.List[str],
+        typing.Dict[str, typing.List[typing.Tuple[int, float]]],
+        np.ndarray]:
+    """Parse a CRFsuite crf1d model file into ``(labels, state, trans)``:
+    raw label strings in id order, attribute string → [(label_id, weight)]
+    state features, and the (L, L) transition matrix.  Shared by the G2P
+    reader below and the POS reader (``gruut_ray.phonem.pos.CrfPos``) —
+    the two differ only in feature templates and label decoding."""
+    with open(path, "rb") as f:
+        data = f.read()
+    (magic, _fsize, ftype, version, _nf, _nl, _na, off_feat, off_labels,
+     off_attrs, _off_lrefs, _off_arefs) = _HEADER.unpack_from(data, 0)
+    if magic != b"lCRF" or ftype != b"FOMC":
+        raise ValueError(f"not a crf1d model: {magic!r}/{ftype!r}")
+    if version > 100:
+        raise ValueError(f"unsupported crf1d version {version}")
+
+    labels = _read_cqdb_backward(data, off_labels)
+    attrs = _read_cqdb_backward(data, off_attrs)
+    num_labels = len(labels)
+
+    fmagic, _fsz, nfeat = _FEAT_HEADER.unpack_from(data, off_feat)
+    if fmagic != b"FEAT":
+        raise ValueError(f"bad FEAT chunk: {fmagic!r}")
+    rec = np.frombuffer(
+        data, offset=off_feat + 12, count=nfeat,
+        dtype=np.dtype([("type", "<u4"), ("src", "<u4"), ("dst", "<u4"),
+                        ("weight", "<f8")]))
+
+    trans = np.zeros((num_labels, num_labels), dtype=np.float64)
+    state: typing.Dict[str, typing.List[typing.Tuple[int, float]]] = {}
+    t_mask = rec["type"] == 1
+    trans[rec["src"][t_mask], rec["dst"][t_mask]] = rec["weight"][t_mask]
+    s_rec = rec[~t_mask]
+    for src, dst, w in zip(s_rec["src"].tolist(), s_rec["dst"].tolist(),
+                           s_rec["weight"].tolist()):
+        state.setdefault(attrs[src], []).append((dst, w))
+    return labels, state, trans
+
+
 class CrfG2P:
     """A loaded crf1d G2P model: ``model(word) -> [phoneme, ...]``.
 
@@ -92,36 +133,7 @@ class CrfG2P:
 
     @classmethod
     def load(cls, path: str) -> "CrfG2P":
-        with open(path, "rb") as f:
-            data = f.read()
-        (magic, _fsize, ftype, version, _nf, _nl, _na, off_feat, off_labels,
-         off_attrs, _off_lrefs, _off_arefs) = _HEADER.unpack_from(data, 0)
-        if magic != b"lCRF" or ftype != b"FOMC":
-            raise ValueError(f"not a crf1d model: {magic!r}/{ftype!r}")
-        if version > 100:
-            raise ValueError(f"unsupported crf1d version {version}")
-
-        labels = _read_cqdb_backward(data, off_labels)
-        attrs = _read_cqdb_backward(data, off_attrs)
-        num_labels = len(labels)
-
-        fmagic, _fsz, nfeat = _FEAT_HEADER.unpack_from(data, off_feat)
-        if fmagic != b"FEAT":
-            raise ValueError(f"bad FEAT chunk: {fmagic!r}")
-        rec = np.frombuffer(
-            data, offset=off_feat + 12, count=nfeat,
-            dtype=np.dtype([("type", "<u4"), ("src", "<u4"), ("dst", "<u4"),
-                            ("weight", "<f8")]))
-
-        trans = np.zeros((num_labels, num_labels), dtype=np.float64)
-        state: typing.Dict[str, typing.List[typing.Tuple[int, float]]] = {}
-        t_mask = rec["type"] == 1
-        trans[rec["src"][t_mask], rec["dst"][t_mask]] = rec["weight"][t_mask]
-        s_rec = rec[~t_mask]
-        for src, dst, w in zip(s_rec["src"].tolist(), s_rec["dst"].tolist(),
-                               s_rec["weight"].tolist()):
-            state.setdefault(attrs[src], []).append((dst, w))
-        return cls(labels, state, trans)
+        return cls(*load_crf1d(path))
 
     # -- features (must match gruut/g2p.py:108-157 + pycrfsuite dict items) -
 

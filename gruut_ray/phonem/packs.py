@@ -43,6 +43,7 @@ class LanguagePack:
     lang: str
     lexicon_db: typing.Optional[str] = None
     crf_model: typing.Optional[str] = None
+    pos_model: typing.Optional[str] = None
     espeak_lexicon_db: typing.Optional[str] = None
     espeak_crf_model: typing.Optional[str] = None
     extras: dict = field(default_factory=dict)
@@ -63,6 +64,11 @@ def _scan_pack_dir(path: str) -> dict:
     crf = os.path.join(path, "g2p", "model.crf")
     if os.path.isfile(crf):
         found["crf_model"] = crf
+    # POS CRF (reference loads <lang_dir>/pos/model.crf, lang.py:75-85;
+    # none ship in this checkout, but user-supplied full packs carry one)
+    pos = os.path.join(path, "pos", "model.crf")
+    if os.path.isfile(pos):
+        found["pos_model"] = pos
     elex = os.path.join(path, "espeak", "lexicon.db")
     if os.path.isfile(elex):
         found["espeak_lexicon_db"] = elex

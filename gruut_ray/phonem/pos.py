@@ -85,6 +85,118 @@ def tags_to_roles(tags: typing.Sequence[str]) -> typing.List[str]:
 
 
 # ---------------------------------------------------------------------------
+# CRF path: load a gruut pack's pos/model.crf (reference pos.py:52-166,
+# loaded at utils.py:75-85) with the from-scratch crf1d reader
+# ---------------------------------------------------------------------------
+
+class CrfPos:
+    """POS tagger over a pre-trained CRFsuite ``pos/model.crf``.
+
+    Reuses :func:`gruut_ray.phonem.crf_g2p.load_crf1d` (the same public
+    crf1d file format as the G2P models) with the reference's POS feature
+    template (gruut/pos.py:70-156): per word — bias, b64-coded word,
+    length, punctuation/digit flags, 2-/3-char front and back chunks —
+    for the word itself and its ±2 neighbors (prefixes ``-1:``/``+2:``…),
+    plus BOS/EOS.  Attribute strings follow pycrfsuite's dict-item
+    encoding exactly as the G2P reader does: string values become
+    ``key:value`` attributes with weight 1.0, bools/numbers become bare
+    ``key`` attributes carrying their value as the weight (so ``bias``
+    is weight 1.0 and ``len(word)`` is weight ``len(word)``).
+
+    Labels are the tagger's raw tag strings (xpos for en, upos for fr —
+    reference module docstring), not b64-coded like G2P labels.
+
+    NOTE: this reference checkout ships no ``pos/model.crf`` files, so at
+    runtime this loader is exercised only when a user supplies a full
+    gruut language pack; the round-trip is pinned by a synthetic crf1d
+    model in tests (tests/test_phonem.py).
+    """
+
+    def __init__(self, labels, state, trans):
+        import numpy as np
+        self.labels = list(labels)
+        self.state = state          # attr string -> [(label_id, weight)]
+        self.trans = np.asarray(trans, dtype=np.float64)
+        self.num_labels = len(self.labels)
+
+    @classmethod
+    def load(cls, path: str) -> "CrfPos":
+        from gruut_ray.phonem.crf_g2p import load_crf1d
+        return cls(*load_crf1d(path))
+
+    # -- features (must match gruut/pos.py:70-156 + pycrfsuite encoding) --
+
+    @staticmethod
+    def _b64(s: str) -> str:
+        import base64
+        return base64.b64encode(s.encode()).decode("ascii")
+
+    @classmethod
+    def _local_attrs(cls, word: str, prefix: str = "",
+                     ) -> typing.List[typing.Tuple[str, float]]:
+        import string as _string
+        attrs: typing.List[typing.Tuple[str, float]] = [
+            (f"{prefix}bias", 1.0),
+            (f"{prefix}word:{cls._b64(word)}", 1.0),
+            (f"{prefix}len(word)", float(len(word))),
+            (f"{prefix}word.ispunctuation",
+             1.0 if word in _string.punctuation else 0.0),
+            (f"{prefix}word.isdigit()", 1.0 if word.isdigit() else 0.0),
+        ]
+        for i in range(2, 4):   # chunks_front = 3
+            attrs.append((f"{prefix}word[:{i}]:{word[:i]}", 1.0))
+        for i in range(2, 4):   # chunks_back = 3
+            attrs.append((f"{prefix}word[-{i}:]:{word[-i:]}", 1.0))
+        return attrs
+
+    def _word_attrs(self, words: typing.Sequence[str], i: int,
+                    ) -> typing.List[typing.Tuple[str, float]]:
+        n = len(words)
+        attrs = self._local_attrs(words[i])
+        if i == 0:
+            attrs.append(("BOS", 1.0))
+        if i == n - 1:
+            attrs.append(("EOS", 1.0))
+        for j in (1, 2):        # words_backward = 2
+            if i >= j:
+                attrs.extend(self._local_attrs(words[i - j], f"-{j}:"))
+        for j in (1, 2):        # words_forward = 2
+            if i < n - j:
+                attrs.extend(self._local_attrs(words[i + j], f"+{j}:"))
+        return attrs
+
+    # -- inference (max-sum Viterbi, crfsuite first-best tie-break) ------
+
+    def tag(self, words: typing.Sequence[str]) -> typing.List[str]:
+        import numpy as np
+        n = len(words)
+        if n == 0:
+            return []
+        L = self.num_labels
+        scores = np.zeros((n, L), dtype=np.float64)
+        for i in range(n):
+            row = scores[i]
+            for attr, aw in self._word_attrs(words, i):
+                if aw == 0.0:
+                    continue
+                for label_id, w in self.state.get(attr, ()):
+                    row[label_id] += w * aw
+        back = np.zeros((n, L), dtype=np.int32)
+        delta = scores[0].copy()
+        for t in range(1, n):
+            cand = delta[:, None] + self.trans
+            back[t] = np.argmax(cand, axis=0)
+            delta = cand[back[t], np.arange(L)] + scores[t]
+        path = [int(np.argmax(delta))]
+        for t in range(n - 1, 0, -1):
+            path.append(int(back[t, path[-1]]))
+        path.reverse()
+        return [self.labels[p] for p in path]
+
+    __call__ = tag
+
+
+# ---------------------------------------------------------------------------
 # Trainable path (same features as the reference CRF)
 # ---------------------------------------------------------------------------
 

@@ -107,15 +107,20 @@ def salted_aggregate(
     columns.  Prefer :func:`partial_then_merge` when a map-side combiner
     can run first; salting is for aggregations that must shuffle rows
     (e.g. the combine state is too large per batch)."""
-    import zlib
-
+    import numpy as np
     import pyarrow as pa
     from ray.data.aggregate import Sum
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key).to_pylist()
-        salts = [zlib.crc32(f"{k}:{i}".encode()) % num_salts
-                 for i, k in enumerate(keys)]
+        # the salt's only job is spreading a hot key's rows uniformly
+        # over num_salts reducers — final sums are salt-agnostic.
+        # splitmix64 of the row index, vectorized (VERDICT r02 #6: the
+        # per-row crc32 list comprehension sat in front of an all-to-all)
+        h = np.arange(batch.num_rows, dtype=np.uint64)
+        h = (h + np.uint64(0x9E3779B97F4A7C15)) \
+            * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(31)
+        salts = (h % np.uint64(num_salts)).astype(np.int32)
         return batch.append_column("_salt", pa.array(salts, type=pa.int32()))
 
     stage1 = (ds.map_batches(add_salt, batch_format="pyarrow")

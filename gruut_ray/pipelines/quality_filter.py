@@ -104,14 +104,18 @@ def quality_filter_routed(
     ``QualityScrubStage`` per worker), NOT per group — groups are many and
     small.  Output rows are identical to the unrouted path (asserted in
     tests); only the physical plan differs."""
-    import zlib
-
+    import numpy as np
     import pyarrow.compute as pc
 
     def add_route(batch: pa.Table) -> pa.Table:
-        langs = batch.column(lang_col).to_pylist()
-        salts = [zlib.crc32(f"{lang}:{i}".encode()) % num_salts
-                 for i, lang in enumerate(langs)]
+        # salt spreads a hot language's rows over num_salts groups; the
+        # scrub output is per-row and salt-agnostic.  splitmix64 of the
+        # row index, vectorized (VERDICT r02 #6)
+        h = np.arange(batch.num_rows, dtype=np.uint64)
+        h = (h + np.uint64(0x9E3779B97F4A7C15)) \
+            * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(31)
+        salts = (h % np.uint64(num_salts)).astype(np.int32)
         return batch.append_column("_salt",
                                    pa.array(salts, type=pa.int32()))
 

@@ -200,25 +200,57 @@ def events_hourly_window(events: "ray.data.Dataset") -> pd.DataFrame:
 
 
 def sessionize(events: "ray.data.Dataset", gap_minutes: int = 30,
-               ) -> pd.DataFrame:
-    """Session windows per user: sort-within-group (map_groups) — the
-    ordering assumption is per-user ts order, enforced inside the group."""
+               num_partitions: int = 32,
+               driver_limit: int = 5_000_000) -> pd.DataFrame:
+    """Session windows per user, per-BLOCK vectorized (VERDICT r02 #2):
+    hash-repartition on ``user_id`` co-locates each user's events in one
+    block, then ONE pandas kernel per block sorts the block by
+    (user_id, ts) and labels sessions for ALL its users at once — a
+    user-boundary-aware gap cumsum — instead of one ``map_groups`` UDF
+    dispatch per user (at 10^12 events, groups ≈ users and per-group
+    dispatch dominates).  Partitioning assumption: one user's events fit
+    in one block (same as the per-group version's).
+
+    Size cut-over: below ``driver_limit`` rows the (user_id, ts)
+    projection is pulled to the driver and the SAME kernel runs once —
+    the keyed repartition spins per-call HashShuffleAggregator actors
+    whose fixed startup dominates small inputs.  Output-identical by
+    construction (one big block); the distributed path takes over at
+    scale."""
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("ts")
+    def block_sessions(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["user_id", "ts"], kind="mergesort")
         ts = g["ts"].astype("int64").to_numpy()
-        new_session = np.ones(len(ts), dtype=bool)
-        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
-        session_ids = np.cumsum(new_session)
-        g = g.assign(session=session_ids)
-        agg = g.groupby("session").agg(
+        uid = g["user_id"].to_numpy()
+        new_session = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_session[1:] = ((uid[1:] != uid[:-1])
+                               | ((ts[1:] - ts[:-1]) > gap_us))
+        g = g.assign(_session=np.cumsum(new_session))
+        agg = g.groupby("_session", sort=False).agg(
             user_id=("user_id", "first"), n_events=("ts", "size"),
             start_ts=("ts", "min"), end_ts=("ts", "max"))
         return agg.reset_index(drop=True)
 
-    return events.groupby("user_id").map_groups(
-        sessions, batch_format="pandas").to_pandas()
+    slim = events.select_columns(["user_id", "ts"])
+    if events.count() <= driver_limit:  # metadata-only on parquet reads
+        return block_sessions(slim.to_pandas()).reset_index(drop=True)
+
+    # keyed repartition needs the HASH_SHUFFLE strategy; set it on this
+    # dataset chain's own context (a per-dataset copy, not the global)
+    # and restore after execution completes inside this function
+    from ray.data.context import ShuffleStrategy
+
+    prev = events.context.shuffle_strategy
+    events.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        return (slim.repartition(num_partitions, keys=["user_id"])
+                .map_batches(block_sessions, batch_format="pandas",
+                             batch_size=None)
+                .to_pandas())
+    finally:
+        events.context.shuffle_strategy = prev
 
 
 def suppliers_by_region(supplier: "ray.data.Dataset",
@@ -265,14 +297,18 @@ def suppliers_by_region(supplier: "ray.data.Dataset",
 
 def asof_last_event(events: "ray.data.Dataset",
                     left_type: str = "purchase",
-                    right_type: str = "click"):
+                    right_type: str = "click",
+                    driver_limit: int = 5_000_000):
     """As-of join within one event stream: for each ``left_type`` event,
     the most recent ``right_type`` event by the same user at or before it
     (classic attribution).  Ray Data has no asof-join primitive, so it is
-    composed per SURVEY §2 custom-operator rule (a): filter → hash-shuffle
-    on the ``by`` key (``groupby(user_id)``) → vectorized
-    ``pandas.merge_asof`` inside each group.  Partitioning assumption: one
-    user's events fit in one group (true for web logs; a user with
+    composed per SURVEY §2 custom-operator rule (a): filter →
+    hash-repartition on the ``by`` key (``user_id``) → ONE vectorized
+    ``pandas.merge_asof(by="user_id")`` per BLOCK covering all of that
+    block's users at once (VERDICT r02 #2 — the prior per-user
+    ``map_groups`` paid one UDF dispatch per user; at 10^12 events,
+    groups ≈ users and dispatch dominates).  Partitioning assumption: one
+    user's events fit in one block (true for web logs; a user with
     pathological volume would need ts-range sub-splitting).
 
     Returns a DataFrame (event_id, user_id, last_click_ts) sorted by
@@ -289,28 +325,49 @@ def asof_last_event(events: "ray.data.Dataset",
 
     slim = events.map_batches(project, batch_format="pyarrow")
 
-    def per_user(group: pd.DataFrame) -> pd.DataFrame:
-        left = (group[group["event_type"] == left_type]
+    def block_asof(df: pd.DataFrame) -> pd.DataFrame:
+        # merge_asof(by=) wants both sides globally ts-sorted; it then
+        # matches within each user vectorized — one call per block
+        left = (df[df["event_type"] == left_type]
                 .sort_values("ts", kind="mergesort"))
         if left.empty:
             return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                                  "user_id": pd.Series([], dtype="int64"),
                                  "last_click_ts": pd.Series(
                                      [], dtype="datetime64[us]")})
-        right = (group[group["event_type"] == right_type]
+        right = (df[df["event_type"] == right_type]
                  .sort_values("ts", kind="mergesort")
                  .rename(columns={"ts": "last_click_ts"}))
         merged = pd.merge_asof(
-            left, right[["last_click_ts"]],
-            left_on="ts", right_on="last_click_ts", direction="backward")
+            left, right[["user_id", "last_click_ts"]],
+            left_on="ts", right_on="last_click_ts", by="user_id",
+            direction="backward")
         return pd.DataFrame({
             "event_id": merged["event_id"].astype("int64"),
             "user_id": merged["user_id"].astype("int64"),
-            "last_click_ts": merged["last_click_ts"],
+            "last_click_ts": merged["last_click_ts"].astype(
+                "datetime64[us]"),
         })
 
-    out = slim.groupby("user_id").map_groups(per_user, batch_format="pandas")
-    return (out.to_pandas().sort_values("event_id").reset_index(drop=True))
+    # size cut-over (same rationale as sessionize): below the threshold
+    # run the SAME kernel once on the driver — output-identical by
+    # construction; the keyed-repartition path takes over at scale
+    if events.count() <= driver_limit:  # metadata-only on parquet reads
+        out = block_asof(slim.to_pandas())
+        return out.sort_values("event_id").reset_index(drop=True)
+
+    from ray.data.context import ShuffleStrategy
+
+    prev = events.context.shuffle_strategy
+    events.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        out = (slim.repartition(32, keys=["user_id"])
+               .map_batches(block_asof, batch_format="pandas",
+                            batch_size=None)
+               .to_pandas())
+    finally:
+        events.context.shuffle_strategy = prev
+    return out.sort_values("event_id").reset_index(drop=True)
 
 
 def revenue_by_priority(orders: "ray.data.Dataset",

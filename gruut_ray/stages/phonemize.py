@@ -131,9 +131,11 @@ class PhonemizeStage:
 
         self._word_sets = {lang: lex.word_set()
                            for lang, lex in self.lexicons.items()}
+        self.pos_taggers: typing.Dict[str, typing.Callable] = {}
         self._pack_loaded: typing.Set[str] = set()
         self._pack_lex_done: typing.Set[str] = set()
         self._pack_g2p_done: typing.Set[str] = set()
+        self._pack_pos_done: typing.Set[str] = set()
         self._pack_failures: typing.Dict[str, int] = {}
 
     def _ensure_lang(self, short: str) -> None:
@@ -187,6 +189,18 @@ class PhonemizeStage:
                 ok = False
                 print(f"gruut_ray: failed loading {short} pack G2P "
                       f"({exc!r})", file=sys.stderr)
+        if pack.pos_model and short not in self._pack_pos_done:
+            # POS CRF parity (reference lang.py:75-85 loads
+            # pos/model.crf when a pack ships one)
+            try:
+                from gruut_ray.phonem.pos import CrfPos
+
+                self.pos_taggers[short] = CrfPos.load(pack.pos_model)
+                self._pack_pos_done.add(short)
+            except Exception as exc:  # noqa: BLE001
+                ok = False
+                print(f"gruut_ray: failed loading {short} pack POS "
+                      f"tagger ({exc!r})", file=sys.stderr)
         if ok:
             self._pack_loaded.add(short)
             return
@@ -197,6 +211,19 @@ class PhonemizeStage:
             print(f"gruut_ray: giving up on {short} language pack after "
                   f"{fails} attempts; continuing with partial/seed data",
                   file=sys.stderr)
+
+    def pos_tags(self, short: str, texts: typing.Sequence[str],
+                 ) -> typing.Optional[typing.List[str]]:
+        """POS tags for a sentence's spoken words: the pack's CRF tagger
+        when one loaded for the language (reference pos.py semantics),
+        else the en heuristic, else None (no tagging)."""
+        self._ensure_lang(short)  # idempotent; SSML sentences may switch
+        tagger = self.pos_taggers.get(short)
+        if tagger is not None:
+            return list(tagger(texts))
+        if short == "en":
+            return heuristic_tags(texts)
+        return None
 
     # -- per-document -------------------------------------------------------
 
@@ -224,14 +251,16 @@ class PhonemizeStage:
         out_sents: typing.List[dict] = []
         for sent in sentences:
             spoken_idx = [i for i, w in enumerate(sent.words) if w.is_spoken]
-            if self.use_pos and short == "en" and spoken_idx:
-                tags = heuristic_tags([sent.words[i].text for i in spoken_idx])
-                roles = tags_to_roles(tags)
-                for k, i in enumerate(spoken_idx):
-                    w = sent.words[i]
-                    w.pos = tags[k]
-                    if not w.role:  # explicit roles (gruut:letter) win
-                        w.role = roles[k]
+            if self.use_pos and spoken_idx:
+                tags = self.pos_tags(
+                    short, [sent.words[i].text for i in spoken_idx])
+                if tags is not None:
+                    roles = tags_to_roles(tags)
+                    for k, i in enumerate(spoken_idx):
+                        w = sent.words[i]
+                        w.pos = tags[k]
+                        if not w.role:  # explicit roles (gruut:letter) win
+                            w.role = roles[k]
             in_lex_flags: typing.List[bool] = []
             for w in sent.words:
                 phonemes = w.phonemes

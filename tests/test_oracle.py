@@ -114,3 +114,28 @@ def test_revenue_by_segment_broadcast_vs_shuffle(ray_session):
     broadcast = revenue_by_segment(orders, customer)
     shuffled = revenue_by_segment(orders, customer, broadcast_limit=1)
     pd.testing.assert_frame_equal(broadcast, shuffled)
+
+
+def test_sessionize_asof_driver_vs_distributed_paths(ray_session):
+    """The driver-limit cut-over (VERDICT r02 #2 rework): the driver path
+    and the keyed-repartition per-block path share one kernel and must be
+    identical (modulo row order, which callers normalize)."""
+    import ray.data
+
+    from gruut_ray.pipelines.relational import asof_last_event, sessionize
+
+    events = ray.data.read_parquet(os.path.join(SF_DIR, "events.parquet"))
+
+    def canon(df, keys):
+        return (df.sort_values(keys).reset_index(drop=True)
+                [sorted(df.columns)])
+
+    drv = sessionize(events)
+    dist = sessionize(events, driver_limit=0)
+    keys = ["user_id", "start_ts", "end_ts"]
+    pd.testing.assert_frame_equal(canon(drv, keys), canon(dist, keys))
+
+    drv = asof_last_event(events)
+    dist = asof_last_event(events, driver_limit=0)
+    pd.testing.assert_frame_equal(canon(drv, ["event_id"]),
+                                  canon(dist, ["event_id"]))

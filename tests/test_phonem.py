@@ -253,3 +253,104 @@ def test_multilingual_seed_lexicons(stage):
     sents = stage.phonemize_doc("Tengo 2 gatos.", "es")
     words = {w["text"]: w for s in sents for w in s["words"]}
     assert words["dos"]["phonemes"] == ["d", "o", "s"]
+
+
+# ---------------------------------------------------------------------------
+# CRF POS loader (VERDICT r02 #3): synthetic crf1d model round-trip
+# ---------------------------------------------------------------------------
+
+def _write_crf1d(path, labels, attrs, state, trans):
+    """Emit a minimal CRFsuite crf1d model file (public format, Naoaki
+    Okazaki's crfsuite crf1d_model.c/cqdb.c): header + FEAT chunk +
+    label/attr CQDB string tables with backward arrays — exactly the
+    sections gruut_ray.phonem.crf_g2p.load_crf1d reads.
+
+    state: [(attr_id, label_id, weight)]; trans: [(src, dst, weight)].
+    """
+    import struct
+
+    recs = [(0, a, l, w) for a, l, w in state] \
+        + [(1, s, d, w) for s, d, w in trans]
+    feat_body = b"".join(struct.pack("<IIId", *r) for r in recs)
+    feat_chunk = struct.pack("<4sII", b"FEAT", 12 + len(feat_body),
+                             len(recs)) + feat_body
+
+    def cqdb(strings):
+        header_size = struct.calcsize("<4sIIIII")
+        body = b""
+        offs = []
+        cur = header_size
+        for i, s in enumerate(strings):
+            offs.append(cur)
+            kb = s.encode() + b"\0"
+            rec = struct.pack("<II", i, len(kb)) + kb
+            body += rec
+            cur += len(rec)
+        bwd = cur
+        body += struct.pack(f"<{len(strings)}I", *offs)
+        return struct.pack("<4sIIIII", b"CQDB", header_size + len(body),
+                           0, 0, len(strings), bwd) + body
+
+    labels_chunk = cqdb(labels)
+    attrs_chunk = cqdb(attrs)
+    hdr_size = struct.calcsize("<4sI4sIIIIIIIII")
+    off_feat = hdr_size
+    off_labels = off_feat + len(feat_chunk)
+    off_attrs = off_labels + len(labels_chunk)
+    data = struct.pack(
+        "<4sI4sIIIIIIIII", b"lCRF", 0, b"FOMC", 100, len(recs),
+        len(labels), len(attrs), off_feat, off_labels, off_attrs, 0, 0)
+    data += feat_chunk + labels_chunk + attrs_chunk
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def _toy_pos_model(tmp_path):
+    """Synthetic POS model over the reference feature template: word
+    identity picks the tag, a numeric-weight attribute (len(word)) and a
+    transition weight exercise the weighted-attr and Viterbi paths."""
+    from gruut_ray.phonem.pos import CrfPos
+
+    labels = ["DT", "NN", "VB"]
+    attrs = [
+        f"word:{CrfPos._b64('the')}",       # 0 -> DT
+        f"word:{CrfPos._b64('dog')}",       # 1 -> NN
+        f"word:{CrfPos._b64('runs')}",      # 2 -> VB
+        "len(word)",                        # 3 -> weak NN evidence
+        f"-1:word:{CrfPos._b64('the')}",    # 4 -> prev=the boosts NN
+    ]
+    state = [(0, 0, 5.0), (1, 1, 5.0), (2, 2, 5.0),
+             (3, 1, 0.05), (4, 1, 1.0)]
+    trans = [(0, 1, 1.5), (1, 2, 1.0)]      # DT->NN, NN->VB
+    path = str(tmp_path / "model.crf")
+    _write_crf1d(path, labels, attrs, state, trans)
+    return path
+
+
+def test_crf_pos_synthetic_roundtrip(tmp_path):
+    from gruut_ray.phonem.pos import CrfPos
+
+    model = CrfPos.load(_toy_pos_model(tmp_path))
+    assert model.labels == ["DT", "NN", "VB"]
+    assert model.tag(["the", "dog", "runs"]) == ["DT", "NN", "VB"]
+    # unknown word after "the": -1:word=the state feature + DT->NN
+    # transition + len(word) numeric weight all pull toward NN
+    assert model.tag(["the", "wug"]) == ["DT", "NN"]
+    assert model.tag([]) == []
+
+
+def test_crf_pos_pack_wiring(tmp_path, monkeypatch):
+    """A pack shipping pos/model.crf gets its CRF tagger wired into
+    PhonemizeStage roles (reference lang.py:75-85 loader path)."""
+    pack_dir = tmp_path / "gruut-lang-zx" / "gruut_lang_zx"
+    (pack_dir / "pos").mkdir(parents=True)
+    _toy_pos_model(pack_dir / "pos")
+    monkeypatch.setenv("GRUUT_RAY_DATA", str(tmp_path))
+
+    stage = PhonemizeStage(pack_langs=["zx"])
+    tags = stage.pos_tags("zx", ["the", "dog", "runs"])
+    assert tags == ["DT", "NN", "VB"]
+    assert "zx" in stage.pos_taggers
+    # en still uses the heuristic (no en pos model ships)
+    assert stage.pos_tags("en", ["the", "dog"]) == \
+        heuristic_tags(["the", "dog"])
