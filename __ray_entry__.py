@@ -237,17 +237,15 @@ def _q_ann_ivf_top10(sf_dir: str):
 
 
 def _q_embedding_dup_pairs(sf_dir: str):
-    """Embedding-cosine near-dup pair count (LSH co-bucket + exact
-    verify; pair-level goldens in tests/test_similarity.py)."""
-    import pandas as pd
-
-    from gruut_ray.pipelines.similarity import embedding_dup_pairs
+    """Exact embedding-cosine duplicate pairs (a < b, cosine ≥ 0.4) via
+    the broadcast + per-batch matmul path — SQL-expressible, so this is
+    oracle-gated (VERDICT r02 #7).  The LSH-bucketed scale variant
+    (embedding_dup_pairs) is verified against this exact path in
+    tests/test_similarity.py."""
+    from gruut_ray.pipelines.similarity import embedding_dup_pairs_exact
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    first = ds.take(1)[0]
-    out = embedding_dup_pairs(ds, dim=len(first["embedding"]),
-                              threshold=0.95, n_bits=6)
-    return pd.DataFrame({"n_dup_pairs": [int(len(out))]})
+    return embedding_dup_pairs_exact(ds, threshold=0.4)
 
 
 def _q_quality_filter_documents(sf_dir: str):
@@ -619,6 +617,16 @@ def oracle_sql() -> dict[str, str]:
                       AND c.ts <= e.ts) AS last_click_ts
             FROM events e WHERE event_type = 'purchase'
             ORDER BY event_id
+        """,
+        # float64 throughout on both sides; pairs only (no score column:
+        # a last-ulp summation-order difference must not flip the hash)
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  >= 0.4
+            ORDER BY a, b
         """,
         # quality_filter_documents / minhash_dedup_count / simhash_signatures:
         # model-driven / hash-driven — no SQL equivalent; the driver records

@@ -88,3 +88,50 @@ def test_ivf_topk_recall_and_prune(ray_session):
     # assignment column is a valid list id
     listed = add_ivf_lists(ds, cents).to_pandas()
     assert listed["ivf_list"].between(0, 7).all()
+
+
+def test_embedding_dup_pairs_exact_vs_lsh(ray_session):
+    """The exact broadcast-matmul path (the oracle baseline) and the
+    LSH-bucketed scale path agree: at n_bits=1 the LSH path misses only
+    cross-bucket pairs, so its pairs must be a SUBSET of exact; its
+    within-bucket pairs must match exactly (same float32-vs-float64
+    tolerance band excluded by the margin of the synthetic data)."""
+    import ray.data
+
+    from gruut_ray.pipelines.similarity import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_exact,
+    )
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"])
+    exact = embedding_dup_pairs_exact(ds, threshold=0.3)
+    assert len(exact) == 920  # pinned against DuckDB list_cosine_similarity
+
+    lsh = embedding_dup_pairs(ds, dim=64, threshold=0.3, n_bits=1)
+    exact_set = set(zip(exact["a"], exact["b"]))
+    lsh_set = set(zip(lsh["a"].astype(int), lsh["b"].astype(int)))
+    assert lsh_set <= exact_set
+    assert len(lsh_set) > 0
+
+
+def test_brute_force_topk_many_queries_off_driver(ray_session):
+    """The many-query path reduces candidates via keyed repartition
+    off-driver and must equal the small-query driver reduce exactly."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from gruut_ray.pipelines.similarity import brute_force_topk
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"])
+    rng = np.random.default_rng(7)
+    q = rng.standard_normal((100, 64)).astype(np.float32)
+
+    driver = brute_force_topk(ds, q, k=5, driver_queries_limit=10**9)
+    dist = brute_force_topk(ds, q, k=5, driver_queries_limit=1)
+    pd.testing.assert_frame_equal(driver, dist)
+    assert len(dist) == 100 * 5
