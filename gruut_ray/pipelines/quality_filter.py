@@ -167,7 +167,21 @@ def run_to_parquet(
     """
     import pyarrow.compute as pc
 
-    done = mf.completed_partitions(out_dir) if resume else {}
+    # Partitioning is by url hash over ALL input fragments, so a change
+    # to ANY fragment can add/remove rows in EVERY partition: a completed
+    # partition is reusable only when the whole input fragment list (and
+    # the rules version) matches what it was built from (SURVEY §4;
+    # VERDICT r02 #5).  Manifests without lineage (older runs) are
+    # conservatively recomputed.
+    lineage = mf.input_lineage(ds)
+    done = {}
+    if resume:
+        done = {
+            p: payload
+            for p, payload in mf.completed_partitions(out_dir).items()
+            if payload.get("lineage_hash") == lineage["lineage_hash"]
+            and payload.get("rules_version") == RULES_VERSION
+        }
 
     filtered = quality_filter(ds, **kwargs)
 
@@ -225,7 +239,8 @@ def run_to_parquet(
                 rows = tbl.num_rows
                 kept = int(pc.sum(pc.cast(tbl.column("keep"), pa.int64())).as_py() or 0)
             payload = {"rows": rows, "kept": kept,
-                       "rules_version": RULES_VERSION}
+                       "rules_version": RULES_VERSION,
+                       "lineage_hash": lineage["lineage_hash"]}
             mf.write_partition_manifest(out_dir, p, payload)
             stats["partitions"][p] = payload
 
@@ -233,6 +248,8 @@ def run_to_parquet(
         "num_partitions": num_partitions,
         "rules_version": RULES_VERSION,
         "partitions_completed": len(stats["partitions"]),
+        "lineage_hash": lineage["lineage_hash"],
+        "input_fragments": lineage["fragments"],
     })
     stats["rows"] = sum(p.get("rows", 0) for p in stats["partitions"].values())
     stats["kept"] = sum(p.get("kept", 0) for p in stats["partitions"].values())

@@ -63,3 +63,33 @@ def write_run_manifest(out_dir: str, payload: typing.Dict[str, typing.Any]) -> N
     with open(tmp, "w") as f:
         json.dump(dict(payload, completed_at=time.time()), f, default=str)
     os.replace(tmp, os.path.join(out_dir, RUN_MANIFEST_NAME))
+
+
+def input_lineage(ds) -> typing.Dict[str, typing.Any]:
+    """Lineage of a Dataset's input fragments: the file list plus a hash
+    over (path, size, mtime) of each (SURVEY §4 — manifests must carry
+    the input fragment list so resume can tell "same partition id" from
+    "same data").  Remote paths that can't be stat'ed contribute path
+    only; a dataset with no file inputs (synthetic) hashes to a sentinel
+    so resume still works but never false-matches a file-backed run."""
+    import hashlib
+
+    try:
+        files = sorted(ds.input_files() or [])
+    except Exception:  # noqa: BLE001 — non-file sources
+        files = []
+    h = hashlib.sha256()
+    fragments: typing.List[dict] = []
+    for path in files:
+        frag: typing.Dict[str, typing.Any] = {"path": path}
+        try:
+            st = os.stat(path)
+            frag["size"] = st.st_size
+            frag["mtime"] = st.st_mtime
+        except OSError:
+            pass
+        fragments.append(frag)
+        h.update(json.dumps(frag, sort_keys=True).encode())
+    if not fragments:
+        h.update(b"<no-file-inputs>")
+    return {"fragments": fragments, "lineage_hash": h.hexdigest()}

@@ -107,3 +107,44 @@ def test_resume_cleans_stale_partition_files(cc_run, ray_session):
     tbl = pads.dataset(files).to_table(columns=["url"])
     assert tbl.num_rows == 400  # no doubled rows
     assert len(set(tbl.column("url").to_pylist())) == 400
+
+
+def test_resume_invalidates_on_changed_input(ray_session, tmp_path):
+    """Lineage gate (VERDICT r02 #5): a completed partition is skipped on
+    resume only while the input fragment list matches; rewriting an input
+    file invalidates EVERY partition (url-hash partitioning spreads each
+    fragment's rows over all partitions)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from gruut_ray.pipelines.quality_filter import run_to_parquet
+    from gruut_ray.sources.synth import synth_dataset
+
+    src = str(tmp_path / "pages.parquet")
+    stage_dir = str(tmp_path / "stage")
+    synth_dataset(200, parallelism=2).write_parquet(stage_dir)
+    full = pads.dataset(stage_dir).to_table()
+    pq.write_table(full, src)
+    out_dir = str(tmp_path / "out")
+
+    kw = dict(num_partitions=2, html_col="html", use_ppl=False,
+              quality_concurrency=(1, 2))
+    stats1 = run_to_parquet(ray.data.read_parquet(src), out_dir, **kw)
+    before = mf.completed_partitions(out_dir)
+    assert set(before) == {0, 1} and stats1["rows"] == 200
+    assert all("lineage_hash" in p for p in before.values())
+
+    # unchanged input: both partitions skipped (timestamps preserved)
+    run_to_parquet(ray.data.read_parquet(src), out_dir, **kw)
+    mid = mf.completed_partitions(out_dir)
+    assert mid[0]["completed_at"] == before[0]["completed_at"]
+    assert mid[1]["completed_at"] == before[1]["completed_at"]
+
+    # changed input (half the rows): lineage mismatch recomputes ALL
+    pq.write_table(full.slice(0, 100), src)
+    stats3 = run_to_parquet(ray.data.read_parquet(src), out_dir, **kw)
+    after = mf.completed_partitions(out_dir)
+    assert stats3["rows"] == 100
+    assert sum(p["rows"] for p in after.values()) == 100
+    assert after[0]["completed_at"] != before[0]["completed_at"]
+    assert after[0]["lineage_hash"] != before[0]["lineage_hash"]
