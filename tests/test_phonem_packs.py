@@ -150,12 +150,18 @@ def test_hovercraft_cs():
 
 @_needs("nl")
 def test_hovercraft_nl():
-    out = dict(get_phonemes("Mijn luchtkussenboot zit vol paling.", "nl"))
-    assert out["Mijn"] == ["m", "ɛi", "n"]
-    assert out["zit"] == ["z", "ɪ", "t"]
-    assert out["vol"] == ["v", "ɔ", "l"]
-    assert len(out.get("luchtkussenboot", [])) >= 8
-    assert len(out.get("paling", [])) >= 4
+    # FULL golden parity (reference tests/test_sqlite_phonemizer.py
+    # test_nl) — the nl pack lexicon covers every word since lazy pack
+    # loading landed; upgraded from the old partial form in r3
+    assert get_phonemes("Mijn luchtkussenboot zit vol paling.", "nl") == [
+        ("Mijn", ["m", "ɛi", "n"]),
+        ("luchtkussenboot",
+         ["ˈl", "ʏ", "x", "t", "k", "ʏ", "s", "ə", "n", "ˌb", "o", "t"]),
+        ("zit", ["z", "ɪ", "t"]),
+        ("vol", ["v", "ɔ", "l"]),
+        ("paling", ["p", "a", "l", "ɪ", "ŋ"]),
+        (".", ["‖"]),
+    ]
 
 
 @_needs("ca")
@@ -308,6 +314,21 @@ def test_hovercraft_sw():
         ("na", ["n", "ɑ"]),
         ("mikunga", ["m", "i", "k", "u", "ᵑg", "ɑ"]),
         (".", ["‖"]),
+    ]
+
+
+@_needs("ar", "crf_model")
+def test_hovercraft_ar():
+    # reference test_ar golden (tests/test_sqlite_phonemizer.py:14-25).
+    # The reference first rewrites the raw input "حَوّامتي مُمْتِلئة"
+    # through the mishkal diacritizer (lang.py:203-225 — an optional
+    # third-party model, not installable offline); its golden WORD FORMS
+    # are that diacritized output.  Feeding the diacritized forms
+    # directly, the ar pack CRF matches the golden phonemes EXACTLY —
+    # the only blocked piece is the external diacritization pre-process.
+    assert get_phonemes("حَوَّامَتُي مُمْتِلِئَة", "ar") == [
+        ("حَوَّامَتُي", ["ħ", "a", "u", "aː", "m", "t", "iː"]),
+        ("مُمْتِلِئَة", ["m", "u", "m", "t", "i", "l", "i", "ʔ", "i"]),
     ]
 
 
