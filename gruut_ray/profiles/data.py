@@ -319,6 +319,10 @@ SW = LanguageProfile(
 CA = LanguageProfile(
     lang="ca-ce",
     hooks="ca",
+    # reference get_ca_settings replacements (lang.py:2516-2521):
+    # normalize then strip orthographic apostrophes, drop hyphens,
+    # collapse the l·l geminate
+    replacements=(("’", "'"), ("'", ""), ("-", ""), ("l·l", "l")),
     month_names=("gener", "febrer", "març", "abril", "maig", "juny", "juliol", "agost", "setembre", "octubre", "novembre", "desembre"),
     minor_breaks=(",", ";", ":", "..."),
     begin_punctuations=_Q_BEGIN,

@@ -130,5 +130,8 @@ def fa_post_process_sentence(sent) -> None:
             word.phonemes = list(word.phonemes) + ["e̞"]
 
 
-register_hooks("ca", Hooks(post_process_sentence=ca_post_process_sentence))
+from gruut_ray.profiles.ca_stress import CaPreProcess  # noqa: E402
+
+register_hooks("ca", Hooks(post_process_sentence=ca_post_process_sentence,
+                           pre_process_text=CaPreProcess()))
 register_hooks("fa", Hooks(post_process_sentence=fa_post_process_sentence))

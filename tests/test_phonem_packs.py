@@ -317,6 +317,41 @@ def test_hovercraft_sw():
     ]
 
 
+@_needs("ca")
+def test_hovercraft_ca():
+    # FULL golden parity (reference tests/test_sqlite_phonemizer.py
+    # test_ca): requires the Catalan stress-marking pre-process
+    # (profiles/ca_stress.py — reference Transcripcio, lang.py:1702-2140),
+    # the ca replacements (apostrophe/hyphen/l·l), the pack lexicon and
+    # the sandhi post-hooks all composing in reference order.
+    assert get_phonemes("El meu aerolliscador està ple d'anguiles.",
+                        "ca-ce") == [
+        ("el", ["ə", "l"]),
+        ("meu", ["m", "'e", "uw"]),
+        ("aerolliscadór",
+         ["ə", "ə", "ɾ", "u", "ʎ", "i", "s", "k", "ə", "ð", "'o"]),
+        ("està", ["s", "t", "'a"]),
+        ("plè", ["p", "l", "'ɛ"]),
+        ("danguíles", ["d", "ə", "ŋ", "g", "'i", "l", "ə", "s"]),
+        (".", ["‖"]),
+    ]
+
+
+def test_ca_stress_word_cases():
+    """Unit cases for the stress marker (reference Transcripcio rules):
+    aguda vs the twelve-termination paroxytone rule, -ment adverbs,
+    exception table, function words, graphic-accent passthrough."""
+    from gruut_ray.profiles.ca_stress import stress_word
+
+    assert stress_word("aerolliscador") == "aerolliscadór"  # aguda -r
+    assert stress_word("ple") == "plè"                # monosyllable tonic
+    assert stress_word("d'anguiles") == "d'anguíles"  # gui nucleus, -es
+    assert stress_word("el") == "el"                  # einesgram untouched
+    assert stress_word("radio") == "ràdio"            # exception table
+    assert stress_word("està") == "està"              # already accented
+    assert stress_word("xyz") == "xyz"                # no nucleus
+
+
 @_needs("ar", "crf_model")
 def test_hovercraft_ar():
     # reference test_ar golden (tests/test_sqlite_phonemizer.py:14-25).
