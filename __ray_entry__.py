@@ -21,8 +21,19 @@ _BPE_SQL = r"'(?:s|t|re|ve|m|ll|d)| ?[0-9A-Za-z_]+| ?[^\s0-9A-Za-z_]+|\s+"
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data
 
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    import pyarrow.parquet as pq
+
+    # pandas-written parquet carries a b'pandas' schema-metadata dict that
+    # makes pa.Schema unhashable — Ray then logs "Failed to hash the
+    # schemas (for deduplication)" on every block unification and skips
+    # schema dedup.  Passing an explicit metadata-stripped schema fixes it
+    # at the source.
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = pq.read_schema(path).remove_metadata()
+    if columns is not None:  # schema must match the column selection
+        import pyarrow as _pa
+        schema = _pa.schema([schema.field(c) for c in columns])
+    return ray.data.read_parquet(path, columns=columns, schema=schema)
 
 
 # ---------------------------------------------------------------------------

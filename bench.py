@@ -59,9 +59,17 @@ def _init_ray(num_cpus: int) -> None:
 
 def _read(table: str, columns=None, replicate: int = 1):
     import ray.data
+    import pyarrow.parquet as pq
     path = os.path.join(SF_DIR, f"{table}.parquet")
     paths = [path] * replicate if replicate > 1 else path
-    return ray.data.read_parquet(paths, columns=columns)
+    # explicit metadata-stripped schema: the pandas schema-metadata dict
+    # is unhashable and defeats Ray's schema dedup (warning spam + a
+    # full unify per rebatch)
+    schema = pq.read_schema(path).remove_metadata()
+    if columns is not None:  # schema must match the column selection
+        import pyarrow as _pa
+        schema = _pa.schema([schema.field(c) for c in columns])
+    return ray.data.read_parquet(paths, columns=columns, schema=schema)
 
 
 # ---------------------------------------------------------------------------

@@ -67,7 +67,7 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
             id_col: batch.column(id_col),
         }).to_pandas()
         agg = df.groupby("content_hash", as_index=False)[id_col].min()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     survivors = (
         ds.map_batches(local, batch_format="pyarrow")

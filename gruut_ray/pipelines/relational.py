@@ -74,7 +74,7 @@ def pricing_summary(lineitem: "ray.data.Dataset",
             sum_qty=("qty", "sum"), sum_base_price=("base", "sum"),
             sum_disc_price=("disc", "sum"), sum_charge=("charge", "sum"),
             count_order=("qty", "size"))
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     from gruut_ray.pipelines.agg_util import partial_then_merge
 
@@ -126,7 +126,7 @@ def revenue_by_segment(orders: "ray.data.Dataset",
             agg = joined.groupby("c_mktsegment", as_index=False).agg(
                 revenue_c=("price_c", "sum"),
                 n_orders=("price_c", "size"))
-            return pa.Table.from_pandas(agg, preserve_index=False)
+            return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     partials = orders.map_batches(JoinSeg, batch_format="pyarrow",
                                   concurrency=(1, 4)).to_pandas()
@@ -163,7 +163,7 @@ def _revenue_by_segment_shuffle(orders: "ray.data.Dataset",
         }).to_pandas()
         agg = df.groupby("c_mktsegment", as_index=False).agg(
             revenue_c=("price_c", "sum"), n_orders=("price_c", "size"))
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     parts = joined.map_batches(partials, batch_format="pyarrow").to_pandas()
     return _finish_revenue_by_segment(parts)
@@ -184,7 +184,7 @@ def events_hourly_window(events: "ray.data.Dataset") -> pd.DataFrame:
         agg = df.groupby(["event_type", "window_start"], as_index=False).agg(
             n=("value", "size"), sum_value=("value_c", "sum"),
             min_value=("value", "min"), max_value=("value", "max"))
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     from gruut_ray.pipelines.agg_util import partial_then_merge
 
@@ -286,7 +286,7 @@ def suppliers_by_region(supplier: "ray.data.Dataset",
         agg = df.groupby("r_name", as_index=False).agg(
             n_suppliers=("s_suppkey", "size"),
             total_acctbal=("acctbal_c", "sum"))
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     out = partial_then_merge(supplier, partials, ["r_name"],
                              {"n_suppliers": "sum", "total_acctbal": "sum"},
@@ -402,7 +402,7 @@ def revenue_by_priority(orders: "ray.data.Dataset",
         }).to_pandas()
         agg = df.groupby("o_orderpriority", as_index=False).agg(
             revenue=("revenue", "sum"), n_items=("revenue", "size"))
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     out = partial_then_merge(joined, partials, ["o_orderpriority"],
                              {"revenue": "sum", "n_items": "sum"},
@@ -445,7 +445,7 @@ def events_sliding_window(events: "ray.data.Dataset",
         agg = df.groupby(["event_type", "window_start"],
                          as_index=False).agg(
             n=("value_c", "size"), sum_value=("value_c", "sum"))
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     out = partial_then_merge(events, partials,
                              ["event_type", "window_start"],

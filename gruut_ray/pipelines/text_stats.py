@@ -69,7 +69,7 @@ def tokens_by_lang(ds: "ray.data.Dataset", text_col: str = "text",
             n_docs=("n_ws_tokens", "size"),
             n_tokens=("n_ws_tokens", "sum"),
             n_chars=("n_chars", "sum"))
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     return partial_then_merge(ds, partials, ["lang"],
                               {"n_docs": "sum", "n_tokens": "sum",

@@ -157,4 +157,4 @@ def partial_counters(batch: pa.Table) -> pa.Table:
         docs=("kept", "size"), kept=("kept", "sum"),
         pii_hits=("n_pii_hits", "sum"), toxic=("n_toxic", "sum"),
         tokens=("n_tokens", "sum"))
-    return pa.Table.from_pandas(agg, preserve_index=False)
+    return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
