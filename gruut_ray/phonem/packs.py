@@ -44,6 +44,7 @@ class LanguagePack:
     lexicon_db: typing.Optional[str] = None
     crf_model: typing.Optional[str] = None
     pos_model: typing.Optional[str] = None
+    fst_graph: typing.Optional[str] = None
     espeak_lexicon_db: typing.Optional[str] = None
     espeak_crf_model: typing.Optional[str] = None
     extras: dict = field(default_factory=dict)
@@ -69,6 +70,11 @@ def _scan_pack_dir(path: str) -> dict:
     pos = os.path.join(path, "pos", "model.crf")
     if os.path.isfile(pos):
         found["pos_model"] = pos
+    # Phonetisaurus numpy graph (reference g2p_phonetisaurus.py — also
+    # absent from this checkout; user-supplied)
+    fst = os.path.join(path, "g2p", "graph.npz")
+    if os.path.isfile(fst):
+        found["fst_graph"] = fst
     elex = os.path.join(path, "espeak", "lexicon.db")
     if os.path.isfile(elex):
         found["espeak_lexicon_db"] = elex

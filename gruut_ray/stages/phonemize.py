@@ -180,6 +180,13 @@ class PhonemizeStage:
             try:
                 if crf_path:
                     self.g2p[short] = CrfG2P.load(crf_path)
+                elif pack.fst_graph and not self.espeak:
+                    # Phonetisaurus numpy graph: the reference's other
+                    # guesser (g2p_phonetisaurus.py) — used when a
+                    # user-supplied pack ships graph.npz but no CRF
+                    from gruut_ray.phonem.g2p_fst import FstG2P
+
+                    self.g2p[short] = FstG2P.load(pack.fst_graph)
                 elif not self.espeak:
                     model = _packs.load_perceptron_model(short)
                     if model is not None:

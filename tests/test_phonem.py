@@ -354,3 +354,66 @@ def test_crf_pos_pack_wiring(tmp_path, monkeypatch):
     # en still uses the heuristic (no en pos model ships)
     assert stage.pos_tags("en", ["the", "dog"]) == \
         heuristic_tags(["the", "dog"])
+
+
+# ---------------------------------------------------------------------------
+# Phonetisaurus FST G2P: synthetic numpy-graph round-trip
+# ---------------------------------------------------------------------------
+
+def _toy_fst(tmp_path):
+    """Tiny FST in the reference .npz layout: c→K, a→AE|EY (ambiguous,
+    cost picks AE), t→T, a mid-word eps detour through state 4, and a
+    two-grapheme cluster ch→CH.  States: 0 start; 2 and 3 accepting."""
+    from gruut_ray.phonem.g2p_fst import write_graph
+
+    symbols = ["<eps>", "c", "a", "t", "K", "AE", "EY", "T",
+               "c|h", "CH", "AA"]
+    S = {s: i for i, s in enumerate(symbols)}
+    edges = [
+        (0, 1, S["c"], S["K"]),          # c : K
+        (0, 1, S["c|h"], S["CH"]),       # ch : CH (cluster input)
+        (1, 2, S["a"], S["AE"]),         # a : AE (cheap)
+        (1, 2, S["a"], S["EY"]),         # a : EY (expensive)
+        (1, 4, S["<eps>"], S["<eps>"]),  # eps detour (costly)
+        (4, 2, S["a"], S["AA"]),         # a : AA via the detour
+        (2, 3, S["t"], S["T"]),          # t : T
+    ]
+    edge_probs = [0.1, 0.1, 0.2, 0.9, 2.0, 0.0, 0.1]
+    path = str(tmp_path / "graph.npz")
+    write_graph(path, start_node=0, edges=edges, edge_probs=edge_probs,
+                symbols=symbols, final_nodes=[2, 3],
+                final_probs=[0.3, 0.0])
+    return path
+
+
+def test_fst_g2p_synthetic_roundtrip(tmp_path):
+    from gruut_ray.phonem.g2p_fst import FstG2P
+
+    model = FstG2P.load(_toy_fst(tmp_path))
+    assert list(model("cat")) == ["K", "AE", "T"]
+    # state 2 is accepting with extra cost: "ca" stops there
+    assert list(model("ca")) == ["K", "AE"]
+    # cluster input symbol consumes two graphemes
+    assert list(model("cha")) == ["CH", "AE"]
+    # guesses come back cost-ascending: direct AE, then EY, then the
+    # eps-detour AA path (proves eps edges traverse without consuming)
+    guesses = model.guess("cat", max_guesses=3)
+    assert guesses == [["K", "AE", "T"], ["K", "EY", "T"],
+                       ["K", "AA", "T"]]
+    # unknown grapheme: no accepting path
+    assert list(model("cut")) == []
+    assert model.guess("") == []
+
+
+def test_fst_g2p_pack_wiring(tmp_path, monkeypatch):
+    """A pack shipping g2p/graph.npz (and no model.crf) gets the FST
+    guesser wired as its G2P fallback."""
+    pack_dir = tmp_path / "gruut-lang-zy" / "gruut_lang_zy"
+    (pack_dir / "g2p").mkdir(parents=True)
+    _toy_fst(pack_dir / "g2p")
+    monkeypatch.setenv("GRUUT_RAY_DATA", str(tmp_path))
+
+    stage = PhonemizeStage(pack_langs=["zy"])
+    stage._ensure_lang("zy")
+    assert "zy" in stage.g2p
+    assert list(stage.g2p["zy"]("cat")) == ["K", "AE", "T"]
