@@ -42,6 +42,7 @@ def quality_filter(
     langid_concurrency: typing.Union[int, typing.Tuple[int, int]] = (1, 4),
     quality_concurrency: typing.Union[int, typing.Tuple[int, int]] = (2, 8),
     batch_size: int = 256,
+    pool: str = "actors",
 ) -> "ray.data.Dataset":
     """Compose the quality-filter stages onto a Dataset (lazy).
 
@@ -51,6 +52,14 @@ def quality_filter(
     (recommended for batch jobs: autoscaling pools ramp from min and leave
     cpus idle for the first tens of seconds); a ``(min, max)`` tuple keeps
     the autoscaling behavior for long-running / shared clusters.
+
+    ``pool="tasks"`` runs the scrub as plain ``map_batches`` TASKS with a
+    per-worker-process module cache holding the scorer (state still
+    initializes once per process — Ray reuses workers — but there is no
+    actor-pool scheduling latency and tasks elastically use every free
+    cpu).  Output-identical to the actor path (the scorer is
+    deterministic); preferable when the job is short relative to actor
+    spin-up, actors when per-actor state is huge or must pin resources.
     """
     if html_col is not None:
         ds = ds.map_batches(
@@ -67,6 +76,17 @@ def quality_filter(
             concurrency=langid_concurrency,
             num_cpus=1,
         )
+    if pool == "tasks":
+        scrub_kwargs = {"thresholds": thresholds, "text_col": text_col,
+                        "use_ppl": use_ppl, "langid": fused}
+        ds = ds.map_batches(
+            _scrub_task,
+            fn_kwargs=scrub_kwargs,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            num_cpus=1,
+        )
+        return ds
     ds = ds.map_batches(
         QualityScrubStage,
         fn_constructor_kwargs={"thresholds": thresholds, "text_col": text_col,
@@ -77,6 +97,22 @@ def quality_filter(
         num_cpus=1,
     )
     return ds
+
+
+_TASK_SCRUB_CACHE: typing.Dict[tuple, QualityScrubStage] = {}
+
+
+def _scrub_task(batch, *, thresholds, text_col, use_ppl, langid):
+    """Task-pool scrub kernel: one QualityScrubStage per worker PROCESS
+    per parameter set (Ray reuses worker processes across tasks, so this
+    initializes once per worker like an actor's ``__init__``)."""
+    key = (repr(thresholds), text_col, use_ppl, langid)
+    stage = _TASK_SCRUB_CACHE.get(key)
+    if stage is None:
+        stage = _TASK_SCRUB_CACHE[key] = QualityScrubStage(
+            thresholds=thresholds, text_col=text_col,
+            use_ppl=use_ppl, langid=langid)
+    return stage(batch)
 
 
 def quality_filter_routed(

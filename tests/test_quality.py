@@ -137,3 +137,23 @@ def test_stage_poison_document_guard():
     out = stage(batch)  # must not raise
     assert out.num_rows == 1
     assert out.column("keep").to_pylist() == [False]
+
+
+def test_quality_filter_tasks_vs_actors_identical(ray_session):
+    """pool="tasks" (worker-process module cache) and pool="actors"
+    (actor pool) must produce identical rows — the scorer is
+    deterministic; only the execution vehicle differs."""
+    import ray.data
+
+    from gruut_ray.pipelines.quality_filter import quality_filter
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+
+    def rows(pool):
+        out = quality_filter(ds, use_ppl=True, fused=True, pool=pool,
+                             quality_concurrency=2).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    import pandas as pd
+    pd.testing.assert_frame_equal(rows("actors"), rows("tasks"))
