@@ -175,6 +175,29 @@ def _q_suppliers_by_region(sf_dir: str):
                                _read(sf_dir, "region"))
 
 
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped: broadcast customer-key semi-join + shuffle
+    orders ⋈ lineitem + exact fixed-point revenue + driver top-10."""
+    from gruut_ray.pipelines.relational import shipping_priority
+
+    return shipping_priority(_read(sf_dir, "customer",
+                                   columns=["c_custkey", "c_mktsegment"]),
+                             _read(sf_dir, "orders",
+                                   columns=["o_orderkey", "o_custkey",
+                                            "o_orderdate"]),
+                             _read(sf_dir, "lineitem",
+                                   columns=["l_orderkey", "l_extendedprice",
+                                            "l_discount", "l_shipdate"]))
+
+
+def _q_part_type_summary(sf_dir: str):
+    from gruut_ray.pipelines.relational import part_type_summary
+
+    return part_type_summary(_read(sf_dir, "part",
+                                   columns=["p_type", "p_retailprice",
+                                            "p_size"]))
+
+
 def _q_audit_sample(sf_dir: str):
     """Deterministic 5% audit sample (doc_id % 20): resumable, batch-order
     independent, SQL-matchable — the auditable stand-in for
@@ -422,6 +445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top10_longest": _q_top10_longest,
         "top_terms_by_lang": _q_top_terms_by_lang,
         "suppliers_by_region": _q_suppliers_by_region,
+        "shipping_priority": _q_shipping_priority,
+        "part_type_summary": _q_part_type_summary,
         "audit_sample": _q_audit_sample,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_segment": _q_revenue_by_segment,
@@ -512,6 +537,30 @@ def oracle_sql() -> dict[str, str]:
         "audit_sample": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE doc_id % 20 = 0 ORDER BY doc_id
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS DOUBLE) / 1e4 AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "part_type_summary": """
+            SELECT p_type,
+                   count(*) AS n_parts,
+                   CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                        // count(*) AS BIGINT) AS avg_retail_c,
+                   min(p_size) AS min_size,
+                   max(p_size) AS max_size
+            FROM part GROUP BY p_type ORDER BY p_type
         """,
         # Money sums below use exact fixed-point (integer cents / basis
         # points), mirroring the engine's arithmetic: summing doubles is

@@ -456,3 +456,106 @@ def events_sliding_window(events: "ray.data.Dataset",
         out["window_start"], unit="us").astype("datetime64[us]")
     return (out.sort_values(["event_type", "window_start"])
             .reset_index(drop=True))
+
+
+def shipping_priority(customer: "ray.data.Dataset",
+                      orders: "ray.data.Dataset",
+                      lineitem: "ray.data.Dataset",
+                      segment: str = "BUILDING",
+                      cutoff: str = "1998-06-01",
+                      topn: int = 10,
+                      num_partitions: int = 16) -> pd.DataFrame:
+    """TPC-H Q3-shaped three-table pipeline: filter → broadcast semi-join
+    → shuffle hash join → partial aggregate → driver top-N.
+
+    Scale shape: the segment-filtered customer KEYS broadcast via
+    ``ray.put`` (a set of ints — tiny even at full TPC-H scale) and
+    orders filter map-side, so only the date+segment-surviving orders
+    reach the one real shuffle (orders ⋈ lineitem on orderkey).  Revenue
+    is exact fixed-point (1e-4 dollars) like the other money pipelines;
+    only (groups) rows reach the driver for the final top-N."""
+    import ray
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    cutoff_ts = pa.scalar(np.datetime64(cutoff, "us"))
+    cust_keys = customer.map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"),
+                                    pa.scalar(segment)))
+        .select(["c_custkey"]),
+        batch_format="pyarrow").to_pandas()
+    keys_ref = ray.put(
+        pa.array(sorted(cust_keys["c_custkey"].tolist()), type=pa.int64()))
+
+    def filter_orders(batch: pa.Table, _cache={}) -> pa.Table:
+        keys = _cache.get("keys")
+        if keys is None:  # once per worker process
+            keys = _cache["keys"] = ray.get(keys_ref)
+        batch = batch.filter(pc.less(batch.column("o_orderdate"), cutoff_ts))
+        mask = pc.is_in(batch.column("o_custkey"), value_set=keys)
+        return batch.filter(mask).select(["o_orderkey", "o_orderdate"])
+
+    o = (orders.map_batches(filter_orders, batch_format="pyarrow")
+         .repartition(num_partitions))
+    l = (lineitem.map_batches(
+        lambda b: b.filter(pc.greater(b.column("l_shipdate"), cutoff_ts))
+        .select(["l_orderkey", "l_extendedprice", "l_discount"]),
+        batch_format="pyarrow")
+        .repartition(num_partitions))
+    joined = l.join(o, join_type="inner", num_partitions=num_partitions,
+                    on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        revenue = pc.multiply(
+            _cents(batch.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100), _cents(batch.column("l_discount"))))
+        df = pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "o_orderdate": batch.column("o_orderdate"),
+            "revenue": revenue,
+        }).to_pandas()
+        agg = df.groupby(["l_orderkey", "o_orderdate"], as_index=False).agg(
+            revenue=("revenue", "sum"))
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    out = partial_then_merge(joined, partials, ["l_orderkey", "o_orderdate"],
+                             {"revenue": "sum"},
+                             exact_int_cols=["revenue"])
+    out["revenue"] = (out["revenue"] / 1e4).astype("float64")
+    out = out.sort_values(["revenue", "o_orderdate", "l_orderkey"],
+                          ascending=[False, True, True]).head(topn)
+    out["o_orderdate"] = out["o_orderdate"].astype("datetime64[us]")
+    return out.reset_index(drop=True)
+
+
+def part_type_summary(part: "ray.data.Dataset") -> pd.DataFrame:
+    """Per-type part rollup (count, exact-money avg retail, size range) —
+    partial-aggregate-then-merge, no shuffle of part rows."""
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pa.table({
+            "p_type": batch.column("p_type"),
+            "retail_c": _cents(batch.column("p_retailprice")),
+            "p_size": batch.column("p_size"),
+        }).to_pandas()
+        agg = df.groupby("p_type", as_index=False).agg(
+            n_parts=("retail_c", "size"), sum_retail=("retail_c", "sum"),
+            min_size=("p_size", "min"), max_size=("p_size", "max"))
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    out = partial_then_merge(
+        part, partials, ["p_type"],
+        {"n_parts": "sum", "sum_retail": "sum",
+         "min_size": "min", "max_size": "max"},
+        exact_int_cols=["sum_retail"])
+    # exact integer average in cents (floor division) — the oracle uses
+    # BIGINT // BIGINT, so both sides are bit-identical with no float
+    # rounding boundary to disagree on
+    out["avg_retail_c"] = [int(s) // int(n)
+                           for s, n in zip(out["sum_retail"], out["n_parts"])]
+    out["avg_retail_c"] = out["avg_retail_c"].astype("int64")
+    out = out[["p_type", "n_parts", "avg_retail_c", "min_size", "max_size"]]
+    return out.sort_values("p_type").reset_index(drop=True)

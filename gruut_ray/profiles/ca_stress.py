@@ -87,8 +87,13 @@ _I_SUFFIXES = ("isme", "ista", "ismes", "istes", "ir", "int", "iré",
 
 def _i_suffix(word: str, pos: int) -> bool:
     rest = word[pos:]
-    for suf in _I_SUFFIXES:
-        if rest == suf:
+    # -isme/-ista endings match on the tail alone; the verbal -ir family
+    # matches only when the FIRST occurrence sits at pos (reference uses
+    # word.find(suffix) == pos, gicf_suf lang.py:1102-1160)
+    if rest in ("isme", "ista", "ismes", "istes"):
+        return True
+    for suf in _I_SUFFIXES[4:]:
+        if rest == suf and word.find(suf) == pos:
             return word not in VOC_IR if suf == "ir" else True
     return False
 
