@@ -422,6 +422,26 @@ def _q_winnow_sketches(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_daily_active_users(sf_dir: str):
+    """Exact DAU (count-distinct users per day) + daily event totals —
+    the distinct dedup happens in a (day, user) pair shuffle, never on
+    event rows."""
+    from gruut_ray.pipelines.relational import daily_active_users
+
+    return daily_active_users(_read(sf_dir, "events",
+                                    columns=["ts", "user_id"]))
+
+
+def _q_repetition_stats(sf_dir: str):
+    """Gopher/C4-style per-doc word-repetition signals (integer columns
+    so the oracle hash is exact; filters derive the fractions)."""
+    from gruut_ray.pipelines.text_stats import doc_repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (doc_repetition_stats(ds).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _q_sessionize(sf_dir: str):
     import pandas as pd
 
@@ -464,6 +484,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_count": _q_minhash_dedup_count,
         "simhash_signatures": _q_simhash_signatures,
         "winnow_sketches": _q_winnow_sketches,
+        "repetition_stats": _q_repetition_stats,
+        "daily_active_users": _q_daily_active_users,
         "sessionize": _q_sessionize,
         "asof_attribution": _q_asof_attribution,
     }
@@ -537,6 +559,27 @@ def oracle_sql() -> dict[str, str]:
         "audit_sample": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE doc_id % 20 = 0 ORDER BY doc_id
+        """,
+        "daily_active_users": """
+            SELECT to_timestamp(floor(epoch(ts) / 86400) * 86400)::TIMESTAMP
+                       AS day,
+                   count(DISTINCT user_id) AS dau,
+                   count(*) AS n_events
+            FROM events GROUP BY day ORDER BY day
+        """,
+        "repetition_stats": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+                FROM documents
+            ), wc AS (
+                SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_words,
+                   count(*) AS n_distinct_words,
+                   CAST(max(c) AS BIGINT) AS max_word_count
+            FROM wc GROUP BY doc_id ORDER BY doc_id
         """,
         "shipping_priority": """
             SELECT l_orderkey, o_orderdate,

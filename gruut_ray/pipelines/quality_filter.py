@@ -109,9 +109,16 @@ def _scrub_task(batch, *, thresholds, text_col, use_ppl, langid):
     key = (repr(thresholds), text_col, use_ppl, langid)
     stage = _TASK_SCRUB_CACHE.get(key)
     if stage is None:
+        import os
+        import time
+        t0 = time.perf_counter()
         stage = _TASK_SCRUB_CACHE[key] = QualityScrubStage(
             thresholds=thresholds, text_col=text_col,
             use_ppl=use_ppl, langid=langid)
+        log = os.environ.get("GRUUT_RAY_SCRUB_INIT_LOG")
+        if log:  # diagnostics: one line per worker-process init
+            with open(log, "a") as f:
+                f.write(f"{os.getpid()} {time.perf_counter() - t0:.3f}\n")
     return stage(batch)
 
 

@@ -559,3 +559,50 @@ def part_type_summary(part: "ray.data.Dataset") -> pd.DataFrame:
     out["avg_retail_c"] = out["avg_retail_c"].astype("int64")
     out = out[["p_type", "n_parts", "avg_retail_c", "min_size", "max_size"]]
     return out.sort_values("p_type").reset_index(drop=True)
+
+
+def daily_active_users(events: "ray.data.Dataset",
+                       num_partitions: int = 16) -> pd.DataFrame:
+    """Exact daily-active-users + event counts: the canonical exact
+    count-distinct over a shuffle.
+
+    Scale shape: each batch first collapses to its distinct
+    (day, user_id) pairs with a partial event count (the ONLY all-to-all
+    exchange then moves pair-count rows, never event rows — a day of
+    10^10 events with 10^7 actives shuffles ≤ blocks × actives rows);
+    the distributed ``groupby((day, user)).sum`` finishes the dedup, and
+    per-day DAU/event totals merge from per-block partials (days are few
+    — the driver holds only (days) rows)."""
+    us_day = 86_400_000_000
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64())
+        day = pc.multiply(pc.divide(ts, us_day), us_day)
+        tbl = pa.table({"day": day, "user_id": batch.column("user_id")})
+        return tbl.group_by(["day", "user_id"]).aggregate(
+            [("user_id", "count")]).rename_columns(
+                ["day", "user_id", "n_events"])
+
+    from ray.data.aggregate import Sum
+
+    pairs = (events.map_batches(pair_partials, batch_format="pyarrow")
+             .groupby(["day", "user_id"])
+             .aggregate(Sum("n_events", alias_name="n_events")))
+
+    def day_partials(batch: pa.Table) -> pa.Table:
+        df = batch.select(["day", "n_events"]).to_pandas()
+        agg = df.groupby("day", as_index=False).agg(
+            dau=("n_events", "size"), n_events=("n_events", "sum"))
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    out = partial_then_merge(pairs, day_partials, ["day"],
+                             {"dau": "sum", "n_events": "sum"})
+    out["day"] = pd.to_datetime(out["day"], unit="us").astype(
+        "datetime64[us]")
+    out["dau"] = out["dau"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return (out[["day", "dau", "n_events"]]
+            .sort_values("day").reset_index(drop=True))

@@ -204,3 +204,41 @@ def top_terms_by_lang(ds: "ray.data.Dataset", k: int = 5,
     return (out.to_pandas()
             .sort_values(["lang", "n", "term"], ascending=[True, False, True])
             .reset_index(drop=True))
+
+
+def repetition_stats_batch(batch: pa.Table, id_col: str = "doc_id",
+                           text_col: str = "text") -> pa.Table:
+    """Per-document word-repetition signals (Gopher/C4-style quality
+    rules, Rae et al. 2021 §A1.1): total words, distinct words, and the
+    hottest word's count.  Downstream filters derive the duplicate-word
+    fraction ``1 - n_distinct/n_words`` and top-word fraction
+    ``max_word_count/n_words``; the raw columns stay integers so the
+    DuckDB oracle compare is exact.
+
+    Per-row pure (documents never shuffle): arrow regex split, one pandas
+    explode + two groupbys per batch.  Splitting matches the oracle's
+    ``regexp_split_to_array(trim(text), '\\s+')`` exactly (both RE2);
+    an all-whitespace doc yields the [""] singleton on both sides."""
+    words = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(batch.column(text_col)), r"\s+")
+    tbl = pa.table({id_col: batch.column(id_col), "w": words})
+    df = tbl.to_pandas().explode("w")
+    wc = df.groupby([id_col, "w"], as_index=False, sort=False).size()
+    agg = wc.groupby(id_col, as_index=False, sort=False).agg(
+        n_words=("size", "sum"),
+        n_distinct_words=("size", "size"),
+        max_word_count=("size", "max"))
+    for c in ("n_words", "n_distinct_words", "max_word_count"):
+        agg[c] = agg[c].astype("int64")
+    return pa.Table.from_pandas(
+        agg, preserve_index=False).replace_schema_metadata(None)
+
+
+def doc_repetition_stats(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                         text_col: str = "text") -> "ray.data.Dataset":
+    """Lazy per-doc repetition-stats Dataset (see
+    :func:`repetition_stats_batch`)."""
+    return ds.map_batches(
+        lambda b: repetition_stats_batch(b, id_col=id_col,
+                                         text_col=text_col),
+        batch_format="pyarrow")

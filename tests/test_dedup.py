@@ -264,3 +264,32 @@ def test_winnow_sketches_pipeline(ray_session):
         ["doc_id", "sketch_size"]).to_pandas()
     assert len(out) == ds.count()
     assert (out["sketch_size"] > 0).all()
+
+
+def test_repetition_stats_batch_matches_naive():
+    """Gopher-style word-repetition signals: engine batch kernel vs a
+    naive per-doc Counter, incl. the SQL edge convention (empty/ws-only
+    text splits to the [""] singleton → n_words = 1)."""
+    import collections
+
+    import pyarrow as pa
+
+    from gruut_ray.pipelines.text_stats import repetition_stats_batch
+
+    texts = [
+        "a b a c a",                 # repetition: a×3
+        "unique words only here",
+        "x x x x x x",               # fully duplicated
+        "  padded   whitespace  a ", # trim + multi-space split
+        "",                          # SQL singleton convention
+        "   ",
+        "tab\tand\nnewline tab",
+    ]
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = repetition_stats_batch(batch).to_pandas().set_index("doc_id")
+    for i, t in enumerate(texts):
+        words = t.strip().split() if t.strip() else [""]
+        c = collections.Counter(words)
+        assert out.loc[i, "n_words"] == len(words), t
+        assert out.loc[i, "n_distinct_words"] == len(c), t
+        assert out.loc[i, "max_word_count"] == max(c.values()), t
