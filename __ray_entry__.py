@@ -442,6 +442,33 @@ def _q_repetition_stats(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _q_quality_signals(sf_dir: str):
+    """Per-doc C4/Gopher line/word shape signals (bullet/ellipsis lines,
+    alpha/stop words, digit chars) — integer columns, exact oracle."""
+    from gruut_ray.pipelines.text_stats import doc_quality_signals
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (doc_quality_signals(ds).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def _q_longest_doc_per_lang(sf_dir: str):
+    """Grouped argmax (top-1 window) without shuffling data rows."""
+    from gruut_ray.pipelines.text_stats import longest_doc_per_lang
+
+    return longest_doc_per_lang(
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]))
+
+
+def _q_length_quantiles(sf_dir: str):
+    """Exact per-lang length quantiles via distributed value histogram
+    (quantile_disc convention: rank ceil(q*n)-1)."""
+    from gruut_ray.pipelines.text_stats import length_quantiles_by_lang
+
+    return length_quantiles_by_lang(
+        _read(sf_dir, "documents", columns=["lang", "n_chars"]))
+
+
 def _q_sessionize(sf_dir: str):
     import pandas as pd
 
@@ -485,6 +512,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": _q_simhash_signatures,
         "winnow_sketches": _q_winnow_sketches,
         "repetition_stats": _q_repetition_stats,
+        "quality_signals": _q_quality_signals,
+        "longest_doc_per_lang": _q_longest_doc_per_lang,
+        "length_quantiles_by_lang": _q_length_quantiles,
         "daily_active_users": _q_daily_active_users,
         "sessionize": _q_sessionize,
         "asof_attribution": _q_asof_attribution,
@@ -580,6 +610,46 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_distinct_words,
                    CAST(max(c) AS BIGINT) AS max_word_count
             FROM wc GROUP BY doc_id ORDER BY doc_id
+        """,
+        "quality_signals": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, chr(10))) AS BIGINT)
+                       AS n_lines,
+                   CAST(len(list_filter(string_split(text, chr(10)),
+                            x -> regexp_matches(x, '^\\s*[-*•]')))
+                        AS BIGINT) AS n_bullet_lines,
+                   CAST(len(list_filter(string_split(text, chr(10)),
+                            x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$')))
+                        AS BIGINT) AS n_ellipsis_lines,
+                   CAST(len(list_filter(
+                            regexp_split_to_array(trim(text), '\\s+'),
+                            x -> regexp_matches(x, '[A-Za-z]')))
+                        AS BIGINT) AS n_alpha_words,
+                   CAST(len(list_filter(
+                            regexp_split_to_array(trim(text), '\\s+'),
+                            x -> list_contains(['the','be','to','of','and',
+                                                'that','have','with'],
+                                               lower(x))))
+                        AS BIGINT) AS n_stop_words,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[0-9]', '', 'g'))
+                        AS BIGINT) AS n_digit_chars
+            FROM documents ORDER BY doc_id
+        """,
+        "longest_doc_per_lang": """
+            SELECT lang, doc_id, n_chars FROM (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents) WHERE rn = 1 ORDER BY lang
+        """,
+        "length_quantiles_by_lang": """
+            SELECT lang, count(*) AS n_docs,
+                   quantile_disc(n_chars, 0.25) AS p25,
+                   quantile_disc(n_chars, 0.5)  AS p50,
+                   quantile_disc(n_chars, 0.75) AS p75,
+                   quantile_disc(n_chars, 0.9)  AS p90
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "shipping_priority": """
             SELECT l_orderkey, o_orderdate,

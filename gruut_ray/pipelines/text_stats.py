@@ -242,3 +242,143 @@ def doc_repetition_stats(ds: "ray.data.Dataset", id_col: str = "doc_id",
         lambda b: repetition_stats_batch(b, id_col=id_col,
                                          text_col=text_col),
         batch_format="pyarrow")
+
+
+# Gopher's fixed stop-word list (Rae et al. 2021 §A1.1: "contains at
+# least two of the following English words") — the membership-count
+# signal its document filter derives from.
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                     "with")
+
+
+def quality_signals_batch(batch: pa.Table, id_col: str = "doc_id",
+                          text_col: str = "text") -> pa.Table:
+    """Per-document line/word shape signals behind C4/Gopher-style
+    cleaning rules (Raffel et al. 2020 §2.2; Rae et al. 2021 §A1.1):
+    line counts, bullet-/ellipsis-line counts, alphabetic-word and
+    stop-word counts, digit chars.  All columns are integers so the
+    DuckDB oracle compare is exact; downstream filters derive the
+    fractions (e.g. drop if bullet_lines/lines > 0.9).
+
+    Fully vectorized per batch — arrow list split + ``list_flatten`` /
+    ``list_parent_indices`` + one ``np.bincount`` segment-sum per
+    signal; no Python loop, no pandas explode.  Regexes are RE2 on both
+    engine (arrow) and oracle (DuckDB) sides."""
+    texts = pc.fill_null(batch.column(text_col), "").combine_chunks()
+    n = len(texts)
+
+    def seg_count(parents: np.ndarray, mask) -> pa.Array:
+        w = mask.to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.array(
+            np.bincount(parents, weights=w, minlength=n).astype(np.int64))
+
+    lines = pc.split_pattern(texts, "\n")
+    lflat = pc.list_flatten(lines)
+    lpar = pc.list_parent_indices(lines).to_numpy()
+    words = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
+    wflat = pc.list_flatten(words)
+    wpar = pc.list_parent_indices(words).to_numpy()
+
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_lines": pc.cast(pc.list_value_length(lines), pa.int64()),
+        "n_bullet_lines": seg_count(
+            lpar, pc.match_substring_regex(lflat, r"^\s*[-*•]")),
+        "n_ellipsis_lines": seg_count(
+            lpar, pc.match_substring_regex(lflat, r"(\.\.\.|…)\s*$")),
+        "n_alpha_words": seg_count(
+            wpar, pc.match_substring_regex(wflat, r"[A-Za-z]")),
+        "n_stop_words": seg_count(
+            wpar, pc.is_in(pc.utf8_lower(wflat),
+                           value_set=pa.array(_GOPHER_STOPWORDS))),
+        "n_digit_chars": pc.cast(
+            pc.count_substring_regex(texts, r"[0-9]"), pa.int64()),
+    })
+
+
+def doc_quality_signals(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                        text_col: str = "text") -> "ray.data.Dataset":
+    """Lazy per-doc quality-signal Dataset (see
+    :func:`quality_signals_batch`)."""
+    return ds.map_batches(
+        lambda b: quality_signals_batch(b, id_col=id_col,
+                                        text_col=text_col),
+        batch_format="pyarrow")
+
+
+def longest_doc_per_lang(ds: "ray.data.Dataset", lang_col: str = "lang",
+                         id_col: str = "doc_id",
+                         len_col: str = "n_chars"):
+    """Distributed argmax per group with a deterministic tie-break
+    (greatest ``len_col``, then smallest ``id_col``) — the grouped-top-1
+    window pattern (SQL ``row_number() OVER (PARTITION BY ...)``) without
+    shuffling data rows: every batch emits at most one candidate row per
+    group, the driver re-runs the same pick on the (blocks × groups)
+    candidates.  For group cardinalities that outgrow the driver, swap
+    the final pick for a Ray ``groupby(lang).map_groups`` over the same
+    candidate stream — the per-batch reduction already bounds the
+    exchange."""
+    import pandas as pd  # noqa: F401  (driver-side merge)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([lang_col, id_col, len_col]).to_pandas()
+        df = df.sort_values([len_col, id_col], ascending=[False, True])
+        return pa.Table.from_pandas(
+            df.groupby(lang_col, as_index=False, sort=False).head(1),
+            preserve_index=False).replace_schema_metadata(None)
+
+    cands = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    out = (cands.sort_values([len_col, id_col], ascending=[False, True])
+           .groupby(lang_col, as_index=False, sort=False).head(1))
+    return (out[[lang_col, id_col, len_col]]
+            .sort_values(lang_col).reset_index(drop=True))
+
+
+def length_quantiles_by_lang(ds: "ray.data.Dataset",
+                             qs=(0.25, 0.5, 0.75, 0.9),
+                             lang_col: str = "lang",
+                             val_col: str = "n_chars"):
+    """EXACT grouped quantiles of an integer column via a distributed
+    value histogram — the scale path for exact (not sketched) quantiles
+    when the value domain is bounded (char/token lengths, scores in
+    fixed precision): per-batch ``(group, value) → count`` partials
+    combine before any exchange, so only histogram rows ever move, and
+    the driver reduces a (groups × distinct-values) table, never data
+    rows.  For unbounded/continuous domains, quantize to fixed-precision
+    buckets first or use a mergeable sketch instead.
+
+    Quantile convention matches SQL ``quantile_disc``: the value at
+    0-based rank ``ceil(q·n) − 1`` of the sorted column.  ``q·n`` is
+    computed in exact rational arithmetic — float ``ceil(0.9 * 10)``
+    is 10, not 9, and silently shifts the rank."""
+    import math
+    from fractions import Fraction
+
+    import pandas as pd
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (batch.select([lang_col, val_col])
+                .group_by([lang_col, val_col])
+                .aggregate([(val_col, "count")])
+                .rename_columns([lang_col, val_col, "n"]))
+
+    hist = partial_then_merge(ds, partial, [lang_col, val_col],
+                              {"n": "sum"})
+    rows = []
+    for lang, g in hist.groupby(lang_col, dropna=False):
+        g = g.sort_values(val_col)
+        counts = g["n"].to_numpy(dtype=np.int64)
+        vals = g[val_col].to_numpy()
+        cum = counts.cumsum()
+        n_total = int(cum[-1])
+        row = {"lang": lang, "n_docs": n_total}
+        for q in qs:
+            rank = max(math.ceil(Fraction(str(q)) * n_total) - 1, 0)
+            idx = int(np.searchsorted(cum, rank + 1))
+            row[f"p{round(q * 100):02d}"] = int(vals[idx])
+        rows.append(row)
+    return (pd.DataFrame(rows).sort_values("lang")
+            .reset_index(drop=True))

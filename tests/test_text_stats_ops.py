@@ -1,0 +1,99 @@
+"""Unit tests for the round-3 text-stats operators: quality signals,
+grouped argmax, and histogram-exact quantiles."""
+
+import math
+from fractions import Fraction
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from gruut_ray.pipelines.text_stats import (
+    length_quantiles_by_lang,
+    longest_doc_per_lang,
+    quality_signals_batch,
+)
+
+
+def test_quality_signals_batch_edges():
+    texts = [
+        "- bullet one\n* bullet two\nplain",
+        "trailing dots...\nand unicode… \nno",
+        "",                       # empty: 1 line, [""] word, no matches
+        "   ",                    # ws-only
+        "the cat and the hat",    # stopwords: the, and, the = 3
+        "a1b2 33 x\ny...",
+        "• dot bullet\n  - indented",
+    ]
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = quality_signals_batch(batch).to_pandas().set_index("doc_id")
+
+    assert out.loc[0, "n_lines"] == 3
+    assert out.loc[0, "n_bullet_lines"] == 2
+    assert out.loc[1, "n_ellipsis_lines"] == 2
+    assert out.loc[2, "n_lines"] == 1
+    assert out.loc[2, "n_bullet_lines"] == 0
+    assert out.loc[2, "n_alpha_words"] == 0
+    assert out.loc[3, "n_alpha_words"] == 0
+    assert out.loc[4, "n_stop_words"] == 3
+    assert out.loc[4, "n_alpha_words"] == 5
+    assert out.loc[5, "n_digit_chars"] == 4
+    assert out.loc[5, "n_ellipsis_lines"] == 1
+    assert out.loc[6, "n_bullet_lines"] == 2
+
+
+def test_quantile_rank_formula_matches_duckdb():
+    """The exact-rational rank ceil(q*n)-1 must reproduce DuckDB's
+    quantile_disc — float ceil(0.9*10) is 10 and silently shifts it."""
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        n = int(rng.integers(1, 200))
+        vals = sorted(rng.integers(0, 40, size=n).tolist())
+        for q in (0.25, 0.5, 0.75, 0.9, 0.01, 0.99):
+            rank = max(math.ceil(Fraction(str(q)) * n) - 1, 0)
+            theirs = con.execute(
+                "SELECT quantile_disc(x, ?) FROM (SELECT unnest(?) x)",
+                [q, vals]).fetchone()[0]
+            assert vals[rank] == theirs, (n, q)
+
+
+def test_length_quantiles_block_invariant(ray_session):
+    """Histogram quantiles are independent of block boundaries."""
+    import ray
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    df = pd.DataFrame({
+        "lang": rng.choice(["en", "de", "sw"], size=n,
+                           p=[0.7, 0.2, 0.1]),
+        "n_chars": rng.integers(1, 300, size=n).astype("int64"),
+    })
+    a = length_quantiles_by_lang(ray.data.from_pandas(df).repartition(1))
+    b = length_quantiles_by_lang(ray.data.from_pandas(df).repartition(17))
+    pd.testing.assert_frame_equal(a, b)
+    # cross-check one cell against pandas' inverted_cdf
+    en = np.sort(df.loc[df["lang"] == "en", "n_chars"].to_numpy())
+    n_en = len(en)
+    rank = math.ceil(Fraction("0.9") * n_en) - 1
+    assert a.set_index("lang").loc["en", "p90"] == en[rank]
+
+
+def test_longest_doc_per_lang_tiebreak(ray_session):
+    """Ties on length resolve to the smallest doc_id, regardless of how
+    rows land in blocks."""
+    import ray
+
+    df = pd.DataFrame({
+        "doc_id": [5, 3, 9, 1, 7, 2],
+        "lang": ["en", "en", "en", "de", "de", "de"],
+        "n_chars": [40, 40, 12, 7, 7, 7],
+    })
+    for parts in (1, 4):
+        out = longest_doc_per_lang(
+            ray.data.from_pandas(df).repartition(parts))
+        got = out.set_index("lang")
+        assert got.loc["en", "doc_id"] == 3
+        assert got.loc["de", "doc_id"] == 1
