@@ -469,6 +469,28 @@ def _q_length_quantiles(sf_dir: str):
         _read(sf_dir, "documents", columns=["lang", "n_chars"]))
 
 
+def _q_contamination_overlap(sf_dir: str):
+    """Benchmark decontamination: word-5-gram overlap of every corpus
+    doc against a small held-out set (docs with doc_id % 100 == 0),
+    broadcast once — no corpus shuffle."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    from gruut_ray.pipelines.contamination import contamination_overlap
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _split(b: _pa.Table, want_bench: bool) -> _pa.Table:
+        mask = (b.column("doc_id").to_numpy() % 100 == 0)
+        return b.filter(_pa.array(mask if want_bench else ~mask))
+
+    bench = ds.map_batches(lambda b: _split(b, True),
+                           batch_format="pyarrow")
+    corpus = ds.map_batches(lambda b: _split(b, False),
+                            batch_format="pyarrow")
+    return contamination_overlap(corpus, bench, n=5)
+
+
 def _q_sessionize(sf_dir: str):
     import pandas as pd
 
@@ -515,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_signals": _q_quality_signals,
         "longest_doc_per_lang": _q_longest_doc_per_lang,
         "length_quantiles_by_lang": _q_length_quantiles,
+        "contamination_overlap": _q_contamination_overlap,
         "daily_active_users": _q_daily_active_users,
         "sessionize": _q_sessionize,
         "asof_attribution": _q_asof_attribution,
@@ -635,6 +658,34 @@ def oracle_sql() -> dict[str, str]:
                         - length(regexp_replace(text, '[0-9]', '', 'g'))
                         AS BIGINT) AS n_digit_chars
             FROM documents ORDER BY doc_id
+        """,
+        "contamination_overlap": """
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM documents WHERE trim(text) <> ''
+            ), grams AS (
+                SELECT doc_id, array_to_string(ws[i.i : i.i + 4], ' ') AS g
+                FROM words, unnest(generate_series(1, len(ws) - 4)) AS i(i)
+                WHERE len(ws) >= 5
+            ), bench AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 100 = 0
+            ), corpus AS (
+                SELECT DISTINCT doc_id, g FROM grams
+                WHERE doc_id % 100 <> 0
+            ), hits AS (
+                SELECT c.doc_id, count(*) AS n_grams,
+                       CAST(sum(CASE WHEN b.g IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_hit_grams
+                FROM corpus c LEFT JOIN bench b USING (g)
+                GROUP BY c.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n_grams, 0) AS n_grams,
+                   coalesce(h.n_hit_grams, 0) AS n_hit_grams
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 100 <> 0) d
+            LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id
         """,
         "longest_doc_per_lang": """
             SELECT lang, doc_id, n_chars FROM (
