@@ -469,6 +469,16 @@ def _q_length_quantiles(sf_dir: str):
         _read(sf_dir, "documents", columns=["lang", "n_chars"]))
 
 
+def _q_line_dedup_stats(sf_dir: str):
+    """C4-rule line dedup accounting: lines occurring in >= 2 distinct
+    docs are dropped; per-doc kept/removed/clean-length stats."""
+    from gruut_ray.pipelines.dedup import line_dedup_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (line_dedup_stats(ds, min_docs=2).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _q_contamination_overlap(sf_dir: str):
     """Benchmark decontamination: word-5-gram overlap of every corpus
     doc against a small held-out set (docs with doc_id % 100 == 0),
@@ -537,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_signals": _q_quality_signals,
         "longest_doc_per_lang": _q_longest_doc_per_lang,
         "length_quantiles_by_lang": _q_length_quantiles,
+        "line_dedup_stats": _q_line_dedup_stats,
         "contamination_overlap": _q_contamination_overlap,
         "daily_active_users": _q_daily_active_users,
         "sessionize": _q_sessionize,
@@ -658,6 +669,31 @@ def oracle_sql() -> dict[str, str]:
                         - length(regexp_replace(text, '[0-9]', '', 'g'))
                         AS BIGINT) AS n_digit_chars
             FROM documents ORDER BY doc_id
+        """,
+        "line_dedup_stats": """
+            WITH lines AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line
+                FROM documents
+            ), dup AS (
+                SELECT line FROM (
+                    SELECT line, count(DISTINCT doc_id) AS c
+                    FROM lines GROUP BY line)
+                WHERE c >= 2
+            )
+            SELECT l.doc_id,
+                   count(*) AS n_lines,
+                   CAST(sum(CASE WHEN d.line IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_removed_lines,
+                   CAST(sum(CASE WHEN d.line IS NULL
+                                 THEN length(l.line) ELSE 0 END)
+                        + greatest(count(*)
+                            - sum(CASE WHEN d.line IS NOT NULL
+                                       THEN 1 ELSE 0 END) - 1, 0)
+                        AS BIGINT) AS n_chars_clean
+            FROM lines l LEFT JOIN dup d USING (line)
+            GROUP BY l.doc_id ORDER BY l.doc_id
         """,
         "contamination_overlap": """
             WITH words AS (

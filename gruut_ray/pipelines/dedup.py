@@ -596,3 +596,165 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
             return 1.0 if a == b else 0.0
         return len(ua & ub) / max(1, len(ua | ub))
     return len(sa & sb) / max(1, len(sa | sb))
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level dedup
+# ---------------------------------------------------------------------------
+
+def _line_pairs_batch(batch: pa.Table, id_col: str, text_col: str,
+                      ) -> pa.Table:
+    """Distinct (line_hash, doc) pairs of one batch, with per-doc
+    occurrence and char totals for that line — the ONLY thing the wide
+    exchange ever carries (40 B/row; line text never shuffles)."""
+    import hashlib
+
+    ids, hs, occs, chars = [], [], [], []
+    for i, t in zip(batch.column(id_col).to_pylist(),
+                    batch.column(text_col).to_pylist()):
+        per: dict = {}
+        for line in (t or "").split("\n"):
+            h = hashlib.blake2b(line.encode(), digest_size=16).digest()
+            st = per.setdefault(h, [0, 0])
+            st[0] += 1
+            st[1] += len(line)
+        for h, (occ, ch) in per.items():
+            ids.append(i)
+            hs.append(h)
+            occs.append(occ)
+            chars.append(ch)
+    return pa.table({
+        id_col: pa.array(ids, type=pa.int64()),
+        # plain binary, NOT binary(16): Ray's hash aggregate re-emits
+        # fixed_size_binary as binary and acero refuses the mixed join
+        "line_hash": pa.array(hs, type=pa.binary()),
+        "occ": pa.array(occs, type=pa.int64()),
+        "chars": pa.array(chars, type=pa.int64()),
+    })
+
+
+def line_dedup_stats(ds: "ray.data.Dataset", min_docs: int = 2,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     broadcast_limit: int = 2_000_000,
+                     force_path: str | None = None):
+    """Corpus-wide line-level dedup accounting (the C4 rule, Raffel et
+    al. 2020 §2.2: drop any line that occurs in ``min_docs``-or-more
+    distinct documents).  Returns one row per doc: total lines, removed
+    line occurrences, and the char length of the cleaned text
+    (kept lines re-joined with a single separator).
+
+    Scale shape: pass 1 ships only distinct (line_hash, doc) pair rows
+    into a ``groupby(line_hash)`` count — a uniform 128-bit key, no
+    text, no skew — and keeps just the DUPLICATED hashes (boilerplate:
+    orders of magnitude smaller than the line vocabulary).  Pass 2
+    routes on that table's measured size: below ``broadcast_limit`` the
+    hash set is ``ray.put`` once and every doc is scrubbed in one
+    shuffle-free ``map_batches``; above it, the pairs semi-join the dup
+    table on ``line_hash`` and per-doc removal sums merge back onto a
+    cheap per-doc totals pass (both paths output-identical,
+    ``tests/test_dedup.py``).  The one ``materialize()`` pins the
+    filtered dup-hash table — the small side, reused by both the count
+    and the scrub — never the pair stream."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    pairs_fn = lambda b: _line_pairs_batch(b, id_col, text_col)  # noqa: E731
+
+    dup = (ds.map_batches(pairs_fn, batch_format="pyarrow")
+           .groupby("line_hash")
+           .aggregate(Count(alias_name="n_docs"))
+           .map_batches(
+               lambda b: (pa.table({"line_hash":
+                                    pa.array([], type=pa.binary())})
+                          if b.num_columns == 0 else
+                          b.filter(pc.greater_equal(b.column("n_docs"),
+                                                    min_docs))
+                          .select(["line_hash"])),
+               batch_format="pyarrow")
+           .materialize())
+    n_dup = dup.count()
+
+    if force_path not in (None, "broadcast", "join"):
+        raise ValueError(force_path)
+    use_broadcast = (force_path == "broadcast"
+                     or (force_path is None and n_dup <= broadcast_limit))
+
+    if use_broadcast:
+        dup_set: set = set()
+        for b in dup.iter_batches(batch_format="pyarrow"):
+            dup_set.update(b.column("line_hash").to_pylist())
+        ref = ray.put(dup_set)
+
+        def scrub(batch: pa.Table) -> pa.Table:
+            import hashlib
+
+            dups = ray.get(ref)
+            ids, n_lines, n_rm, n_clean = [], [], [], []
+            for i, t in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+                lines = (t or "").split("\n")
+                rm = kept_chars = 0
+                for line in lines:
+                    h = hashlib.blake2b(line.encode(),
+                                        digest_size=16).digest()
+                    if h in dups:
+                        rm += 1
+                    else:
+                        kept_chars += len(line)
+                ids.append(i)
+                n_lines.append(len(lines))
+                n_rm.append(rm)
+                n_clean.append(kept_chars + max(len(lines) - rm - 1, 0))
+            return pa.table({
+                id_col: pa.array(ids, type=pa.int64()),
+                "n_lines": pa.array(n_lines, type=pa.int64()),
+                "n_removed_lines": pa.array(n_rm, type=pa.int64()),
+                "n_chars_clean": pa.array(n_clean, type=pa.int64()),
+            })
+
+        return ds.map_batches(scrub, batch_format="pyarrow")
+
+    # join path: dup table too big for worker memory — semi-join the
+    # pair stream (recomputed lazily, never pinned) against it
+    removed = (ds.map_batches(pairs_fn, batch_format="pyarrow")
+               .join(dup.repartition(8), join_type="inner",
+                     num_partitions=8, on=("line_hash",))
+               .groupby(id_col)
+               .aggregate(Sum("occ", alias_name="rm_occ"),
+                          Sum("chars", alias_name="rm_chars"))
+               .repartition(8))
+
+    def totals(batch: pa.Table) -> pa.Table:
+        ids, n_lines, n_chars = [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            lines = (t or "").split("\n")
+            ids.append(i)
+            n_lines.append(len(lines))
+            n_chars.append(sum(len(x) for x in lines))
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "n_lines": pa.array(n_lines, type=pa.int64()),
+            "line_chars": pa.array(n_chars, type=pa.int64()),
+        })
+
+    joined = (ds.map_batches(totals, batch_format="pyarrow")
+              .repartition(8)
+              .join(removed, join_type="left_outer", num_partitions=8,
+                    on=(id_col,)))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rm = df["rm_occ"].fillna(0).astype("int64")
+        rm_chars = df["rm_chars"].fillna(0).astype("int64")
+        kept = df["n_lines"] - rm
+        return pa.table({
+            id_col: pa.array(df[id_col], type=pa.int64()),
+            "n_lines": pa.array(df["n_lines"], type=pa.int64()),
+            "n_removed_lines": pa.array(rm, type=pa.int64()),
+            "n_chars_clean": pa.array(
+                df["line_chars"] - rm_chars + (kept - 1).clip(lower=0),
+                type=pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

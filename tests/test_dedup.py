@@ -293,3 +293,53 @@ def test_repetition_stats_batch_matches_naive():
         assert out.loc[i, "n_words"] == len(words), t
         assert out.loc[i, "n_distinct_words"] == len(c), t
         assert out.loc[i, "max_word_count"] == max(c.values()), t
+
+
+def _line_dedup_naive(docs: dict, min_docs: int = 2):
+    """Reference implementation: per-line distinct-doc counts, then
+    per-doc removal accounting."""
+    import collections
+
+    by_line = collections.defaultdict(set)
+    for i, t in docs.items():
+        for line in t.split("\n"):
+            by_line[line].add(i)
+    dups = {l for l, ids in by_line.items() if len(ids) >= min_docs}
+    out = {}
+    for i, t in docs.items():
+        lines = t.split("\n")
+        kept = [l for l in lines if l not in dups]
+        out[i] = (len(lines), len(lines) - len(kept),
+                  sum(len(l) for l in kept) + max(len(kept) - 1, 0))
+    return out
+
+
+@pytest.mark.parametrize("path", ["broadcast", "join"])
+def test_line_dedup_stats_paths_match_naive(ray_session, path):
+    """C4 line-dedup rule: both the broadcast and the semi-join path
+    reproduce a naive per-line accounting, including all-lines-removed
+    and empty-doc edges."""
+    import pandas as pd
+    import ray
+
+    from gruut_ray.pipelines.dedup import line_dedup_stats
+
+    boiler = "subscribe to our newsletter"
+    docs = {
+        1: f"unique opening\n{boiler}\nunique close",
+        2: f"{boiler}\nanother body line\n{boiler}",  # dup twice in-doc
+        3: "totally unique document",
+        4: boiler,              # one line, fully removed
+        5: "",                  # empty: [''] — unique at min_docs=2? no:
+        6: "",                  # two empty docs share the '' line
+        7: "x\n\ny",            # interior blank line joins the '' group
+    }
+    expected = _line_dedup_naive(docs)
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    out = line_dedup_stats(
+        ray.data.from_pandas(df).repartition(3), min_docs=2,
+        force_path=path).to_pandas().set_index("doc_id")
+    for i, (nl, rm, clean) in expected.items():
+        assert out.loc[i, "n_lines"] == nl, (path, i)
+        assert out.loc[i, "n_removed_lines"] == rm, (path, i)
+        assert out.loc[i, "n_chars_clean"] == clean, (path, i)
