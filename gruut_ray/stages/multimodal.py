@@ -6,12 +6,16 @@ plumbing — schema, batch sizing, actor signature, output layout — is real
 and tested; the codec inner step is pluggable because no image/audio
 libraries exist in this container:
 
-* default decoder: a deterministic FAKE (parses the self-describing header
-  produced by :func:`encode_fake_image` / :func:`encode_fake_audio`) so
-  tests exercise the full path end-to-end;
-* ``decoder="real"`` raises ``NotImplementedError`` with the intended
-  integration point (PIL / soundfile / pyav in ``__init__``) clearly
-  marked.
+* ``decoder="fake"`` (default): a deterministic stand-in (parses the
+  self-describing header produced by :func:`encode_fake_image` /
+  :func:`encode_fake_audio`) so tests exercise the full path end-to-end;
+* ``decoder="real"``: REAL pure-stdlib decode for PNG (zlib inflate +
+  scanline unfiltering) and WAV (stdlib ``wave``) via
+  :mod:`gruut_ray.stages.codecs`; JPEG/OGG/MP4 raise
+  ``NotImplementedError`` at the documented external-lib integration
+  point (the stage's poison-row guard degrades them to
+  ``decode_ok=False`` instead of killing the job);
+* ``decoder="auto"``: magic-sniffing union of both.
 
 Scale notes: media rows are WIDE (MBs) — stages default to small
 ``batch_size`` so batch × concurrency fits worker heaps, and outputs drop
@@ -70,6 +74,42 @@ def decode_fake_audio(data: bytes) -> typing.Tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# Decoder resolution: fake | real | auto
+# ---------------------------------------------------------------------------
+#
+# "real" decodes the formats the stdlib can (PNG via zlib, WAV via wave —
+# gruut_ray.stages.codecs); unknown magic raises, with JPEG/OGG/MP4 as the
+# documented external-lib integration point.  "auto" sniffs the magic and
+# accepts fake OR real payloads — the default for tests that mix both.
+
+def _decode_image_any(data: bytes, mode: str) -> np.ndarray:
+    from gruut_ray.stages import codecs
+
+    if data[:4] == _IMG_MAGIC and mode != "real":
+        return decode_fake_image(data)
+    if data[:8] == codecs.PNG_MAGIC and mode != "fake":
+        return codecs.decode_png(data)
+    if mode == "real" and data[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError(
+            "JPEG needs PIL/libjpeg (not in this container); plug the "
+            "codec in here")
+    raise ValueError(f"unrecognized image payload for decoder={mode!r}")
+
+
+def _decode_audio_any(data: bytes, mode: str):
+    from gruut_ray.stages import codecs
+
+    if data[:4] == _AUD_MAGIC and mode != "real":
+        return decode_fake_audio(data)
+    if data[:4] == b"RIFF" and mode != "fake":
+        return codecs.decode_wav(data)
+    if mode == "real" and data[:4] == b"OggS":
+        raise NotImplementedError(
+            "OGG needs soundfile/libsndfile; plug the codec in here")
+    raise ValueError(f"unrecognized audio payload for decoder={mode!r}")
+
+
+# ---------------------------------------------------------------------------
 # Stages
 # ---------------------------------------------------------------------------
 
@@ -82,11 +122,10 @@ class ImageFeatureStage:
 
     def __init__(self, image_col: str = "image", decoder: str = "fake",
                  drop_payload: bool = True):
-        if decoder == "real":
-            raise NotImplementedError(
-                "real image decoding needs PIL/opencv (not in this "
-                "container); load the codec here in __init__ once per actor")
+        if decoder not in ("fake", "real", "auto"):
+            raise ValueError(decoder)
         self.image_col = image_col
+        self.decoder = decoder
         self.drop_payload = drop_payload
 
     @staticmethod
@@ -113,7 +152,7 @@ class ImageFeatureStage:
         widths, heights, lumas, hashes, ok = [], [], [], [], []
         for blob in blobs:
             try:
-                pixels = decode_fake_image(blob)
+                pixels = _decode_image_any(blob, self.decoder)
                 widths.append(pixels.shape[1])
                 heights.append(pixels.shape[0])
                 lumas.append(float(pixels.mean()))
@@ -140,25 +179,30 @@ class ImageResizeStage:
 
     def __init__(self, width: int, height: int, image_col: str = "image",
                  decoder: str = "fake"):
-        if decoder == "real":
-            raise NotImplementedError(
-                "real resize needs PIL/opencv; plug it in here (__init__ "
-                "loads the codec once per actor)")
+        if decoder not in ("fake", "real", "auto"):
+            raise ValueError(decoder)
         self.w = width
         self.h = height
         self.image_col = image_col
+        self.decoder = decoder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from gruut_ray.stages import codecs
+
         blobs = batch.column(self.image_col).to_pylist()
         out, ok = [], []
         for blob in blobs:
             try:  # poison-blob guard: pass corrupt payloads through
-                pixels = decode_fake_image(blob)
+                pixels = _decode_image_any(blob, self.decoder)
                 ys = (np.arange(self.h) * pixels.shape[0] // self.h)
                 xs = (np.arange(self.w) * pixels.shape[1] // self.w)
-                resized = pixels[ys][:, xs]
-                header = _IMG_MAGIC + struct.pack("<III", self.w, self.h, 0)
-                out.append(header + resized.astype(np.uint8).tobytes())
+                resized = pixels[ys][:, xs].astype(np.uint8)
+                if blob[:8] == codecs.PNG_MAGIC:  # keep input format
+                    out.append(codecs.encode_png(resized))
+                else:
+                    header = _IMG_MAGIC + struct.pack("<III", self.w,
+                                                      self.h, 0)
+                    out.append(header + resized.tobytes())
                 ok.append(True)
             except Exception:
                 out.append(blob)
@@ -177,10 +221,10 @@ class AudioFeatureStage:
 
     def __init__(self, audio_col: str = "audio", decoder: str = "fake",
                  drop_payload: bool = True):
-        if decoder == "real":
-            raise NotImplementedError(
-                "real audio decoding needs soundfile/librosa; plug in here")
+        if decoder not in ("fake", "real", "auto"):
+            raise ValueError(decoder)
         self.audio_col = audio_col
+        self.decoder = decoder
         self.drop_payload = drop_payload
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -188,7 +232,7 @@ class AudioFeatureStage:
         ns, rates, durs, rmss, hashes, ok = [], [], [], [], [], []
         for blob in blobs:
             try:
-                wave, rate = decode_fake_audio(blob)
+                wave, rate = _decode_audio_any(blob, self.decoder)
                 ns.append(len(wave))
                 rates.append(rate)
                 durs.append(len(wave) / rate if rate else 0.0)

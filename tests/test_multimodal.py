@@ -33,11 +33,22 @@ def test_fake_audio_roundtrip():
     assert np.abs(wave).max() <= 1.0
 
 
-def test_real_decoder_is_marked_stub():
+def test_real_decoder_formats():
+    """decoder="real" is a working PNG/WAV path (round 3); formats that
+    still need external libs raise at the decode integration point."""
+    from gruut_ray.stages.multimodal import (
+        _decode_audio_any,
+        _decode_image_any,
+    )
+
+    ImageFeatureStage(decoder="real")  # constructs fine now
+    AudioFeatureStage(decoder="real")
     with pytest.raises(NotImplementedError):
-        ImageFeatureStage(decoder="real")
+        _decode_image_any(b"\xff\xd8\xff\xe0jpeg", "real")
     with pytest.raises(NotImplementedError):
-        AudioFeatureStage(decoder="real")
+        _decode_audio_any(b"OggSjunk", "real")
+    with pytest.raises(ValueError):
+        _decode_image_any(encode_fake_image(2, 2), "real")  # fake != real
 
 
 def test_image_feature_stage_batch():
@@ -90,3 +101,169 @@ def test_frame_sample_in_ray(ray_session):
     assert (out["vid_id"] == 7).all()
     first = decode_fake_image(out.iloc[0]["frame"])
     assert first.shape == (4, 4, 3)
+
+
+# ---------------------------------------------------------------------------
+# Real codecs (PNG via zlib, WAV via stdlib wave) — round 3
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_and_filters():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from gruut_ray.stages.codecs import PNG_MAGIC, decode_png, encode_png
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(13, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+    # hand-filter rows with every filter type (1=Sub 2=Up 3=Avg 4=Paeth)
+    h, w, bpp = 5, 6, 3
+    arr = rng.integers(0, 256, size=(h, w, bpp), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+
+    rows = []
+    for y in range(h):
+        line = arr[y].reshape(-1).astype(int)
+        prev = (arr[y - 1].reshape(-1).astype(int) if y
+                else [0] * (w * bpp))
+        f = y % 5
+        filt = []
+        for i in range(w * bpp):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if (i >= bpp and y) else 0
+            v = {0: line[i], 1: line[i] - a, 2: line[i] - b,
+                 3: line[i] - (a + b) // 2,
+                 4: line[i] - paeth(a, b, c)}[f]
+            filt.append(v % 256)
+        rows.append(bytes([f]) + bytes(filt))
+
+    def chunk(t, p):
+        return (struct.pack(">I", len(p)) + t + p
+                + struct.pack(">I", zlib.crc32(t + p)))
+
+    png = (PNG_MAGIC
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), arr)
+
+
+def test_wav_roundtrip():
+    import numpy as np
+
+    from gruut_ray.stages.codecs import decode_wav, encode_wav
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-0.9, 0.9, size=2000).astype(np.float32)
+    y, rate = decode_wav(encode_wav(x, 22050))
+    assert rate == 22050 and len(y) == 2000
+    assert float(np.abs(y - x).max()) < 1e-4  # 16-bit quantization
+
+
+def test_image_stage_real_png(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from gruut_ray.stages.codecs import encode_png
+    from gruut_ray.stages.multimodal import ImageFeatureStage
+
+    rng = np.random.default_rng(2)
+    imgs, lumas = [], []
+    for i in range(6):
+        a = rng.integers(0, 256, size=(10 + i, 8, 3), dtype=np.uint8)
+        imgs.append(encode_png(a))
+        lumas.append(float(a.mean()))
+    df = pd.DataFrame({"img_id": range(6), "image": imgs})
+    out = (ray.data.from_pandas(df)
+           .map_batches(ImageFeatureStage,
+                        fn_constructor_kwargs={"decoder": "real"},
+                        batch_size=3, concurrency=1,
+                        batch_format="pyarrow")
+           .to_pandas().sort_values("img_id").reset_index(drop=True))
+    assert out["decode_ok"].all()
+    assert list(out["width"]) == [8] * 6
+    assert list(out["height"]) == [10 + i for i in range(6)]
+    assert np.allclose(out["mean_luma"], lumas, atol=1e-3)
+
+
+def test_image_resize_real_png_roundtrip(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from gruut_ray.stages.codecs import decode_png, encode_png
+    from gruut_ray.stages.multimodal import ImageResizeStage
+
+    a = np.arange(20 * 16 * 3, dtype=np.uint8).reshape(20, 16, 3)
+    df = pd.DataFrame({"img_id": [0], "image": [encode_png(a)]})
+    out = (ray.data.from_pandas(df)
+           .map_batches(ImageResizeStage,
+                        fn_constructor_kwargs={"width": 8, "height": 10,
+                                               "decoder": "real"},
+                        concurrency=1, batch_format="pyarrow")
+           .to_pandas())
+    assert out.loc[0, "decode_ok"]
+    resized = decode_png(out.loc[0, "image"])  # stays a valid PNG
+    assert resized.shape == (10, 8, 3)
+    # nearest-neighbor: every output pixel exists in the source
+    ys = np.arange(10) * 20 // 10
+    xs = np.arange(8) * 16 // 8
+    assert np.array_equal(resized, a[ys][:, xs])
+
+
+def test_audio_stage_real_wav(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from gruut_ray.stages.codecs import encode_wav
+    from gruut_ray.stages.multimodal import AudioFeatureStage
+
+    t = np.arange(8000, dtype=np.float32)
+    sine = (0.5 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.float32)
+    df = pd.DataFrame({"clip_id": [0], "audio": [encode_wav(sine, 16000)]})
+    out = (ray.data.from_pandas(df)
+           .map_batches(AudioFeatureStage,
+                        fn_constructor_kwargs={"decoder": "real"},
+                        concurrency=1, batch_format="pyarrow")
+           .to_pandas())
+    assert out.loc[0, "decode_ok"]
+    assert out.loc[0, "sample_rate"] == 16000
+    assert out.loc[0, "n_samples"] == 8000
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2)
+    assert abs(out.loc[0, "rms"] - 0.5 / np.sqrt(2)) < 1e-3
+
+
+def test_auto_decoder_mixes_fake_and_real(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from gruut_ray.stages.codecs import encode_png
+    from gruut_ray.stages.multimodal import (
+        ImageFeatureStage,
+        encode_fake_image,
+    )
+
+    png = encode_png(np.zeros((4, 5, 3), dtype=np.uint8))
+    fake = encode_fake_image(7, 3, seed=1)
+    jpeg_ish = b"\xff\xd8\xff\xe0junk"  # unsupported: degrades, not dies
+    df = pd.DataFrame({"img_id": [0, 1, 2],
+                       "image": [png, fake, jpeg_ish]})
+    out = (ray.data.from_pandas(df)
+           .map_batches(ImageFeatureStage,
+                        fn_constructor_kwargs={"decoder": "auto"},
+                        concurrency=1, batch_format="pyarrow")
+           .to_pandas().sort_values("img_id").reset_index(drop=True))
+    assert list(out["decode_ok"]) == [True, True, False]
+    assert list(out["width"]) == [5, 7, 0]
+    assert list(out["height"]) == [4, 3, 0]
