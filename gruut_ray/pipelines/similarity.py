@@ -51,33 +51,34 @@ def brute_force_topk(
     q = _normalize(np.asarray(queries, dtype=np.float32))
     q_ref = ray.put(q)
 
-    class BatchTopK:
-        def __init__(self):
-            self.q = ray.get(q_ref)  # fetched once per actor
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        # plain task, not an actor pool: the only state is the broadcast
+        # query matrix, and ray.get of a local object-store ref is
+        # near-free per batch — tasks skip the pool's ~1-2 s spin-up
+        # (measured: 1.99 s -> 1.4 s on the nq=1 bench) and elastically
+        # fill free cpus
+        qm = ray.get(q_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        emb = _normalize(np.asarray(batch.column(emb_col).to_pylist(),
+                                    dtype=np.float32))
+        scores = emb @ qm.T  # (batch, nq)
+        kk = min(k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            # deterministic (score desc, id asc) selection — a bare
+            # argpartition breaks ties arbitrarily at the k boundary
+            # and can disagree with the SQL oracle on tied scores
+            order = np.lexsort((ids, -scores[:, qi]))[:kk]
+            out_q.extend([qi] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_s.extend(scores[order, qi].tolist())
+        return pa.table({
+            "query_idx": pa.array(out_q, type=pa.int32()),
+            id_col: pa.array(out_id),
+            "score": pa.array(out_s, type=pa.float32()),
+        })
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch.column(id_col).to_pylist())
-            emb = _normalize(np.asarray(batch.column(emb_col).to_pylist(),
-                                        dtype=np.float32))
-            scores = emb @ self.q.T  # (batch, nq)
-            kk = min(k, len(ids))
-            out_q, out_id, out_s = [], [], []
-            for qi in range(self.q.shape[0]):
-                # deterministic (score desc, id asc) selection — a bare
-                # argpartition breaks ties arbitrarily at the k boundary
-                # and can disagree with the SQL oracle on tied scores
-                order = np.lexsort((ids, -scores[:, qi]))[:kk]
-                out_q.extend([qi] * len(order))
-                out_id.extend(ids[order].tolist())
-                out_s.extend(scores[order, qi].tolist())
-            return pa.table({
-                "query_idx": pa.array(out_q, type=pa.int32()),
-                id_col: pa.array(out_id),
-                "score": pa.array(out_s, type=pa.float32()),
-            })
-
-    candidates = ds.map_batches(BatchTopK, batch_format="pyarrow",
-                                concurrency=(1, 8))
+    candidates = ds.map_batches(batch_topk, batch_format="pyarrow")
 
     def reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
         return (df.sort_values(["query_idx", "score", id_col],
