@@ -432,6 +432,15 @@ def _q_daily_active_users(sf_dir: str):
                                     columns=["ts", "user_id"]))
 
 
+def _q_user_retention(sf_dir: str):
+    """Next-day retention without a self-join: distinct (day,user)
+    pairs keyed by user, per-block transition scan, per-day partials."""
+    from gruut_ray.pipelines.relational import user_retention
+
+    return user_retention(_read(sf_dir, "events",
+                                columns=["ts", "user_id"]))
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher/C4-style per-doc word-repetition signals (integer columns
     so the oracle hash is exact; filters derive the fractions)."""
@@ -550,6 +559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_stats": _q_line_dedup_stats,
         "contamination_overlap": _q_contamination_overlap,
         "daily_active_users": _q_daily_active_users,
+        "user_retention": _q_user_retention,
         "sessionize": _q_sessionize,
         "asof_attribution": _q_asof_attribution,
     }
@@ -630,6 +640,23 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS dau,
                    count(*) AS n_events
             FROM events GROUP BY day ORDER BY day
+        """,
+        "user_retention": """
+            WITH pairs AS (
+                SELECT DISTINCT
+                    to_timestamp(floor(epoch(ts) / 86400)
+                                 * 86400)::TIMESTAMP AS day,
+                    user_id
+                FROM events
+            )
+            SELECT p.day, count(*) AS n_users,
+                   CAST(sum(CASE WHEN n.user_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_retained
+            FROM pairs p LEFT JOIN pairs n
+              ON n.user_id = p.user_id
+             AND n.day = p.day + INTERVAL 1 DAY
+            GROUP BY p.day ORDER BY p.day
         """,
         "repetition_stats": """
             WITH words AS (

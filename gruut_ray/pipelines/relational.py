@@ -576,7 +576,9 @@ def daily_active_users(events: "ray.data.Dataset",
     us_day = 86_400_000_000
 
     def pair_partials(batch: pa.Table) -> pa.Table:
-        ts = batch.column("ts").cast(pa.int64())
+        # normalize to us first: a pandas-born block arrives as ns and
+        # a raw int64 cast would day-bucket nanoseconds
+        ts = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
         day = pc.multiply(pc.divide(ts, us_day), us_day)
         tbl = pa.table({"day": day, "user_id": batch.column("user_id")})
         return tbl.group_by(["day", "user_id"]).aggregate(
@@ -605,4 +607,74 @@ def daily_active_users(events: "ray.data.Dataset",
     out["dau"] = out["dau"].astype("int64")
     out["n_events"] = out["n_events"].astype("int64")
     return (out[["day", "dau", "n_events"]]
+            .sort_values("day").reset_index(drop=True))
+
+
+def user_retention(events: "ray.data.Dataset",
+                   num_partitions: int = 32,
+                   driver_limit: int = 5_000_000) -> pd.DataFrame:
+    """Next-day retention: per day, how many active users are active
+    again the following day — the canonical self-join-on-shifted-key
+    cohort metric, done without any self-join.
+
+    Scale shape: batches collapse to distinct (day, user) pairs before
+    the ONLY exchange (a keyed repartition on ``user_id``: all of one
+    user's pair rows land in one block, so cross-batch duplicate pairs
+    also collapse there); each block then computes, for ALL its users
+    in one vectorized kernel, which (day → day+1) transitions exist,
+    and emits tiny per-day partials that merge on the driver (days are
+    few).  The same cut-over as :func:`sessionize` routes small inputs
+    straight to the driver kernel (output-identical by construction)."""
+    us_day = 86_400_000_000
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        day = pc.multiply(pc.divide(ts, us_day), us_day)
+        return (pa.table({"day": day,
+                          "user_id": batch.column("user_id")})
+                .group_by(["day", "user_id"]).aggregate([])
+                .select(["day", "user_id"]))
+
+    def block_retention(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop_duplicates(["user_id", "day"])
+             .sort_values(["user_id", "day"], kind="mergesort"))
+        uid = g["user_id"].to_numpy()
+        day = g["day"].astype("int64").to_numpy()
+        retained = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            retained[:-1] = ((uid[1:] == uid[:-1])
+                             & ((day[1:] - day[:-1]) == us_day))
+        out = (pd.DataFrame({"day": day, "retained":
+                             retained.astype("int64")})
+               .groupby("day", as_index=False)
+               .agg(n_users=("retained", "size"),
+                    n_retained=("retained", "sum")))
+        return out
+
+    pairs = events.map_batches(pair_partials, batch_format="pyarrow")
+
+    if events.count() <= driver_limit:
+        out = block_retention(pairs.to_pandas())
+    else:
+        from ray.data.context import ShuffleStrategy
+
+        prev = events.context.shuffle_strategy
+        events.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        try:
+            partials = (pairs.repartition(num_partitions,
+                                          keys=["user_id"])
+                        .map_batches(block_retention,
+                                     batch_format="pandas",
+                                     batch_size=None)
+                        .to_pandas())
+        finally:
+            events.context.shuffle_strategy = prev
+        out = (partials.groupby("day", as_index=False)
+               .agg(n_users=("n_users", "sum"),
+                    n_retained=("n_retained", "sum")))
+    out["day"] = pd.to_datetime(out["day"], unit="us").astype(
+        "datetime64[us]")
+    out["n_users"] = out["n_users"].astype("int64")
+    out["n_retained"] = out["n_retained"].astype("int64")
+    return (out[["day", "n_users", "n_retained"]]
             .sort_values("day").reset_index(drop=True))

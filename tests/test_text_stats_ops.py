@@ -97,3 +97,44 @@ def test_longest_doc_per_lang_tiebreak(ray_session):
         got = out.set_index("lang")
         assert got.loc["en", "doc_id"] == 3
         assert got.loc["de", "doc_id"] == 1
+
+
+def test_user_retention_paths_match(ray_session):
+    """Driver and distributed (keyed-repartition) retention paths are
+    output-identical, and match a naive per-user day-set scan."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from gruut_ray.pipelines.relational import user_retention
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    base = pd.Timestamp("2024-03-01").value // 1000  # us
+    us_day = 86_400_000_000
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(
+            base + rng.integers(0, 14, size=n) * us_day
+            + rng.integers(0, us_day, size=n), unit="us"),
+        "user_id": rng.integers(1, 120, size=n).astype("int64"),
+    })
+    ds = ray.data.from_pandas(df).repartition(7)
+    a = user_retention(ds, driver_limit=10_000_000)      # driver path
+    b = user_retention(ds, driver_limit=0)               # distributed
+    pd.testing.assert_frame_equal(a, b)
+
+    # naive check
+    pairs = set()
+    for ts, uid in zip(df["ts"], df["user_id"]):
+        pairs.add((ts.value // 1000 // us_day, uid))  # ns -> us -> day
+    days = sorted({d for d, _ in pairs})
+    naive = {d: [0, 0] for d in days}
+    for d, u in pairs:
+        naive[d][0] += 1
+        if (d + 1, u) in pairs:
+            naive[d][1] += 1
+    got = a.set_index("day")
+    for d in days:
+        row = got.loc[pd.Timestamp(d * us_day, unit="us")]
+        assert row["n_users"] == naive[d][0]
+        assert row["n_retained"] == naive[d][1]
