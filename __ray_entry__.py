@@ -432,6 +432,16 @@ def _q_daily_active_users(sf_dir: str):
                                     columns=["ts", "user_id"]))
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic per-lang sample (10 docs each): smallest
+    md5(str(doc_id)) per group — reproducible split, no data shuffle."""
+    from gruut_ray.pipelines.text_stats import stratified_sample
+
+    return stratified_sample(
+        _read(sf_dir, "documents", columns=["doc_id", "lang"]),
+        n_per_group=10)
+
+
 def _q_user_retention(sf_dir: str):
     """Next-day retention without a self-join: distinct (day,user)
     pairs keyed by user, per-block transition scan, per-day partials."""
@@ -555,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "quality_signals": _q_quality_signals,
         "longest_doc_per_lang": _q_longest_doc_per_lang,
+        "stratified_sample": _q_stratified_sample,
         "length_quantiles_by_lang": _q_length_quantiles,
         "line_dedup_stats": _q_line_dedup_stats,
         "contamination_overlap": _q_contamination_overlap,
@@ -756,6 +767,15 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY lang
                            ORDER BY n_chars DESC, doc_id ASC) AS rn
                 FROM documents) WHERE rn = 1 ORDER BY lang
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS rn
+                FROM documents) WHERE rn <= 10
+            ORDER BY lang, doc_id
         """,
         "length_quantiles_by_lang": """
             SELECT lang, count(*) AS n_docs,

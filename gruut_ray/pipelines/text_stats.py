@@ -382,3 +382,39 @@ def length_quantiles_by_lang(ds: "ray.data.Dataset",
         rows.append(row)
     return (pd.DataFrame(rows).sort_values("lang")
             .reset_index(drop=True))
+
+
+def stratified_sample(ds: "ray.data.Dataset", n_per_group: int,
+                      group_col: str = "lang", id_col: str = "doc_id"):
+    """Deterministic stratified sample: the ``n_per_group`` rows with the
+    smallest ``md5(str(id))`` per group (ties by id) — the train/val
+    split primitive that is reproducible across runs, partitionings and
+    engines (the same rule is one SQL window expression, so the split is
+    auditable by any warehouse).
+
+    Scale shape: grouped-top-N by the argmax-candidate pattern — every
+    batch emits at most ``n_per_group`` candidate rows per group, the
+    driver re-applies the same selection to (blocks × groups × n)
+    candidate rows; data rows never shuffle.  The hash makes the sample
+    uniform regardless of id assignment order."""
+    import hashlib
+
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, id_col]).to_pandas()
+        df["_h"] = [hashlib.md5(str(i).encode()).hexdigest()
+                    for i in df[id_col]]
+        df = df.sort_values(["_h", id_col])
+        return pa.Table.from_pandas(
+            df.groupby(group_col, as_index=False, sort=False)
+            .head(n_per_group),
+            preserve_index=False).replace_schema_metadata(None)
+
+    cands = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (cands.sort_values(["_h", id_col])
+           .groupby(group_col, as_index=False, sort=False)
+           .head(n_per_group)
+           .drop(columns=["_h"]))
+    return (out[[group_col, id_col]]
+            .sort_values([group_col, id_col]).reset_index(drop=True))

@@ -138,3 +138,25 @@ def test_user_retention_paths_match(ray_session):
         row = got.loc[pd.Timestamp(d * us_day, unit="us")]
         assert row["n_users"] == naive[d][0]
         assert row["n_retained"] == naive[d][1]
+
+
+def test_stratified_sample_block_invariant(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from gruut_ray.pipelines.text_stats import stratified_sample
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "doc_id": np.arange(900, dtype="int64"),
+        "lang": rng.choice(["en", "de", "sw"], size=900),
+    })
+    outs = [stratified_sample(ray.data.from_pandas(df).repartition(p),
+                              n_per_group=7) for p in (1, 13)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert (outs[0].groupby("lang").size() == 7).all()
+    # reproducible: same ids every run
+    again = stratified_sample(ray.data.from_pandas(df).repartition(5),
+                              n_per_group=7)
+    pd.testing.assert_frame_equal(outs[0], again)
