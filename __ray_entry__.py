@@ -442,6 +442,33 @@ def _q_stratified_sample(sf_dir: str):
         n_per_group=10)
 
 
+def _q_approx_daily_active_users(sf_dir: str):
+    """HyperLogLog approximate DAU (p=12, ~1.6% standard error) — the
+    mergeable-sketch path for count-distinct at scales where the exact
+    pair shuffle is too expensive.  No SQL oracle (approximation);
+    accuracy vs the exact pipeline is pinned in tests/test_sketches.py."""
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from gruut_ray.pipelines.sketches import approx_distinct_by_group
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    us_day = 86_400_000_000
+
+    def add_day(b: _pa.Table) -> _pa.Table:
+        ts = b.column("ts").cast(_pa.timestamp("us")).cast(_pa.int64())
+        day = _pc.multiply(_pc.divide(ts, us_day), us_day)
+        return _pa.table({"day": day, "user_id": b.column("user_id")})
+
+    out = approx_distinct_by_group(
+        ds.map_batches(add_day, batch_format="pyarrow"),
+        group_col="day", value_col="user_id", p=12)
+    out["day"] = pd.to_datetime(out["day"], unit="us").astype(
+        "datetime64[us]")
+    return out
+
+
 def _q_user_retention(sf_dir: str):
     """Next-day retention without a self-join: distinct (day,user)
     pairs keyed by user, per-block transition scan, per-day partials."""
@@ -570,6 +597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_stats": _q_line_dedup_stats,
         "contamination_overlap": _q_contamination_overlap,
         "daily_active_users": _q_daily_active_users,
+        "approx_daily_active_users": _q_approx_daily_active_users,
         "user_retention": _q_user_retention,
         "sessionize": _q_sessionize,
         "asof_attribution": _q_asof_attribution,

@@ -1,0 +1,74 @@
+"""HyperLogLog sketch: accuracy bounds, exact merge determinism, and
+the grouped Ray pipeline vs exact count-distinct."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gruut_ray.pipelines.sketches import (
+    _splitmix64,
+    approx_distinct,
+    approx_distinct_by_group,
+    hll_estimate,
+    hll_registers,
+)
+
+
+@pytest.mark.parametrize("true_n", [50, 1_000, 40_000, 500_000])
+def test_hll_accuracy_bounds(true_n):
+    """Error stays within ~4 standard errors (1.04/sqrt(m)) across the
+    linear-counting and raw-estimator regimes."""
+    h = _splitmix64(np.arange(true_n, dtype=np.int64).view(np.uint64))
+    est = hll_estimate(hll_registers(h, 12))
+    se = 1.04 / np.sqrt(4096)
+    assert abs(est - true_n) / true_n < 4 * se, (true_n, est)
+
+
+def test_hll_merge_is_exact_max():
+    """Register merge (elementwise max) equals hashing the union — the
+    property that makes any partitioning produce identical output."""
+    a = _splitmix64(np.arange(0, 30_000, dtype=np.int64).view(np.uint64))
+    b = _splitmix64(np.arange(20_000, 60_000,
+                              dtype=np.int64).view(np.uint64))
+    ra, rb = hll_registers(a, 12), hll_registers(b, 12)
+    runion = hll_registers(np.concatenate([a, b]), 12)
+    assert np.array_equal(np.maximum(ra, rb), runion)
+
+
+def test_approx_distinct_matches_exact_and_block_invariant(ray_session):
+    import ray
+
+    rng = np.random.default_rng(21)
+    vals = rng.integers(0, 3_000, size=20_000).astype("int64")
+    exact = len(set(vals.tolist()))
+    df = pd.DataFrame({"user_id": vals})
+    ests = [approx_distinct(ray.data.from_pandas(df).repartition(p),
+                            "user_id", p=12) for p in (1, 9)]
+    assert ests[0] == ests[1]  # merge is exact -> partition-invariant
+    assert abs(ests[0] - exact) / exact < 0.07
+
+
+def test_approx_distinct_by_group_vs_exact(ray_session):
+    import ray
+
+    rng = np.random.default_rng(22)
+    n = 30_000
+    df = pd.DataFrame({
+        "day": rng.integers(0, 5, size=n).astype("int64"),
+        "user_id": rng.integers(0, 2_000, size=n).astype("int64"),
+    })
+    out = approx_distinct_by_group(
+        ray.data.from_pandas(df).repartition(8),
+        group_col="day", value_col="user_id", p=12).set_index("day")
+    exact = df.groupby("day")["user_id"].nunique()
+    for day, ex in exact.items():
+        got = out.loc[day, "approx_distinct"]
+        assert abs(got - ex) / ex < 0.07, (day, got, ex)
+
+
+def test_string_column_hashing(ray_session):
+    import ray
+
+    df = pd.DataFrame({"s": [f"user-{i % 500}" for i in range(4_000)]})
+    est = approx_distinct(ray.data.from_pandas(df), "s", p=12)
+    assert abs(est - 500) / 500 < 0.07
