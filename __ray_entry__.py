@@ -469,6 +469,17 @@ def _q_approx_daily_active_users(sf_dir: str):
     return out
 
 
+def _q_heavy_hitter_terms(sf_dir: str):
+    """Misra-Gries top-50 terms (bounded memory, guaranteed to contain
+    every term with freq > n/51).  Approximate counts — no SQL oracle;
+    containment/bound invariants pinned in tests/test_sketches.py."""
+    from gruut_ray.pipelines.sketches import heavy_hitters
+
+    return heavy_hitters(
+        _read(sf_dir, "documents", columns=["text"]),
+        col="text", k=50, text_split=True)
+
+
 def _q_user_retention(sf_dir: str):
     """Next-day retention without a self-join: distinct (day,user)
     pairs keyed by user, per-block transition scan, per-day partials."""
@@ -598,6 +609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_overlap": _q_contamination_overlap,
         "daily_active_users": _q_daily_active_users,
         "approx_daily_active_users": _q_approx_daily_active_users,
+        "heavy_hitter_terms": _q_heavy_hitter_terms,
         "user_retention": _q_user_retention,
         "sessionize": _q_sessionize,
         "asof_attribution": _q_asof_attribution,

@@ -140,3 +140,198 @@ def approx_distinct_by_group(ds: "ray.data.Dataset", group_col: str,
            .to_pandas())
     out["approx_distinct"] = out["approx_distinct"].astype("int64")
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+def _mg_summarize(counts: dict, k: int) -> dict:
+    """Shrink a counter to at most k entries, Misra-Gries style: repeat
+    (drop min count from all) until <= k survive.  The kept counts are
+    UNDERESTIMATES with error <= (total - kept_total) / (k + 1)."""
+    while len(counts) > k:
+        # remove the smallest count from everyone; drop zeros
+        dec = min(counts.values())
+        counts = {key: c - dec for key, c in counts.items() if c > dec}
+        if not counts:
+            break
+    return counts
+
+
+def heavy_hitters(ds: "ray.data.Dataset", col: str, k: int = 50,
+                  text_split: bool = False):
+    """Misra-Gries heavy hitters (Misra & Gries 1982; merge rule from
+    Agarwal et al., PODS 2012): every item with true frequency
+    > n/(k+1) is GUARANTEED present in the result, using O(k) memory
+    per batch and per merge — the bounded-memory alternative to
+    ``top_terms_by_lang``'s exact Counter partials when the vocabulary
+    is unbounded (urls, shingles, user agents).
+
+    Returns a DataFrame (item, min_count, max_count): ``min_count`` is
+    the sketch's underestimate, ``max_count`` adds the accumulated
+    error bound — the true count always lies in [min, max] (tested).
+
+    Scale shape: per-batch MG summaries (k rows each) merge pairwise on
+    the driver (blocks × k tiny rows); at extreme block counts swap the
+    driver fold for a tree of ``map_batches`` merges — the merge is the
+    same associative operation."""
+    def partial(batch: pa.Table) -> pa.Table:
+        import collections
+
+        vals = batch.column(col).to_pylist()
+        if text_split:
+            cnt = collections.Counter()
+            for t in vals:
+                cnt.update((t or "").split())
+            n_items = sum(cnt.values())
+        else:
+            cnt = collections.Counter(vals)
+            n_items = len(vals)
+        kept = _mg_summarize(dict(cnt), k)
+        err = 0 if len(cnt) <= k else (
+            (n_items - sum(kept.values())) // (k + 1))
+        items = list(kept)
+        # the batch's error bound rides on its FIRST row only, so the
+        # merge can simply sum the err column across all rows without
+        # needing to know batch boundaries
+        if items:
+            names: list = [str(i) for i in items]
+            cnts = [kept[i] for i in items]
+            errs = [err] + [0] * (len(items) - 1)
+        elif err:  # everything cancelled: keep the bound on a null row
+            names, cnts, errs = [None], [0], [err]
+        else:
+            names, cnts, errs = [], [], []
+        return pa.table({
+            "item": pa.array(names, type=pa.string()),
+            "count": pa.array(cnts, type=pa.int64()),
+            "err": pa.array(errs, type=pa.int64()),
+        })
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    if parts.empty:
+        return pd.DataFrame(columns=["item", "min_count", "max_count"])
+    # merge: sum underestimates + per-summary errors, then re-shrink
+    merged: dict = {}
+    total_err = int(parts["err"].sum())
+    for item, c in zip(parts["item"], parts["count"]):
+        if item is None or (isinstance(item, float) and pd.isna(item)):
+            continue  # null sentinel rows carry only their err
+        merged[item] = merged.get(item, 0) + int(c)
+    kept = _mg_summarize(merged, k)
+    extra = 0
+    if len(merged) > k:
+        extra = (sum(merged.values()) - sum(kept.values())) // (k + 1)
+    total_err += extra
+    out = pd.DataFrame({
+        "item": list(kept),
+        "min_count": [kept[i] for i in kept],
+    })
+    out["max_count"] = out["min_count"] + total_err
+    return (out.sort_values(["min_count", "item"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (incremental dedup against a prior corpus)
+# ---------------------------------------------------------------------------
+
+class BloomFilter:
+    """Plain Bloom filter (Bloom 1970): n_bits + k hashes derived from
+    two independent splitmix streams (Kirsch-Mitzenmitzer double
+    hashing).  No false negatives ever; false-positive rate ≈
+    (1 - e^{-kn/m})^k.  Serializes to bytes for ``ray.put`` broadcast."""
+
+    def __init__(self, n_bits: int, n_hashes: int,
+                 bits: np.ndarray | None = None):
+        if n_bits % 8:
+            raise ValueError("n_bits must be a multiple of 8")
+        self.n_bits = n_bits
+        self.n_hashes = n_hashes
+        self.bits = (np.zeros(n_bits // 8, dtype=np.uint8)
+                     if bits is None else bits)
+
+    @classmethod
+    def sized_for(cls, n_items: int, fp_rate: float = 0.01):
+        m = int(np.ceil(-n_items * np.log(fp_rate) / (np.log(2) ** 2)))
+        m = ((m + 7) // 8) * 8
+        k = max(1, round(m / max(n_items, 1) * np.log(2)))
+        return cls(m, k)
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        h1 = hashes
+        h2 = _splitmix64(hashes)
+        ks = np.arange(self.n_hashes, dtype=np.uint64)
+        return ((h1[:, None] + ks[None, :] * h2[:, None])
+                % np.uint64(self.n_bits))
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        pos = self._positions(hashes).reshape(-1)
+        np.bitwise_or.at(self.bits, (pos // 8).astype(np.int64),
+                         (1 << (pos % 8)).astype(np.uint8))
+
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        pos = self._positions(hashes)
+        byte = self.bits[(pos // 8).astype(np.int64)]
+        return ((byte >> (pos % 8).astype(np.uint8)) & 1).all(axis=1)
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        return (struct.pack("<II", self.n_bits, self.n_hashes)
+                + self.bits.tobytes())
+
+    @classmethod
+    def from_bytes(cls, data: bytes):
+        import struct
+
+        n_bits, n_hashes = struct.unpack("<II", data[:8])
+        return cls(n_bits, n_hashes,
+                   np.frombuffer(data[8:], dtype=np.uint8).copy())
+
+
+def build_bloom(ds: "ray.data.Dataset", col: str, n_items_hint: int,
+                fp_rate: float = 0.01) -> BloomFilter:
+    """Build a Bloom filter over a column: per-batch partial filters
+    (same size, OR-mergeable) folded on the driver.  Use case:
+    summarize YESTTERDAY's corpus fingerprints once, persist the bytes
+    next to the run manifest, and let today's incremental run drop
+    probable-dups with a shuffle-free map (no join against history)."""
+    proto = BloomFilter.sized_for(n_items_hint, fp_rate)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        f = BloomFilter(proto.n_bits, proto.n_hashes)
+        f.add_hashes(_hash_column(batch.column(col).combine_chunks()))
+        return pa.table({"bits": pa.array([f.bits.tobytes()],
+                                          type=pa.binary())})
+
+    merged = BloomFilter(proto.n_bits, proto.n_hashes)
+    for b in (ds.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for blob in b.column("bits").to_pylist():
+            np.bitwise_or(merged.bits,
+                          np.frombuffer(blob, dtype=np.uint8),
+                          out=merged.bits)
+    return merged
+
+
+def mark_seen(ds: "ray.data.Dataset", bloom: BloomFilter,
+              col: str) -> "ray.data.Dataset":
+    """Add a ``probably_seen`` column: True iff ``col``'s value hits the
+    (broadcast) Bloom filter.  False is authoritative (no false
+    negatives); True is probabilistic at the filter's fp rate."""
+    import ray
+
+    ref = ray.put(bloom.to_bytes())
+
+    def probe(batch: pa.Table) -> pa.Table:
+        f = BloomFilter.from_bytes(ray.get(ref))
+        hits = f.contains_hashes(
+            _hash_column(batch.column(col).combine_chunks()))
+        return batch.append_column(
+            "probably_seen", pa.array(hits.astype(bool)))
+
+    return ds.map_batches(probe, batch_format="pyarrow")

@@ -72,3 +72,73 @@ def test_string_column_hashing(ray_session):
     df = pd.DataFrame({"s": [f"user-{i % 500}" for i in range(4_000)]})
     est = approx_distinct(ray.data.from_pandas(df), "s", p=12)
     assert abs(est - 500) / 500 < 0.07
+
+
+def test_heavy_hitters_guarantee_and_bounds(ray_session):
+    """Misra-Gries invariants: every item with true freq > n/(k+1) is
+    present, and true counts lie within [min_count, max_count]."""
+    import collections
+
+    import ray
+
+    from gruut_ray.pipelines.sketches import heavy_hitters
+
+    rng = np.random.default_rng(31)
+    # zipf-ish: a few hot items over a long uniform tail
+    hot = [f"hot{i}" for i in range(5)]
+    vals = (hot * 2000
+            + [f"tail{i}" for i in rng.integers(0, 50_000, size=30_000)])
+    rng.shuffle(vals)
+    true = collections.Counter(vals)
+    n = len(vals)
+    k = 20
+    df = pd.DataFrame({"v": vals})
+    out = heavy_hitters(ray.data.from_pandas(df).repartition(6),
+                        "v", k=k).set_index("item")
+    for item, c in true.items():
+        if c > n / (k + 1):
+            assert item in out.index, item
+    for item in out.index:
+        assert out.loc[item, "min_count"] <= true[item], item
+        assert true[item] <= out.loc[item, "max_count"], item
+    # the hot items must rank on top
+    assert set(hot) <= set(out.index[:8])
+
+
+def test_bloom_no_false_negatives_and_fp_rate(ray_session):
+    import ray
+
+    from gruut_ray.pipelines.sketches import (
+        BloomFilter,
+        build_bloom,
+        mark_seen,
+    )
+
+    seen_ids = np.arange(0, 20_000, dtype="int64")
+    bloom = build_bloom(
+        ray.data.from_pandas(pd.DataFrame({"fp": seen_ids}))
+        .repartition(5),
+        "fp", n_items_hint=20_000, fp_rate=0.01)
+
+    probe_ids = np.arange(10_000, 40_000, dtype="int64")
+    out = (mark_seen(
+        ray.data.from_pandas(pd.DataFrame({"fp": probe_ids})),
+        bloom, "fp").to_pandas().set_index("fp"))
+    # no false negatives, ever
+    assert out.loc[10_000:19_999, "probably_seen"].all()
+    # fp rate among the 20k genuinely-new ids stays near the target
+    fp = out.loc[20_000:, "probably_seen"].mean()
+    assert fp < 0.03, fp
+    # serialization round-trip preserves behavior
+    rt = BloomFilter.from_bytes(bloom.to_bytes())
+    assert np.array_equal(rt.bits, bloom.bits)
+    assert rt.n_bits == bloom.n_bits and rt.n_hashes == bloom.n_hashes
+
+
+def test_mg_summarize_basic():
+    from gruut_ray.pipelines.sketches import _mg_summarize
+
+    counts = {"a": 10, "b": 7, "c": 1, "d": 1, "e": 2}
+    kept = _mg_summarize(dict(counts), 2)
+    assert set(kept) == {"a", "b"}
+    assert kept["a"] <= 10 and kept["b"] <= 7
