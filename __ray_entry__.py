@@ -469,6 +469,24 @@ def _q_approx_daily_active_users(sf_dir: str):
     return out
 
 
+def _q_regional_revenue(sf_dir: str):
+    """TPC-H Q5-shaped six-table join: local-supplier revenue per nation
+    of one region/year; exact fixed-point money (1e-4 dollars)."""
+    from gruut_ray.pipelines.relational import regional_revenue
+
+    return regional_revenue(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                       "l_discount"]),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation"),
+        _read(sf_dir, "region"),
+        region_name="ASIA", date_lo="1996-01-01", date_hi="1997-01-01")
+
+
 def _q_heavy_hitter_terms(sf_dir: str):
     """Misra-Gries top-50 terms (bounded memory, guaranteed to contain
     every term with freq > n/51).  Approximate counts — no SQL oracle;
@@ -587,6 +605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "revenue_by_segment": _q_revenue_by_segment,
         "revenue_by_priority": _q_revenue_by_priority,
+        "regional_revenue": _q_regional_revenue,
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
         "knn_top10": _q_knn_top10,
@@ -691,6 +710,25 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS dau,
                    count(*) AS n_events
             FROM events GROUP BY day ORDER BY day
+        """,
+        "regional_revenue": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_c4,
+                   count(*) AS n_items
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate <  DATE '1997-01-01'
+            GROUP BY n_name ORDER BY revenue_c4 DESC, n_name
         """,
         "user_retention": """
             WITH pairs AS (

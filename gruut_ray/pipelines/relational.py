@@ -678,3 +678,130 @@ def user_retention(events: "ray.data.Dataset",
     out["n_retained"] = out["n_retained"].astype("int64")
     return (out[["day", "n_users", "n_retained"]]
             .sort_values("day").reset_index(drop=True))
+
+
+def regional_revenue(customer: "ray.data.Dataset",
+                     orders: "ray.data.Dataset",
+                     lineitem: "ray.data.Dataset",
+                     supplier: "ray.data.Dataset",
+                     nation: "ray.data.Dataset",
+                     region: "ray.data.Dataset",
+                     region_name: str = "ASIA",
+                     date_lo: str = "1996-01-01",
+                     date_hi: str = "1997-01-01",
+                     num_partitions: int = 16) -> pd.DataFrame:
+    """TPC-H Q5-shaped six-table pipeline: local-supplier revenue per
+    nation of one region and order-date year.
+
+    Scale shape (two shuffles, everything else broadcast or map-side):
+    region⋈nation collapses on the driver to a nation dict (≤ 25 rows);
+    supplier projects to a suppkey→nationkey map broadcast via
+    ``ray.put`` (the Q5 small side — at scales where suppliers outgrow
+    worker heaps, swap for a third shuffle join, same plan shape as
+    the dimensions in :func:`revenue_by_segment`); date-filtered orders
+    shuffle-join customer (custkey) to tag each order with its
+    customer's nation, then lineitem shuffle-joins on orderkey; the
+    Q5 local-supplier predicate (customer and supplier in the SAME
+    nation) evaluates map-side against the broadcast supplier map, and
+    only (nation) partial-sum rows leave the final map.  Revenue is
+    exact fixed-point (cents × percent = 1e-4 dollars), merged with
+    arbitrary-precision ints like every other money pipeline."""
+    import ray
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    rkey = region.to_pandas()
+    rkeys = set(rkey.loc[rkey["r_name"] == region_name, "r_regionkey"])
+    nat = nation.to_pandas()
+    nat = nat[nat["n_regionkey"].isin(rkeys)]
+    nation_names = dict(zip(nat["n_nationkey"].astype("int64"),
+                            nat["n_name"]))
+    nation_keys = pa.array(sorted(nation_names), type=pa.int64())
+
+    supp = supplier.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("s_nationkey"),
+                                    value_set=nation_keys))
+        .select(["s_suppkey", "s_nationkey"]),
+        batch_format="pyarrow").to_pandas()
+    supp_ref = ray.put(dict(zip(supp["s_suppkey"].astype("int64"),
+                                supp["s_nationkey"].astype("int64"))))
+
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+
+    o = (orders.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b.column("o_orderdate"), lo),
+            pc.less(b.column("o_orderdate"), hi)))
+        .select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+        .repartition(num_partitions))
+    c = (customer.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("c_nationkey"),
+                                    value_set=nation_keys))
+        .select(["c_custkey", "c_nationkey"]),
+        batch_format="pyarrow")
+        .repartition(num_partitions))
+    if o.count() == 0 or c.count() == 0:
+        # a fully-filtered side yields only schema-less empty blocks,
+        # which acero's join rejects — and the answer is known anyway
+        return pd.DataFrame(columns=["n_name", "revenue_c4", "n_items"])
+
+    # materialize the first join's output before the second: cascading
+    # two lazy hash joins puts both shuffles' aggregator actor pools in
+    # ONE streaming plan, which starves small cpu counts into a stall
+    # (observed at 4 cpus).  The pinned intermediate is the SMALL one —
+    # a year of orders projected to two int columns — and executing the
+    # joins sequentially is also the lower-peak-memory schedule at scale.
+    oc = (o.join(c, join_type="inner", num_partitions=num_partitions,
+                 on=("o_custkey",), right_on=("c_custkey",))
+          .select_columns(["o_orderkey", "c_nationkey"])
+          .repartition(num_partitions)
+          .materialize())
+    li = (lineitem.select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+        .repartition(num_partitions))
+    full = li.join(oc, join_type="inner",
+                   num_partitions=num_partitions,
+                   on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partials(batch: pa.Table, _cache={}) -> pa.Table:
+        smap = _cache.get("s")
+        if smap is None:
+            smap = _cache["s"] = ray.get(supp_ref)
+        df = pa.table({
+            "l_suppkey": batch.column("l_suppkey"),
+            "c_nationkey": batch.column("c_nationkey"),
+            "revenue_c4": pc.multiply(
+                _cents(batch.column("l_extendedprice")),
+                pc.subtract(pa.scalar(100),
+                            _cents(batch.column("l_discount")))),
+        }).to_pandas()
+        s_nat = df["l_suppkey"].map(smap)
+        df = df[s_nat.notna() & (s_nat == df["c_nationkey"])]
+        if df.empty:
+            return pa.table({
+                "n_nationkey": pa.array([], type=pa.int64()),
+                "revenue_c4": pa.array([], type=pa.int64()),
+                "n_items": pa.array([], type=pa.int64()),
+            })
+        agg = (df.groupby("c_nationkey", as_index=False)
+               .agg(revenue_c4=("revenue_c4", "sum"),
+                    n_items=("revenue_c4", "size"))
+               .rename(columns={"c_nationkey": "n_nationkey"}))
+        agg["n_nationkey"] = agg["n_nationkey"].astype("int64")
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    out = partial_then_merge(full, partials, ["n_nationkey"],
+                             {"revenue_c4": "sum", "n_items": "sum"},
+                             exact_int_cols=("revenue_c4",))
+    if out.empty:
+        return pd.DataFrame(columns=["n_name", "revenue_c4", "n_items"])
+    out["n_name"] = out["n_nationkey"].map(nation_names)
+    out["revenue_c4"] = out["revenue_c4"].astype("int64")
+    out["n_items"] = out["n_items"].astype("int64")
+    return (out[["n_name", "revenue_c4", "n_items"]]
+            .sort_values(["revenue_c4", "n_name"],
+                         ascending=[False, True])
+            .reset_index(drop=True))
