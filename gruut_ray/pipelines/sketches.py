@@ -293,14 +293,24 @@ class BloomFilter:
                    np.frombuffer(data[8:], dtype=np.uint8).copy())
 
 
-def build_bloom(ds: "ray.data.Dataset", col: str, n_items_hint: int,
-                fp_rate: float = 0.01) -> BloomFilter:
+def build_bloom(ds: "ray.data.Dataset", col: str,
+                n_items_hint: int | None = None,
+                fp_rate: float = 0.01,
+                extend: "BloomFilter | None" = None) -> BloomFilter:
     """Build a Bloom filter over a column: per-batch partial filters
     (same size, OR-mergeable) folded on the driver.  Use case:
-    summarize YESTTERDAY's corpus fingerprints once, persist the bytes
+    summarize YESTERDAY's corpus fingerprints once, persist the bytes
     next to the run manifest, and let today's incremental run drop
-    probable-dups with a shuffle-free map (no join against history)."""
-    proto = BloomFilter.sized_for(n_items_hint, fp_rate)
+    probable-dups with a shuffle-free map (no join against history).
+
+    ``extend`` seeds the build with an existing filter (same geometry),
+    returning history ∪ current — the cross-run accumulation path."""
+    if extend is not None:
+        proto = extend
+    elif n_items_hint is not None:
+        proto = BloomFilter.sized_for(n_items_hint, fp_rate)
+    else:
+        raise ValueError("need n_items_hint or extend")
 
     def partial(batch: pa.Table) -> pa.Table:
         f = BloomFilter(proto.n_bits, proto.n_hashes)
@@ -308,7 +318,8 @@ def build_bloom(ds: "ray.data.Dataset", col: str, n_items_hint: int,
         return pa.table({"bits": pa.array([f.bits.tobytes()],
                                           type=pa.binary())})
 
-    merged = BloomFilter(proto.n_bits, proto.n_hashes)
+    merged = BloomFilter(proto.n_bits, proto.n_hashes,
+                         proto.bits.copy() if extend is not None else None)
     for b in (ds.map_batches(partial, batch_format="pyarrow")
               .iter_batches(batch_format="pyarrow")):
         for blob in b.column("bits").to_pylist():

@@ -135,6 +135,30 @@ def test_bloom_no_false_negatives_and_fp_rate(ray_session):
     assert rt.n_bits == bloom.n_bits and rt.n_hashes == bloom.n_hashes
 
 
+def test_bloom_extend_accumulates_history(ray_session):
+    import ray
+
+    from gruut_ray.pipelines.sketches import build_bloom, mark_seen
+
+    day1 = build_bloom(
+        ray.data.from_pandas(pd.DataFrame(
+            {"fp": np.arange(0, 5_000, dtype="int64")})),
+        "fp", n_items_hint=20_000, fp_rate=0.01)
+    # extend with day 2: result must contain BOTH days (history union)
+    both = build_bloom(
+        ray.data.from_pandas(pd.DataFrame(
+            {"fp": np.arange(5_000, 10_000, dtype="int64")})),
+        "fp", extend=day1)
+    assert both.n_bits == day1.n_bits and both.n_hashes == day1.n_hashes
+    probe = (mark_seen(
+        ray.data.from_pandas(pd.DataFrame(
+            {"fp": np.arange(0, 10_000, dtype="int64")})),
+        both, "fp").to_pandas())
+    assert probe["probably_seen"].all()
+    with pytest.raises(ValueError):
+        build_bloom(ray.data.range(10), "id")
+
+
 def test_mg_summarize_basic():
     from gruut_ray.pipelines.sketches import _mg_summarize
 
