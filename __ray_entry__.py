@@ -576,6 +576,51 @@ def _q_contamination_overlap(sf_dir: str):
     return contamination_overlap(corpus, bench, n=5)
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Cross-run incremental dedup lifecycle: two overlapping increments
+    of the documents table, Bloom history persisted between the runs
+    (no-false-negative probe, shuffle-free; fp-rate over-drop is the
+    documented trade).  Stateful/multi-run → rows-only driver check;
+    lifecycle invariants pinned in tests/test_incremental.py."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from gruut_ray.state.incremental import incremental_dedup_run
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n = ds.count()
+    cut_lo, cut_hi = int(n * 0.6), int(n * 0.4)
+
+    def part(b: _pa.Table, lo: int, hi: int) -> _pa.Table:
+        ids = b.column("doc_id")
+        return b.filter(_pc.and_(_pc.greater_equal(ids, _pa.scalar(lo)),
+                                 _pc.less(ids, _pa.scalar(hi))))
+
+    day1 = ds.map_batches(lambda b: part(b, 0, cut_lo),
+                          batch_format="pyarrow")
+    day2 = ds.map_batches(lambda b: part(b, cut_hi, n),
+                          batch_format="pyarrow")
+    root = tempfile.mkdtemp(prefix="gruut_ray_incr_", dir="/tmp")
+    try:
+        r1 = incremental_dedup_run(day1, os.path.join(root, "state"),
+                                   os.path.join(root, "day1"),
+                                   n_items_hint=4 * n)
+        r2 = incremental_dedup_run(day2, os.path.join(root, "state"),
+                                   os.path.join(root, "day2"))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return pd.DataFrame({
+        "run": [1, 2],
+        "rows_in": [r1["rows_in"], r2["rows_in"]],
+        "rows_kept": [r1["rows_kept"], r2["rows_kept"]],
+        "rows_dropped": [r1["rows_dropped"], r2["rows_dropped"]],
+    })
+
+
 def _q_sessionize(sf_dir: str):
     import pandas as pd
 
@@ -625,6 +670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "length_quantiles_by_lang": _q_length_quantiles,
         "line_dedup_stats": _q_line_dedup_stats,
+        "incremental_dedup": _q_incremental_dedup,
         "contamination_overlap": _q_contamination_overlap,
         "daily_active_users": _q_daily_active_users,
         "approx_daily_active_users": _q_approx_daily_active_users,

@@ -278,6 +278,13 @@ class BloomFilter:
         byte = self.bits[(pos // 8).astype(np.int64)]
         return ((byte >> (pos % 8).astype(np.uint8)) & 1).all(axis=1)
 
+    def estimated_fp_rate(self) -> float:
+        """Current false-positive rate from the observed bit density:
+        fp ≈ fill^k.  Rises as cross-run ``extend`` accumulates items —
+        the saturation signal for "rebuild with a bigger filter"."""
+        fill = float(np.unpackbits(self.bits).mean()) if len(self.bits) else 0.0
+        return fill ** self.n_hashes
+
     def to_bytes(self) -> bytes:
         import struct
 
