@@ -198,6 +198,27 @@ def _q_part_type_summary(sf_dir: str):
                                             "p_size"]))
 
 
+def _q_customer_distribution(sf_dir: str):
+    """TPC-H Q13-shaped: per-customer order counts via combiner + LEFT
+    OUTER join (zero-order customers included), distribution merged from
+    tiny partials."""
+    from gruut_ray.pipelines.relational import customer_distribution
+
+    return customer_distribution(
+        _read(sf_dir, "customer", columns=["c_custkey"]),
+        _read(sf_dir, "orders", columns=["o_custkey"]))
+
+
+def _q_customers_without_orders(sf_dir: str):
+    """LEFT ANTI hash join: customers with no orders (count + custkey
+    checksum witnesses)."""
+    from gruut_ray.pipelines.relational import customers_without_orders
+
+    return customers_without_orders(
+        _read(sf_dir, "customer", columns=["c_custkey"]),
+        _read(sf_dir, "orders", columns=["o_custkey"]))
+
+
 def _q_audit_sample(sf_dir: str):
     """Deterministic 5% audit sample (doc_id % 20): resumable, batch-order
     independent, SQL-matchable — the auditable stand-in for
@@ -651,6 +672,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": _q_revenue_by_segment,
         "revenue_by_priority": _q_revenue_by_priority,
         "regional_revenue": _q_regional_revenue,
+        "customer_distribution": _q_customer_distribution,
+        "customers_without_orders": _q_customers_without_orders,
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
         "knn_top10": _q_knn_top10,
@@ -775,6 +798,24 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= DATE '1996-01-01'
               AND o_orderdate <  DATE '1997-01-01'
             GROUP BY n_name ORDER BY revenue_c4 DESC, n_name
+        """,
+        "customer_distribution": """
+            WITH counts AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM counts GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "customers_without_orders": """
+            SELECT count(*) AS n_customers,
+                   CAST(coalesce(sum(c_custkey), 0) AS BIGINT)
+                       AS custkey_sum
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
         """,
         "user_retention": """
             WITH pairs AS (

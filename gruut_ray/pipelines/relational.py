@@ -805,3 +805,110 @@ def regional_revenue(customer: "ray.data.Dataset",
             .sort_values(["revenue_c4", "n_name"],
                          ascending=[False, True])
             .reset_index(drop=True))
+
+
+def customer_distribution(customer: "ray.data.Dataset",
+                          orders: "ray.data.Dataset",
+                          num_partitions: int = 8) -> pd.DataFrame:
+    """TPC-H Q13-shaped order-count distribution: how many customers
+    placed exactly k orders, including k=0 (ref workload shape only —
+    gruut has no relational ops; this covers SURVEY §2.5 join-type
+    inventory: LEFT OUTER).
+
+    Scale shape: orders pre-aggregate per batch to (custkey, n) partials
+    (combiner) → small groupby → the customer key column LEFT OUTER
+    joins the counts (nulls are the zero-order customers) → the
+    distribution itself merges as tiny (c_count, custdist) partials.
+    Only (custkey, count) pairs ever shuffle; order rows never do."""
+    from ray.data.aggregate import Sum
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        df = pa.table({"o_custkey": batch.column("o_custkey")}).to_pandas()
+        agg = df.groupby("o_custkey", as_index=False).agg(
+            n=("o_custkey", "size"))
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    counts = (orders.select_columns(["o_custkey"])
+              .map_batches(partial_counts, batch_format="pyarrow")
+              .groupby("o_custkey")
+              .aggregate(Sum("n", alias_name="c_count"))
+              .map_batches(
+                  lambda b: (pa.table({
+                      "o_custkey": pa.array([], type=pa.int64()),
+                      "c_count": pa.array([], type=pa.int64())})
+                      if b.num_columns == 0 else
+                      pa.table({
+                          "o_custkey": pc.cast(b.column("o_custkey"),
+                                               pa.int64()),
+                          "c_count": pc.cast(b.column("c_count"),
+                                             pa.int64())})),
+                  batch_format="pyarrow")
+              .repartition(num_partitions))
+
+    cust = customer.select_columns(["c_custkey"]) \
+        .repartition(num_partitions)
+    joined = cust.join(counts, join_type="left_outer",
+                       num_partitions=num_partitions,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def dist_partials(batch: pa.Table) -> pa.Table:
+        cc = pc.fill_null(pc.cast(batch.column("c_count"), pa.int64()), 0)
+        df = pa.table({"c_count": cc}).to_pandas()
+        agg = df.groupby("c_count", as_index=False).agg(
+            custdist=("c_count", "size"))
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    out = partial_then_merge(joined, dist_partials, ["c_count"],
+                             {"custdist": "sum"}, sort=False)
+    out["c_count"] = out["c_count"].astype("int64")
+    out["custdist"] = out["custdist"].astype("int64")
+    return (out.sort_values(["custdist", "c_count"],
+                            ascending=[False, False])
+            .reset_index(drop=True))
+
+
+def customers_without_orders(customer: "ray.data.Dataset",
+                             orders: "ray.data.Dataset",
+                             num_partitions: int = 8) -> pd.DataFrame:
+    """Customers that never placed an order, via the native LEFT ANTI
+    hash join (SURVEY §2.5 join-type inventory).  Returns the count and
+    the custkey checksum (hash-stable scalar witnesses; the row set
+    itself can be huge at scale).
+
+    Scale shape: the orders side reduces to distinct custkeys per batch
+    (combiner) before the anti join, so the join's build side is ≤
+    |customers| keys regardless of order count."""
+
+    def distinct_keys(batch: pa.Table) -> pa.Table:
+        keys = pc.unique(batch.column("o_custkey"))
+        return pa.table({"o_custkey": keys})
+
+    keys = (orders.select_columns(["o_custkey"])
+            .map_batches(distinct_keys, batch_format="pyarrow")
+            .repartition(num_partitions))
+    cust = customer.select_columns(["c_custkey"]) \
+        .repartition(num_partitions)
+    anti = cust.join(keys, join_type="left_anti",
+                     num_partitions=num_partitions,
+                     on=("c_custkey",), right_on=("o_custkey",))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey")
+        return pa.table({
+            "n_customers": pa.array([batch.num_rows], type=pa.int64()),
+            "custkey_sum": pa.array(
+                [pc.sum(pc.cast(ck, pa.int64())).as_py() or 0],
+                type=pa.int64()),
+        })
+
+    parts = anti.map_batches(partials, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"n_customers": [0], "custkey_sum": [0]})
+    return pd.DataFrame({
+        "n_customers": [int(parts["n_customers"].sum())],
+        "custkey_sum": [int(parts["custkey_sum"].sum())],
+    })
