@@ -303,6 +303,25 @@ def _q_embedding_dup_pairs(sf_dir: str):
     return embedding_dup_pairs_exact(ds, threshold=0.4)
 
 
+def _q_semantic_dedup_count(sf_dir: str):
+    """SemDeDup-shaped semantic dedup over the embeddings table: k-means
+    cluster (broadcast centroids) then greedy in-cluster cosine prune at
+    0.8.  Model-driven (k-means) → rows-only driver check; exactness at
+    n_lists=1, planted-dup recall and partition invariance are pinned in
+    tests/test_similarity.py."""
+    import pandas as pd
+
+    from gruut_ray.pipelines.similarity import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = ds.take(1)[0]
+    n_before = ds.count()
+    kept = semantic_dedup(ds, dim=len(first["embedding"]), threshold=0.8,
+                          n_lists=8)
+    return pd.DataFrame({"n_before": [n_before],
+                         "n_after": [kept.count()]})
+
+
 def _q_quality_filter_documents(sf_dir: str):
     from gruut_ray.pipelines.quality_filter import quality_filter
 
@@ -680,6 +699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_top10": _q_ann_lsh_top10,
         "ann_ivf_top10": _q_ann_ivf_top10,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "semantic_dedup_count": _q_semantic_dedup_count,
         "normalize_spoken_tokens": _q_normalize_spoken_tokens,
         "phonemize_documents": _q_phonemize_documents,
         "cc_quality_filter": _q_cc_quality_filter,

@@ -345,3 +345,88 @@ def ivf_topk(
 
     pruned = listed.map_batches(prune, batch_format="pyarrow")
     return brute_force_topk(pruned, queries, k, id_col, emb_col)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style) — cluster, then prune within clusters
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    dim: int,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    centroids: typing.Optional[np.ndarray] = None,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Semantic (embedding-space) dedup in the SemDeDup shape (Abbas et
+    al. 2023, arXiv:2303.09540 — public paper): k-means cluster the
+    corpus, then WITHIN each cluster greedily drop every vector whose
+    cosine similarity to an already-kept lower-id vector is ≥
+    ``threshold``.  Returns the dataset with semantic dups dropped.
+
+    Scale shape: centroids train on a bounded corpus-wide sample
+    (:func:`train_centroids`) and broadcast once; assignment is one
+    matmul per batch; the only all-to-all is the cluster groupby, whose
+    keys are uniform by construction (k-means balances mass).  Cluster
+    size bounds the O(|c|²) in-cluster similarity, so ``n_lists`` must
+    grow ∝ corpus size (the paper uses the same regime).  Documented
+    approximation: near-dup pairs straddling two clusters are missed —
+    recall vs the exact all-pairs greedy is governed by ``n_lists`` and
+    pinned in tests (``n_lists=1`` is exactly the all-pairs greedy).
+    """
+    if centroids is None:
+        centroids = train_centroids(ds, dim, n_lists, emb_col=emb_col,
+                                    id_col=id_col)
+    listed = add_ivf_lists(ds.select_columns([id_col, emb_col]),
+                           centroids, emb_col)
+
+    def cluster_keep(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return pd.DataFrame({"keep_id": pd.Series([], dtype="int64")})
+        g = group.sort_values(id_col)
+        ids = g[id_col].to_numpy().astype(np.int64)
+        if len(ids) == 1:
+            return pd.DataFrame({"keep_id": ids})
+        emb = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float64))
+        sims = emb @ emb.T
+        kept_mask = np.zeros(len(ids), dtype=bool)
+        for i in range(len(ids)):  # greedy by ascending id — deterministic
+            if not (sims[i, :i][kept_mask[:i]] >= threshold).any():
+                kept_mask[i] = True
+        return pd.DataFrame({"keep_id": ids[kept_mask]})
+
+    kept = (listed.groupby("ivf_list")
+            .map_groups(cluster_keep, batch_format="pandas")
+            # strip the unhashable pandas schema metadata (Ray schema dedup)
+            .map_batches(lambda t: t.replace_schema_metadata(None),
+                         batch_format="pyarrow")
+            .repartition(num_partitions))  # merge schema-less empties
+
+    # pyarrow hash joins reject list<float> payload columns — carry the
+    # embedding through the semi-join as a binary blob, decode after
+    value_type = ds.schema().base_schema.field(emb_col).type.value_type
+    np_dtype = np.dtype(value_type.to_pandas_dtype())
+
+    def encode(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch.column(emb_col).to_pylist(), dtype=np_dtype)
+        blobs = [row.tobytes() for row in mat]
+        idx = batch.schema.get_field_index(emb_col)
+        return batch.set_column(idx, emb_col,
+                                pa.array(blobs, type=pa.binary()))
+
+    def decode(batch: pa.Table) -> pa.Table:
+        vecs = [np.frombuffer(b, dtype=np_dtype).tolist()
+                for b in batch.column(emb_col).to_pylist()]
+        idx = batch.schema.get_field_index(emb_col)
+        return batch.set_column(idx, emb_col,
+                                pa.array(vecs, type=pa.list_(value_type)))
+
+    enc = ds.map_batches(encode, batch_format="pyarrow") \
+        .repartition(num_partitions)
+    joined = enc.join(kept, join_type="left_semi",
+                      num_partitions=num_partitions,
+                      on=(id_col,), right_on=("keep_id",))
+    return joined.map_batches(decode, batch_format="pyarrow")

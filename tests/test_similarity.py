@@ -135,3 +135,55 @@ def test_brute_force_topk_many_queries_off_driver(ray_session):
     dist = brute_force_topk(ds, q, k=5, driver_queries_limit=1)
     pd.testing.assert_frame_equal(driver, dist)
     assert len(dist) == 100 * 5
+
+
+def _exact_greedy_keep(emb, threshold):
+    """All-pairs greedy-by-ascending-id reference (the n_lists=1 case)."""
+    norm = emb.astype(np.float64)
+    norm = norm / np.linalg.norm(norm, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    kept = []
+    for i in range(len(emb)):
+        if not any(sims[i, j] >= threshold for j in kept):
+            kept.append(i)
+    return set(kept)
+
+
+def test_semantic_dedup_single_cluster_is_exact(ray_session):
+    """n_lists=1 puts everything in one cluster → must equal the
+    all-pairs greedy exactly."""
+    from gruut_ray.pipelines.similarity import semantic_dedup
+
+    ds, emb = _emb_ds(ray_session, n=120)
+    out = semantic_dedup(ds, dim=16, threshold=0.95, n_lists=1)
+    got = set(out.to_pandas()["vec_id"].tolist())
+    assert got == _exact_greedy_keep(emb, 0.95)
+    # the planted near-dups of row 0 are dropped, row 0 survives
+    assert 0 in got and 1 not in got and 2 not in got
+
+
+def test_semantic_dedup_clustered_drops_planted_dups(ray_session):
+    """With real clustering the planted near-identical rows co-cluster
+    (cosine ≈ 1 ⇒ same nearest centroid) and still dedup; recall vs the
+    exact greedy stays high."""
+    from gruut_ray.pipelines.similarity import semantic_dedup
+
+    ds, emb = _emb_ds(ray_session, n=300)
+    out = semantic_dedup(ds, dim=16, threshold=0.95, n_lists=8)
+    got = set(out.to_pandas()["vec_id"].tolist())
+    assert 0 in got and 1 not in got and 2 not in got
+    exact = _exact_greedy_keep(emb, 0.95)
+    # clustered pass may miss cross-cluster pairs → keeps a superset
+    assert got >= exact
+    assert len(got) <= len(exact) + max(2, len(exact) // 20)
+
+
+def test_semantic_dedup_partition_invariant(ray_session):
+    from gruut_ray.pipelines.similarity import semantic_dedup
+
+    ds, _ = _emb_ds(ray_session, n=200)
+    a = set(semantic_dedup(ds, dim=16, threshold=0.95,
+                           n_lists=4).to_pandas()["vec_id"])
+    b = set(semantic_dedup(ds.repartition(7), dim=16, threshold=0.95,
+                           n_lists=4).to_pandas()["vec_id"])
+    assert a == b
