@@ -661,6 +661,33 @@ def _q_incremental_dedup(sf_dir: str):
     })
 
 
+def _q_top3_docs_per_lang(sf_dir: str):
+    """Grouped top-k window (row_number <= 3) — per-batch partial top-k,
+    data rows never shuffle."""
+    from gruut_ray.pipelines.text_stats import top_k_docs_per_lang
+
+    return top_k_docs_per_lang(
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]),
+        k=3)
+
+
+def _q_lang_source_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source) from one distributed aggregation;
+    coarser levels are driver re-sums of the tiny fine-grained table."""
+    from gruut_ray.pipelines.text_stats import lang_source_rollup
+
+    return lang_source_rollup(
+        _read(sf_dir, "documents", columns=["lang", "source", "n_chars"]))
+
+
+def _q_user_rolling_window(sf_dir: str):
+    """Per-user ROWS-window rolling sum (exact int-cents), per-block
+    vectorized after a user_id hash repartition."""
+    from gruut_ray.pipelines.relational import user_rolling_window
+
+    return user_rolling_window(_read(sf_dir, "events"), window=10)
+
+
 def _q_sessionize(sf_dir: str):
     import pandas as pd
 
@@ -710,6 +737,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "quality_signals": _q_quality_signals,
         "longest_doc_per_lang": _q_longest_doc_per_lang,
+        "top3_docs_per_lang": _q_top3_docs_per_lang,
+        "lang_source_rollup": _q_lang_source_rollup,
+        "user_rolling_window": _q_user_rolling_window,
         "stratified_sample": _q_stratified_sample,
         "length_quantiles_by_lang": _q_length_quantiles,
         "line_dedup_stats": _q_line_dedup_stats,
@@ -952,6 +982,30 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY lang
                            ORDER BY n_chars DESC, doc_id ASC) AS rn
                 FROM documents) WHERE rn = 1 ORDER BY lang
+        """,
+        "top3_docs_per_lang": """
+            SELECT lang, rank, doc_id, n_chars FROM (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id ASC) AS rank
+                FROM documents) WHERE rank <= 3
+            ORDER BY lang, rank
+        """,
+        "lang_source_rollup": """
+            SELECT coalesce(lang, 'ALL') AS lang,
+                   coalesce(source, 'ALL') AS source,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   count(*) AS n_docs
+            FROM documents GROUP BY ROLLUP(lang, source)
+            ORDER BY lang, source
+        """,
+        "user_rolling_window": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) / 100 AS rolling_value
+            FROM events ORDER BY event_id
         """,
         "stratified_sample": """
             SELECT lang, doc_id FROM (

@@ -912,3 +912,72 @@ def customers_without_orders(customer: "ray.data.Dataset",
         "n_customers": [int(parts["n_customers"].sum())],
         "custkey_sum": [int(parts["custkey_sum"].sum())],
     })
+
+
+def user_rolling_window(events: "ray.data.Dataset", window: int = 10,
+                        num_partitions: int = 32,
+                        driver_limit: int = 5_000_000) -> pd.DataFrame:
+    """Per-key ROWS-window rolling aggregate — SQL
+    ``SUM(...) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)`` — via the same
+    per-BLOCK pattern as :func:`sessionize`: hash-repartition on
+    ``user_id`` co-locates each user's rows, then ONE numpy kernel per
+    block sorts by (user_id, ts, event_id) and computes every user's
+    rolling sum at once from a block-global cumsum (no per-group UDF
+    dispatch, no per-row loop).  Money is summed as exact int64 cents
+    (:func:`_cents`) so the result is bit-identical to the SQL window
+    oracle regardless of summation order.
+
+    Partitioning assumption: one user's rows fit in one block (same as
+    sessionize/asof).  Returns (event_id, user_id, rolling_value)
+    sorted by event_id."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+            "ts": batch.column("ts"),
+            "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+            "cents": _cents(batch.column("value")),
+        })
+
+    slim = events.map_batches(project, batch_format="pyarrow")
+
+    def block_rolling(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["user_id", "ts", "event_id"],
+                           kind="mergesort")
+        n = len(g)
+        uid = g["user_id"].to_numpy()
+        cents = g["cents"].to_numpy(dtype=np.int64)
+        idx = np.arange(n, dtype=np.int64)
+        boundary = np.ones(n, dtype=bool)
+        if n > 1:
+            boundary[1:] = uid[1:] != uid[:-1]
+        group_start = np.maximum.accumulate(np.where(boundary, idx, 0))
+        pos = idx - group_start  # 0-based position within the user
+        cs = np.cumsum(cents)
+        # index of the last row BEFORE the window: never crosses into the
+        # previous user because the window is clipped to min(pos, w-1)
+        prev = idx - np.minimum(pos, window - 1) - 1
+        roll = cs - np.where(prev >= 0, cs[np.maximum(prev, 0)], 0)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": uid,
+            "rolling_value": roll / 100.0,
+        })
+
+    if events.count() <= driver_limit:  # metadata-only on parquet reads
+        out = block_rolling(slim.to_pandas())
+        return out.sort_values("event_id").reset_index(drop=True)
+
+    from ray.data.context import ShuffleStrategy
+
+    prev_strategy = events.context.shuffle_strategy
+    events.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        out = (slim.repartition(num_partitions, keys=["user_id"])
+               .map_batches(block_rolling, batch_format="pandas",
+                            batch_size=None)
+               .to_pandas())
+    finally:
+        events.context.shuffle_strategy = prev_strategy
+    return out.sort_values("event_id").reset_index(drop=True)

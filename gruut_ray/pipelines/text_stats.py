@@ -418,3 +418,73 @@ def stratified_sample(ds: "ray.data.Dataset", n_per_group: int,
            .drop(columns=["_h"]))
     return (out[[group_col, id_col]]
             .sort_values([group_col, id_col]).reset_index(drop=True))
+
+
+def top_k_docs_per_lang(ds: "ray.data.Dataset", k: int = 3,
+                        lang_col: str = "lang", id_col: str = "doc_id",
+                        len_col: str = "n_chars"):
+    """Grouped top-k window (SQL ``row_number() OVER (PARTITION BY lang
+    ORDER BY n_chars DESC, doc_id) <= k``) with the same scale shape as
+    :func:`longest_doc_per_lang`: every batch emits at most k candidate
+    rows per group (a partial top-k is closed under union), the driver
+    re-runs the identical pick over (blocks × groups × k) candidates —
+    data rows never shuffle.  Emits a ``rank`` column (1-based within
+    the group) to match the SQL window shape."""
+    import pandas as pd  # noqa: F401  (driver-side merge)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([lang_col, id_col, len_col]).to_pandas()
+        df = df.sort_values([len_col, id_col], ascending=[False, True])
+        return pa.Table.from_pandas(
+            df.groupby(lang_col, as_index=False, sort=False).head(k),
+            preserve_index=False).replace_schema_metadata(None)
+
+    cands = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    out = (cands.sort_values([len_col, id_col], ascending=[False, True])
+           .groupby(lang_col, as_index=False, sort=False).head(k)
+           .sort_values([lang_col, len_col, id_col],
+                        ascending=[True, False, True])
+           .reset_index(drop=True))
+    out["rank"] = out.groupby(lang_col, sort=False).cumcount() + 1
+    return out[[lang_col, "rank", id_col, len_col]]
+
+
+def lang_source_rollup(ds: "ray.data.Dataset", lang_col: str = "lang",
+                       source_col: str = "source",
+                       len_col: str = "n_chars"):
+    """ROLLUP grouping sets — SQL ``GROUP BY ROLLUP(lang, source)`` —
+    computed from ONE distributed aggregation: the finest grouping
+    (lang, source) reduces via combiner partials (`partial_then_merge`),
+    then the coarser levels (lang) and () are pure driver-side re-sums
+    of that already-tiny table, never a second pass over data.  Grouped-
+    out key levels surface as ``'ALL'`` (the oracle COALESCEs NULL to
+    the same marker so the hash compare is well-defined)."""
+    import pandas as pd
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (batch.select([lang_col, source_col, len_col])
+                .group_by([lang_col, source_col])
+                .aggregate([(len_col, "sum"), (len_col, "count")])
+                .rename_columns([lang_col, source_col, "sum_chars",
+                                 "n_docs"]))
+
+    fine = partial_then_merge(ds, partial, [lang_col, source_col],
+                              {"sum_chars": "sum", "n_docs": "sum"})
+    mid = (fine.groupby(lang_col, as_index=False)[["sum_chars", "n_docs"]]
+           .sum())
+    mid[source_col] = "ALL"
+    total = pd.DataFrame({
+        lang_col: ["ALL"], source_col: ["ALL"],
+        "sum_chars": [fine["sum_chars"].sum()],
+        "n_docs": [fine["n_docs"].sum()],
+    })
+    cols = [lang_col, source_col, "sum_chars", "n_docs"]
+    out = pd.concat([fine[cols], mid[cols], total[cols]],
+                    ignore_index=True)
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return (out.sort_values([lang_col, source_col])
+            .reset_index(drop=True))

@@ -139,3 +139,16 @@ def test_sessionize_asof_driver_vs_distributed_paths(ray_session):
     dist = asof_last_event(events, driver_limit=0)
     pd.testing.assert_frame_equal(canon(drv, ["event_id"]),
                                   canon(dist, ["event_id"]))
+
+
+def test_rolling_window_driver_vs_distributed_paths(ray_session):
+    """user_rolling_window's driver cut-over and the keyed-repartition
+    per-block path share one kernel and must be identical."""
+    import ray.data
+
+    from gruut_ray.pipelines.relational import user_rolling_window
+
+    events = ray.data.read_parquet(os.path.join(SF_DIR, "events.parquet"))
+    drv = user_rolling_window(events, window=5)
+    dist = user_rolling_window(events, window=5, driver_limit=0)
+    pd.testing.assert_frame_equal(drv, dist)
