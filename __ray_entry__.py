@@ -616,6 +616,30 @@ def _q_contamination_overlap(sf_dir: str):
     return contamination_overlap(corpus, bench, n=5)
 
 
+def _q_dsir_select(sf_dir: str):
+    """DSIR importance resampling (Xie et al. 2023): hashed-n-gram
+    bag-of-words target/raw models → per-doc importance weight →
+    deterministic Gumbel-top-k.  Target = docs with doc_id % 100 == 0
+    (same held-out split as contamination_overlap).  Model-driven →
+    rows-only driver check; determinism/partition-invariance/semantic
+    preference pinned in tests/test_dsir.py."""
+    import pyarrow as _pa
+
+    from gruut_ray.pipelines.dsir import dsir_select
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _split(b: _pa.Table, want_target: bool) -> _pa.Table:
+        mask = (b.column("doc_id").to_numpy() % 100 == 0)
+        return b.filter(_pa.array(mask if want_target else ~mask))
+
+    target = ds.map_batches(lambda b: _split(b, True),
+                            batch_format="pyarrow")
+    corpus = ds.map_batches(lambda b: _split(b, False),
+                            batch_format="pyarrow")
+    return dsir_select(corpus, target, n_select=50, seed=0)
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Cross-run incremental dedup lifecycle: two overlapping increments
     of the documents table, Bloom history persisted between the runs
@@ -744,6 +768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles_by_lang": _q_length_quantiles,
         "line_dedup_stats": _q_line_dedup_stats,
         "incremental_dedup": _q_incremental_dedup,
+        "dsir_select": _q_dsir_select,
         "contamination_overlap": _q_contamination_overlap,
         "daily_active_users": _q_daily_active_users,
         "approx_daily_active_users": _q_approx_daily_active_users,

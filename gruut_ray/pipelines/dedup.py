@@ -122,19 +122,24 @@ def minhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",
                        ) -> "ray.data.Dataset":
     """Adds a ``minhash`` fixed-size-list column."""
 
-    class Signer:
-        def __init__(self):
-            self.mh = MinHasher(num_perms)
+    # plain TASKS, not an actor pool: MinHasher init is ~0.3 ms (two rng
+    # draws), so there is no per-actor state worth paying pool spin-up
+    # for — the per-worker-process ``_cache`` keeps the one-time init
+    # amortized exactly like an actor would, while tasks start instantly
+    # and scale to every core (the old ``concurrency=(1, 8)`` pool also
+    # capped parallelism at 8)
+    def sign(batch: pa.Table, _cache={}) -> pa.Table:
+        mh = _cache.get(num_perms)
+        if mh is None:
+            mh = _cache[num_perms] = MinHasher(num_perms)
+        texts = batch.column(text_col).to_pylist()
+        sigs = np.stack([mh.signature(t or "", shingle_k)
+                         for t in texts])
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1), type=pa.uint64()), num_perms)
+        return batch.append_column("minhash", col)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            texts = batch.column(text_col).to_pylist()
-            sigs = np.stack([self.mh.signature(t or "", shingle_k)
-                             for t in texts])
-            col = pa.FixedSizeListArray.from_arrays(
-                pa.array(sigs.reshape(-1), type=pa.uint64()), num_perms)
-            return batch.append_column("minhash", col)
-
-    return ds.map_batches(Signer, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(sign, batch_format="pyarrow")
 
 
 def minhash_lsh_dedup(

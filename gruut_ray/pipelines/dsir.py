@@ -1,0 +1,152 @@
+"""DSIR-style data selection via importance resampling.
+
+Public method: Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling" (arXiv:2302.03169).  Hashed word n-gram (uni+bi)
+bag-of-words models are fit on a small TARGET corpus and on the RAW
+corpus; each raw document gets an importance weight
+
+    log w(x) = Σ_b c_b(x) · (log p_target[b] − log p_raw[b])
+
+over hash buckets b, and documents are resampled by Gumbel-top-k over
+``log w(x) + Gumbel(doc_id-seeded)`` — deterministic, partition-
+invariant, and executed without ever shuffling document rows:
+
+* bucket-count model fitting is a per-batch dense-vector partial
+  (``num_buckets`` int64 ≈ 80 KB/batch) reduced on the driver — the
+  reduction is over batch count, not row count, and at cluster scale the
+  same partials tree-reduce through ``Dataset.sum`` semantics;
+* the log-ratio vector broadcasts once via ``ray.put``;
+* scoring is one sparse dot product per document inside ``map_batches``;
+* the Gumbel-top-k is the repo's standard partial-top-k pattern (every
+  batch emits at most k candidates; the driver re-picks over
+  blocks × k).
+
+The reference engine (gruut) has no corpus-selection operator; this is
+one of the beyond-reference LLM-data-pipeline operators (brief §"Beyond
+the reference's own operators").
+"""
+
+from __future__ import annotations
+
+import re
+import typing
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+if typing.TYPE_CHECKING:
+    import ray.data
+
+_TOKEN_RE = re.compile(r"[0-9a-z']+")
+
+_MASK64 = (1 << 64) - 1
+
+
+def _doc_buckets(text: str, num_buckets: int) -> np.ndarray:
+    """Hashed uni+bigram bucket ids for one document (crc32, stable
+    across processes — Python's ``hash()`` is salted per process)."""
+    toks = _TOKEN_RE.findall(text.lower())
+    if not toks:
+        return np.empty(0, dtype=np.int64)
+    uni = [zlib.crc32(t.encode()) for t in toks]
+    bi = [zlib.crc32((toks[i] + " " + toks[i + 1]).encode())
+          for i in range(len(toks) - 1)]
+    return np.asarray(uni + bi, dtype=np.int64) % num_buckets
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (public splitmix64 constants)."""
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(
+        _MASK64)
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) \
+        & np.uint64(_MASK64)
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) \
+        & np.uint64(_MASK64)
+    return z ^ (z >> np.uint64(31))
+
+
+def _bucket_count_model(ds: "ray.data.Dataset", num_buckets: int,
+                        text_col: str) -> np.ndarray:
+    """Global hashed-n-gram bucket counts (+1 smoothing applied by the
+    caller).  Per-batch dense partials; driver sums (batches, not rows)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = np.zeros(num_buckets, dtype=np.int64)
+        for t in batch.column(text_col).to_pylist():
+            b = _doc_buckets(t or "", num_buckets)
+            if len(b):
+                counts += np.bincount(b, minlength=num_buckets)
+        return pa.table({"counts": pa.array([counts.tobytes()],
+                                            type=pa.binary())})
+
+    total = np.zeros(num_buckets, dtype=np.int64)
+    for b in (ds.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for blob in b.column("counts").to_pylist():
+            total += np.frombuffer(blob, dtype=np.int64)
+    return total
+
+
+def dsir_select(
+    corpus: "ray.data.Dataset",
+    target: "ray.data.Dataset",
+    n_select: int,
+    num_buckets: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+    temperature: float = 1.0,
+) -> pd.DataFrame:
+    """Select ``n_select`` corpus docs by DSIR importance resampling.
+
+    ``temperature=0`` disables the Gumbel noise (pure top-k by importance
+    weight — deterministic greedy selection); otherwise the Gumbel key is
+    seeded from ``(doc_id, seed)`` so the draw is reproducible and
+    independent of partitioning.  Returns ``(doc_id, log_w)`` sorted by
+    doc_id."""
+    import ray
+
+    target_counts = _bucket_count_model(target, num_buckets, text_col)
+    raw_counts = _bucket_count_model(corpus, num_buckets, text_col)
+
+    # add-1 smoothed log prob ratio per bucket
+    t = target_counts + 1.0
+    r = raw_counts + 1.0
+    lam = (np.log(t / t.sum()) - np.log(r / r.sum())).astype(np.float64)
+    lam_ref = ray.put(lam)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lam_v = ray.get(lam_ref)
+        ids = batch.column(id_col).to_numpy()
+        logw = np.empty(len(ids), dtype=np.float64)
+        for i, txt in enumerate(batch.column(text_col).to_pylist()):
+            b = _doc_buckets(txt or "", num_buckets)
+            logw[i] = lam_v[b].sum() if len(b) else 0.0
+        if temperature > 0:
+            seed_mix = _splitmix64(np.asarray([seed], dtype=np.int64))[0]
+            mix = ids.astype(np.uint64) ^ seed_mix
+            u = (_splitmix64(mix).astype(np.float64) + 1.0) / (2.0 ** 64
+                                                               + 2.0)
+            key = logw / temperature - np.log(-np.log(u))
+        else:
+            key = logw
+        # partial top-k: at most n_select candidates leave each batch
+        order = np.lexsort((ids, -key))[:n_select]
+        return pa.table({
+            id_col: pa.array(ids[order].astype(np.int64)),
+            "log_w": pa.array(logw[order]),
+            "_key": pa.array(key[order]),
+        })
+
+    cands = (corpus.map_batches(score, batch_format="pyarrow")
+             .to_pandas())
+    picked = (cands.sort_values(["_key", id_col],
+                                ascending=[False, True])
+              .head(n_select)
+              .drop(columns=["_key"])
+              .sort_values(id_col)
+              .reset_index(drop=True))
+    picked[id_col] = picked[id_col].astype("int64")
+    return picked
