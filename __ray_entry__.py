@@ -154,6 +154,17 @@ def _q_revenue_by_priority(sf_dir: str):
                                _read(sf_dir, "lineitem"))
 
 
+def _q_revenue_by_priority_skew(sf_dir: str):
+    """Same rollup as revenue_by_priority but through skew_aware_join:
+    Misra-Gries hot-key detection, hot keys broadcast map-side, cold
+    remainder hash-joined (hot_fraction tuned so the hot path really
+    exercises at sf0.01).  Identical SQL oracle."""
+    from gruut_ray.pipelines.relational import revenue_by_priority_skew
+
+    return revenue_by_priority_skew(_read(sf_dir, "orders"),
+                                    _read(sf_dir, "lineitem"))
+
+
 def _q_events_hourly(sf_dir: str):
     from gruut_ray.pipelines.relational import events_hourly_window
 
@@ -741,6 +752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "revenue_by_segment": _q_revenue_by_segment,
         "revenue_by_priority": _q_revenue_by_priority,
+        "revenue_by_priority_skew": _q_revenue_by_priority_skew,
         "regional_revenue": _q_regional_revenue,
         "customer_distribution": _q_customer_distribution,
         "customers_without_orders": _q_customers_without_orders,
@@ -1109,6 +1121,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "revenue_by_priority": """
+            SELECT o_orderpriority,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS DOUBLE) / 10000.0 AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "revenue_by_priority_skew": """
             SELECT o_orderpriority,
                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                             * (100 - CAST(round(l_discount * 100) AS BIGINT)))

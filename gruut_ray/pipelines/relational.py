@@ -113,23 +113,26 @@ def revenue_by_segment(orders: "ray.data.Dataset",
         ["c_custkey", "c_mktsegment"]).to_pandas()
     cust_ref = ray.put(cust_df)
 
-    class JoinSeg:
-        def __init__(self):
-            self.cust = ray.get(cust_ref)
+    # plain TASKS with a per-worker-process cache keyed by the broadcast
+    # ObjectRef: ray.get + deserialize happens once per worker (exactly
+    # the actor-pool amortization) but without pool spin-up or the fixed
+    # concurrency cap — tasks scale to every idle core
+    def join_seg(batch: pa.Table, _cache={}) -> pa.Table:
+        cust = _cache.get(cust_ref)
+        if cust is None:
+            cust = _cache[cust_ref] = ray.get(cust_ref)
+        cents = _cents(batch.column("o_totalprice"))
+        df = pa.table({"o_custkey": batch.column("o_custkey"),
+                       "price_c": cents}).to_pandas()
+        joined = df.merge(cust, left_on="o_custkey",
+                          right_on="c_custkey", how="inner")
+        agg = joined.groupby("c_mktsegment", as_index=False).agg(
+            revenue_c=("price_c", "sum"),
+            n_orders=("price_c", "size"))
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            cents = _cents(batch.column("o_totalprice"))
-            df = pa.table({"o_custkey": batch.column("o_custkey"),
-                           "price_c": cents}).to_pandas()
-            joined = df.merge(self.cust, left_on="o_custkey",
-                              right_on="c_custkey", how="inner")
-            agg = joined.groupby("c_mktsegment", as_index=False).agg(
-                revenue_c=("price_c", "sum"),
-                n_orders=("price_c", "size"))
-            return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
-
-    partials = orders.map_batches(JoinSeg, batch_format="pyarrow",
-                                  concurrency=(1, 4)).to_pandas()
+    partials = orders.map_batches(join_seg,
+                                  batch_format="pyarrow").to_pandas()
     return _finish_revenue_by_segment(partials)
 
 
@@ -390,6 +393,13 @@ def revenue_by_priority(orders: "ray.data.Dataset",
         .repartition(num_partitions)
     joined = l.join(o, join_type="inner", num_partitions=num_partitions,
                     on=("l_orderkey",), right_on=("o_orderkey",))
+    return _revenue_priority_agg(joined)
+
+
+def _revenue_priority_agg(joined: "ray.data.Dataset") -> pd.DataFrame:
+    """Shared rollup for :func:`revenue_by_priority` and its skew-aware
+    join variant: per-batch exact fixed-point partials → tiny groupby."""
+    from gruut_ray.pipelines.agg_util import partial_then_merge
 
     def partials(batch: pa.Table) -> pa.Table:
         # exact fixed-point: cents × (100 - basis points) = 1e-4 dollars
@@ -409,6 +419,26 @@ def revenue_by_priority(orders: "ray.data.Dataset",
                              exact_int_cols=["revenue"])
     out["revenue"] = (out["revenue"] / 1e4).astype("float64")
     return out
+
+
+def revenue_by_priority_skew(orders: "ray.data.Dataset",
+                             lineitem: "ray.data.Dataset",
+                             hot_fraction: float = 5e-5,
+                             k: int = 512,
+                             num_partitions: int = 16) -> pd.DataFrame:
+    """:func:`revenue_by_priority` computed through
+    :func:`skew_aware_join` — hot orderkeys join map-side against a
+    broadcast slice of orders, the near-uniform remainder hash-joins.
+    Same result by construction (the split is performance-only); the
+    driver checks it against the identical SQL oracle."""
+    o = orders.select_columns(["o_orderkey", "o_orderpriority"])
+    l = lineitem.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = skew_aware_join(l, o, on="l_orderkey",
+                             right_on="o_orderkey",
+                             hot_fraction=hot_fraction, k=k,
+                             num_partitions=num_partitions)
+    return _revenue_priority_agg(joined)
 
 
 def events_sliding_window(events: "ray.data.Dataset",
@@ -981,3 +1011,122 @@ def user_rolling_window(events: "ray.data.Dataset", window: int = 10,
     finally:
         events.context.shuffle_strategy = prev_strategy
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def skew_aware_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    right_on: str,
+    hot_fraction: float = 0.001,
+    num_partitions: int = 16,
+    broadcast_limit: int = 1_000_000,
+    k: typing.Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Inner join that survives power-law key skew — the "salt hot keys"
+    pattern made concrete.  A plain hash join routes every row of a hot
+    key to ONE reducer (a 10%-frequency key at 10^12 rows pins 10^11
+    rows on one worker); here:
+
+    1. a Misra-Gries heavy-hitter sketch over the LEFT key column finds
+       candidate hot keys in one bounded-memory pass (``k`` is sized so
+       every key with frequency > ``hot_fraction`` is GUARANTEED
+       captured; using the sketch's upper bound admits a harmless
+       superset);
+    2. RIGHT rows for hot keys are pulled once and broadcast via
+       ``ray.put`` — hot-key left rows join map-side inside
+       ``map_batches``, so their fan-out parallelizes over every block
+       instead of collapsing onto one reducer;
+    3. the cold remainder (near-uniform by construction) takes the
+       normal shuffle hash join;
+    4. the two streams union (schemas are aligned column-for-column).
+
+    Falls back to the plain hash join when no key is hot or the hot
+    right side exceeds ``broadcast_limit`` rows.  Output rows are
+    identical to the plain join (unit-tested)."""
+    import ray
+
+    from gruut_ray.pipelines.sketches import heavy_hitters
+
+    def as_arrow(ds):
+        s = ds.schema().base_schema
+        if isinstance(s, pa.Schema):
+            return ds, s
+        # pandas-block input: normalize to Arrow blocks once
+        ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+        return ds, ds.schema().base_schema
+
+    left, lt = as_arrow(left)
+    right, rt = as_arrow(right)
+    # native Dataset.join emits left columns + right columns MINUS the
+    # right key (it is equal to the left key by definition); both paths
+    # produce this schema
+    out_fields = list(zip(lt.names, lt.types)) + \
+        [(n, t) for n, t in zip(rt.names, rt.types) if n != right_on]
+
+    def plain():
+        return left.repartition(num_partitions).join(
+            right.repartition(num_partitions), join_type="inner",
+            num_partitions=num_partitions, on=(on,),
+            right_on=(right_on,))
+
+    n_left = left.count()
+    if n_left == 0 or right.count() == 0:
+        return plain()
+    # k sized to the capture guarantee by default; a caller may pass a
+    # smaller k — the hot set becomes best-effort, but the JOIN OUTPUT
+    # is identical for ANY hot/cold split (only load balance changes)
+    if k is None:
+        k = max(64, int(4.0 / hot_fraction))
+    hh = heavy_hitters(left.select_columns([on]), on, k=k)
+    key_type = lt.field(on).type
+    is_int_key = pa.types.is_integer(key_type)
+    cut = hot_fraction * n_left
+    hot_vals = [int(i) if is_int_key else i
+                for i, mx in zip(hh["item"], hh["max_count"])
+                if i is not None and mx >= cut]
+    if not hot_vals:
+        return plain()
+    hot_arr = pa.array(hot_vals, type=key_type)
+
+    def side_filter(key_col: str, want_hot: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch.column(key_col), hot_arr)
+            return batch.filter(mask if want_hot else pc.invert(mask))
+        return fn
+
+    right_hot_df = (right.map_batches(side_filter(right_on, True),
+                                      batch_format="pyarrow")
+                    .to_pandas())
+    if len(right_hot_df) > broadcast_limit:
+        return plain()
+    right_hot_ref = ray.put(right_hot_df)
+
+    def hot_join(batch: pa.Table, _cache={}) -> pa.Table:
+        rh = _cache.get(right_hot_ref)
+        if rh is None:
+            rh = _cache[right_hot_ref] = ray.get(right_hot_ref)
+        df = batch.to_pandas().merge(rh, left_on=on, right_on=right_on,
+                                     how="inner")
+        cols = {}
+        for name, typ in out_fields:
+            cols[name] = pa.array(df[name], type=typ)
+        return pa.table(cols)
+
+    hot_joined = (left.map_batches(side_filter(on, True),
+                                   batch_format="pyarrow")
+                  .map_batches(hot_join, batch_format="pyarrow"))
+
+    cold_joined = (left.map_batches(side_filter(on, False),
+                                    batch_format="pyarrow")
+                   .repartition(num_partitions)
+                   .join(right.map_batches(side_filter(right_on, False),
+                                           batch_format="pyarrow")
+                         .repartition(num_partitions),
+                         join_type="inner",
+                         num_partitions=num_partitions,
+                         on=(on,), right_on=(right_on,)))
+    # align column ORDER before union (join output order can differ)
+    names = [n for n, _ in out_fields]
+    return hot_joined.select_columns(names).union(
+        cold_joined.select_columns(names))
