@@ -627,6 +627,32 @@ def _q_contamination_overlap(sf_dir: str):
     return contamination_overlap(corpus, bench, n=5)
 
 
+_MIX_RATES = {"src1": 1.0, "src2": 0.5, "src3": 0.25, "src4": 0.1,
+              "src5": 0.75, "src6": 0.0, "src7": 1.0, "src8": 0.33}
+
+
+def _q_mixture_sample(sf_dir: str):
+    """Deterministic source-weighted mixture sampling (31-bit affine
+    acceptance hash, identical expression in the SQL oracle); unlisted
+    sources drop to rate 0."""
+    from gruut_ray.pipelines.mixing import mixture_sample_counts
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+    return mixture_sample_counts(ds, _MIX_RATES)
+
+
+def _q_pack_sequences(sf_dir: str):
+    """FFD sequence packing per block (whitespace tokens, 512-token
+    budget).  Block-layout-dependent summary → rows-only check;
+    packing invariants pinned in tests/test_mixing.py."""
+    from gruut_ray.pipelines.mixing import pack_sequences
+
+    return pack_sequences(_read(sf_dir, "documents",
+                                columns=["doc_id", "text"]),
+                          seq_len=512)
+
+
 def _q_dsir_select(sf_dir: str):
     """DSIR importance resampling (Xie et al. 2023): hashed-n-gram
     bag-of-words target/raw models → per-doc importance weight →
@@ -781,6 +807,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_stats": _q_line_dedup_stats,
         "incremental_dedup": _q_incremental_dedup,
         "dsir_select": _q_dsir_select,
+        "mixture_sample": _q_mixture_sample,
+        "pack_sequences": _q_pack_sequences,
         "contamination_overlap": _q_contamination_overlap,
         "daily_active_users": _q_daily_active_users,
         "approx_daily_active_users": _q_approx_daily_active_users,
@@ -792,6 +820,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from gruut_ray.pipelines.mixing import mixture_oracle_sql
+
     return {
         # CAST(sum(int) AS BIGINT): DuckDB sums integers into HUGEINT, which
         # pandas renders float64 — the engine's int64 would hash-mismatch on
@@ -1020,6 +1050,7 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY n_chars DESC, doc_id ASC) AS rn
                 FROM documents) WHERE rn = 1 ORDER BY lang
         """,
+        "mixture_sample": mixture_oracle_sql(_MIX_RATES),
         "top3_docs_per_lang": """
             SELECT lang, rank, doc_id, n_chars FROM (
                 SELECT lang, doc_id, n_chars,
