@@ -653,6 +653,33 @@ def _q_pack_sequences(sf_dir: str):
                           seq_len=512)
 
 
+def _q_webdataset_export(sf_dir: str):
+    """WebDataset sharded-tar sink (native Ray Datasink; deterministic
+    shard names, manifest lineage).  Round-trip/idempotence pinned in
+    tests/test_webdataset.py; rows-only summary here."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from gruut_ray.sources.webdataset import (read_webdataset_keys,
+                                              write_webdataset)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = tempfile.mkdtemp(prefix="gruut_ray_wds_", dir="/tmp")
+    try:
+        manifest = write_webdataset(ds, out, meta_cols=["lang"],
+                                    rows_per_shard=200)
+        n_keys = len(read_webdataset_keys(out))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return pd.DataFrame({
+        "num_rows": [manifest["num_rows"]],
+        "num_shards": [manifest["num_shards"]],
+        "keys_read_back": [n_keys],
+    })
+
+
 def _q_dsir_select(sf_dir: str):
     """DSIR importance resampling (Xie et al. 2023): hashed-n-gram
     bag-of-words target/raw models → per-doc importance weight →
@@ -809,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": _q_dsir_select,
         "mixture_sample": _q_mixture_sample,
         "pack_sequences": _q_pack_sequences,
+        "webdataset_export": _q_webdataset_export,
         "contamination_overlap": _q_contamination_overlap,
         "daily_active_users": _q_daily_active_users,
         "approx_daily_active_users": _q_approx_daily_active_users,
