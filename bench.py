@@ -153,6 +153,25 @@ def _q_pricing_summary():
     pricing_summary(_read("lineitem"))
 
 
+def _q_skew_join():
+    """orders ⋈ lineitem via the skew-aware join (MG hot-key sketch,
+    broadcast hot side, shuffle cold side) + exact rollup."""
+    from gruut_ray.pipelines.relational import revenue_by_priority_skew
+    revenue_by_priority_skew(_read("orders"), _read("lineitem"))
+
+
+def _q_semantic_dedup():
+    from gruut_ray.pipelines.similarity import semantic_dedup
+    ds = _read("embeddings", ["vec_id", "embedding"])
+    dim = len(ds.take(1)[0]["embedding"])
+    semantic_dedup(ds, dim=dim, threshold=0.8, n_lists=8).count()
+
+
+def _q_rolling_window():
+    from gruut_ray.pipelines.relational import user_rolling_window
+    user_rolling_window(_read("events"), window=10)
+
+
 def _q_sessionize():
     from gruut_ray.pipelines.relational import sessionize
     sessionize(_read("events"))
@@ -193,6 +212,9 @@ SECONDARY = {
     "minhash_lsh_dedup": _q_minhash_dedup,
     "knn_top10": _q_knn,
     "pricing_summary": _q_pricing_summary,
+    "skew_join_revenue": _q_skew_join,
+    "semantic_dedup": _q_semantic_dedup,
+    "rolling_window": _q_rolling_window,
     "sessionize": _q_sessionize,
     "normalize_spoken": _q_normalize,
 }
