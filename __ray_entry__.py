@@ -653,6 +653,24 @@ def _q_pack_sequences(sf_dir: str):
                           seq_len=512)
 
 
+def _q_substring_dup_pairs(sf_dir: str):
+    """Substring-level duplicate candidates (winnowing fingerprints à la
+    Lee et al. 2022): doc pairs sharing >= 2 fingerprints — catches
+    partial-overlap copying that whole-doc hashing misses.
+    Approximation-driven (fingerprint sampling) → rows-only; planted-span
+    recall and driver/distributed path identity pinned in
+    tests/test_dedup.py."""
+    import pandas as pd
+
+    from gruut_ray.pipelines.dedup import substring_dup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = substring_dup_pairs(ds, k=20, window=16, min_shared=2)
+    return pd.DataFrame({"n_pairs": [len(out)],
+                         "max_shared": [int(out["shared"].max())
+                                        if len(out) else 0]})
+
+
 def _q_webdataset_export(sf_dir: str):
     """WebDataset sharded-tar sink (native Ray Datasink; deterministic
     shard names, manifest lineage).  Round-trip/idempotence pinned in
@@ -837,6 +855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _q_mixture_sample,
         "pack_sequences": _q_pack_sequences,
         "webdataset_export": _q_webdataset_export,
+        "substring_dup_pairs": _q_substring_dup_pairs,
         "contamination_overlap": _q_contamination_overlap,
         "daily_active_users": _q_daily_active_users,
         "approx_daily_active_users": _q_approx_daily_active_users,

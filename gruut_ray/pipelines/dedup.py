@@ -97,7 +97,14 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     # rolling crc over byte shingles — vectorized via stride tricks on bytes
     arr = np.frombuffer(data, dtype=np.uint8)
     win = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
-    mult = np.array([31 ** p for p in range(k)], dtype=np.uint64)
+    # powers of 31 mod 2^64 (a Python-int 31**p overflows the uint64
+    # cast at p >= 13; uint64 multiply wraps, which is the semantics the
+    # whole rolling hash already assumes) — identical values for k <= 13
+    mult = np.empty(k, dtype=np.uint64)
+    acc = 1
+    for p in range(k):
+        mult[p] = acc
+        acc = (acc * 31) & _M64
     return (win * mult).sum(axis=1) & np.uint64(_M64)
 
 
@@ -763,3 +770,110 @@ def line_dedup_stats(ds: "ray.data.Dataset", min_docs: int = 2,
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def substring_dup_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    window: int = 16,
+    min_shared: int = 2,
+    bucket_cap: int = 64,
+    driver_limit: int = 5_000_000,
+) -> pd.DataFrame:
+    """Substring-level duplicate detection (the approximation regime of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499, via Schleimer et al.'s winnowing): two
+    documents that share any substring of length ≥ ``k + window - 1``
+    chars are guaranteed to share a winnowing fingerprint, so doc pairs
+    sharing ≥ ``min_shared`` fingerprints are copied-span candidates —
+    catching partial-overlap duplication that whole-document hashing
+    (exact/minhash/simhash) structurally misses (a boilerplate footer, a
+    quoted paragraph, a mirrored article inside a longer page).
+
+    Scale shape — identical to MinHash-LSH's exchanges: only
+    (fingerprint, id) pairs ever shuffle (the sketch is ~|text|/window
+    rows/doc); fingerprint buckets group with a pathological-bucket cap
+    (a fingerprint shared by hundreds of docs is boilerplate — star
+    edges keep the component connected without O(n²) pairs); pair
+    shared-counts reduce via a second small groupby.  Below
+    ``driver_limit`` exploded rows the same kernels run once on the
+    driver (size cut-over, output-identical).
+
+    Returns (a, b, shared) pairs with a < b, sorted."""
+    from gruut_ray.pipelines.text_stats import winnow_fingerprints
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_ids: list = []
+        out_fps: list = []
+        for i, t in zip(ids, texts):
+            fps = np.unique(winnow_fingerprints(t or "", k, window))
+            out_ids.extend([i] * len(fps))
+            out_fps.append(fps)
+        fp = (np.concatenate(out_fps) if out_fps
+              else np.empty(0, dtype=np.uint64))
+        return pa.table({
+            id_col: pa.array(out_ids, type=pa.int64()),
+            "fp": pa.array(fp.view(np.int64)),
+        })
+
+    def bucket_to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(df[id_col].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        head = ids[:bucket_cap]
+        ai, bi = np.triu_indices(len(head), k=1)
+        a, b = head[ai], head[bi]
+        if len(ids) > bucket_cap:
+            tail = ids[bucket_cap:]
+            a = np.concatenate([a, np.full(len(tail), ids[0],
+                                           dtype=ids.dtype)])
+            b = np.concatenate([b, tail])
+        return pd.DataFrame({"a": a, "b": b})
+
+    def pairs_to_counts(pairs: pd.DataFrame) -> pd.DataFrame:
+        cnt = (pairs.groupby(["a", "b"], as_index=False)
+               .size().rename(columns={"size": "shared"}))
+        out = cnt[cnt["shared"] >= min_shared]
+        return (out.sort_values(["a", "b"]).reset_index(drop=True)
+                .astype({"a": "int64", "b": "int64", "shared": "int64"}))
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    if ds.count() * (2000 // window) <= driver_limit:  # sketch-rows bound
+        ex = exploded.to_pandas()
+        pairs = (ex.groupby("fp", sort=False)
+                 .apply(bucket_to_pairs, include_groups=False)
+                 .reset_index(drop=True))
+        if pairs.empty:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "shared": pd.Series([], dtype="int64")})
+        return pairs_to_counts(pairs)
+
+    pair_ds = (exploded.groupby("fp")
+               .map_groups(bucket_to_pairs, batch_format="pandas")
+               .repartition(16))  # merge schema-less empties
+    if pair_ds.count() == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "shared": pd.Series([], dtype="int64")})
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        agg = (df.groupby(["a", "b"], as_index=False).size()
+               .rename(columns={"size": "shared"}))
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    counts = partial_then_merge(pair_ds, partial_counts, ["a", "b"],
+                                {"shared": "sum"})
+    out = counts[counts["shared"] >= min_shared]
+    return (out.sort_values(["a", "b"]).reset_index(drop=True)
+            .astype({"a": "int64", "b": "int64", "shared": "int64"}))

@@ -2,6 +2,7 @@
 SimHash, n-gram Jaccard."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -343,3 +344,47 @@ def test_line_dedup_stats_paths_match_naive(ray_session, path):
         assert out.loc[i, "n_lines"] == nl, (path, i)
         assert out.loc[i, "n_removed_lines"] == rm, (path, i)
         assert out.loc[i, "n_chars_clean"] == clean, (path, i)
+
+
+def test_substring_dup_pairs_planted_span(ray_session):
+    """Docs sharing a long span are flagged; unrelated docs are not."""
+    import ray.data
+
+    from gruut_ray.pipelines.dedup import substring_dup_pairs
+
+    import numpy as np
+    rng = np.random.default_rng(13)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    def rand_text(n):
+        return " ".join(rng.choice(words, size=n))
+    span = rand_text(80)  # ~500 chars, well above k+window-1
+    docs = []
+    for i in range(30):
+        body = rand_text(120)
+        if i in (3, 17):  # plant the shared span in two docs
+            body = body[:200] + " " + span + " " + body[200:]
+        docs.append({"doc_id": i, "text": body})
+    ds = ray.data.from_items(docs).repartition(4)
+    out = substring_dup_pairs(ds, k=20, window=16, min_shared=2)
+    assert {(3, 17)} <= set(zip(out["a"], out["b"]))
+    # the planted pair dominates every accidental one
+    top = out.sort_values("shared", ascending=False).iloc[0]
+    assert (top["a"], top["b"]) == (3, 17)
+
+
+def test_substring_dup_pairs_driver_vs_distributed(ray_session):
+    import ray.data
+
+    from gruut_ray.pipelines.dedup import substring_dup_pairs
+
+    docs = [{"doc_id": i,
+             "text": f"common boilerplate footer shared by all pages "
+                     f"number {i} " + "x " * 50}
+            for i in range(20)]
+    ds = ray.data.from_items(docs)
+    drv = substring_dup_pairs(ds, k=10, window=8, min_shared=1)
+    dist = substring_dup_pairs(ds, k=10, window=8, min_shared=1,
+                               driver_limit=0)
+    pd.testing.assert_frame_equal(drv, dist)
+    assert len(drv) > 0  # the shared boilerplate links the docs
