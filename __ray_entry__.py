@@ -653,6 +653,66 @@ def _q_pack_sequences(sf_dir: str):
                           seq_len=512)
 
 
+def _q_warc_ingest(sf_dir: str):
+    """WARC ingestion (ISO 28500, the real CC on-disk format): synth
+    pages → per-record-gzip .warc.gz shards written by map_batches
+    tasks → read_warc (one parse task per archive) → html byte-identity
+    + extract_text parity counted in-stream.  Format round-trip →
+    rows-only; parser invariants pinned in tests/test_warc.py."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from gruut_ray.sources.synth import synth_dataset
+    from gruut_ray.sources.warc import read_warc, write_warc
+    from gruut_ray.stages.extract import extract_text
+
+    n_docs = _pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    root = tempfile.mkdtemp(prefix="gruut_ray_warc_", dir="/tmp")
+    try:
+        pages = synth_dataset(n_docs)
+
+        def write_shard(batch: _pa.Table, _ctr=[0]) -> _pa.Table:
+            rows = ({"url": u, "warc_ts": t, "html": h}
+                    for u, t, h in zip(
+                        batch.column("url").to_pylist(),
+                        batch.column("warc_ts").to_pylist(),
+                        batch.column("html").to_pylist()))
+            fd, path = tempfile.mkstemp(suffix=".warc.gz", dir=root)
+            os.close(fd)
+            n = write_warc(path, rows)
+            return _pa.table({"written": _pa.array([n], type=_pa.int64())})
+
+        n_written = int(pages.map_batches(
+            write_shard, batch_format="pyarrow").to_pandas()
+            ["written"].sum())
+
+        back = read_warc([os.path.join(root, f)
+                          for f in sorted(os.listdir(root))])
+
+        def check(batch: _pa.Table) -> _pa.Table:
+            ok = sum(1 for h in batch.column("html").to_pylist()
+                     if extract_text(bytes(h)))
+            return _pa.table({
+                "rows": _pa.array([batch.num_rows], type=_pa.int64()),
+                "extract_ok": _pa.array([ok], type=_pa.int64()),
+            })
+
+        stats = back.map_batches(check, batch_format="pyarrow").to_pandas()
+        n_back = int(stats["rows"].sum())
+        n_ok = int(stats["extract_ok"].sum())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    assert n_written == n_docs and n_back == n_docs and n_ok == n_docs, (
+        n_written, n_back, n_ok)
+    return pd.DataFrame({"n_pages": [n_docs], "n_round_trip": [n_back],
+                         "n_extract_ok": [n_ok]})
+
+
 def _q_substring_dup_pairs(sf_dir: str):
     """Substring-level duplicate candidates (winnowing fingerprints à la
     Lee et al. 2022): doc pairs sharing >= 2 fingerprints — catches
@@ -856,6 +916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "webdataset_export": _q_webdataset_export,
         "substring_dup_pairs": _q_substring_dup_pairs,
+        "warc_ingest": _q_warc_ingest,
         "contamination_overlap": _q_contamination_overlap,
         "daily_active_users": _q_daily_active_users,
         "approx_daily_active_users": _q_approx_daily_active_users,
