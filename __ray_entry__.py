@@ -846,6 +846,17 @@ def _q_lang_source_rollup(sf_dir: str):
         _read(sf_dir, "documents", columns=["lang", "source", "n_chars"]))
 
 
+def _q_value_quantiles_approx(sf_dir: str):
+    """Approx quantiles of the continuous events.value column via the
+    deterministic bottom-k-by-hash sample sketch — the approximation
+    itself replays in SQL, so even the sketch is hash-gated."""
+    from gruut_ray.pipelines.sketches import bottomk_sample_quantiles
+
+    return bottomk_sample_quantiles(
+        _read(sf_dir, "events", columns=["event_id", "value"]),
+        val_col="value", id_col="event_id", k=1000)
+
+
 def _q_user_rolling_window(sf_dir: str):
     """Per-user ROWS-window rolling sum (exact int-cents), per-block
     vectorized after a user_id hash repartition."""
@@ -907,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_docs_per_lang": _q_top3_docs_per_lang,
         "lang_source_rollup": _q_lang_source_rollup,
         "user_rolling_window": _q_user_rolling_window,
+        "value_quantiles_approx": _q_value_quantiles_approx,
         "stratified_sample": _q_stratified_sample,
         "length_quantiles_by_lang": _q_length_quantiles,
         "line_dedup_stats": _q_line_dedup_stats,
@@ -929,8 +941,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from gruut_ray.pipelines.mixing import mixture_oracle_sql
+    from gruut_ray.pipelines.sketches import bottomk_quantiles_oracle_sql
 
     return {
+        "value_quantiles_approx": bottomk_quantiles_oracle_sql(
+            "value", "event_id", "events", k=1000),
         # CAST(sum(int) AS BIGINT): DuckDB sums integers into HUGEINT, which
         # pandas renders float64 — the engine's int64 would hash-mismatch on
         # representation alone (CORRECTNESS r01).

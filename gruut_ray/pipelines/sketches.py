@@ -353,3 +353,78 @@ def mark_seen(ds: "ray.data.Dataset", bloom: BloomFilter,
             "probably_seen", pa.array(hits.astype(bool)))
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bottom-k-by-hash sample → approximate quantiles
+# ---------------------------------------------------------------------------
+
+_M31 = 2_147_483_648  # 2**31
+_A31 = 2_654_435_761
+_B31 = 12_345
+
+
+def bottomk_sample_quantiles(
+    ds: "ray.data.Dataset",
+    val_col: str,
+    id_col: str,
+    k: int = 1000,
+    qs=(0.25, 0.5, 0.75, 0.9),
+) -> pd.DataFrame:
+    """Approximate quantiles of an UNBOUNDED/continuous column via a
+    deterministic bottom-k-by-hash sample — the mergeable-sketch
+    counterpart of ``length_quantiles_by_lang``'s exact histogram
+    (which needs a bounded value domain).
+
+    The "sketch" is the k rows whose 31-bit affine id-hash is smallest:
+    a uniform sample (the hash is uniform on ids), MERGEABLE (bottom-k
+    of a union = bottom-k of the parts' bottom-ks), partition-invariant
+    and fully deterministic — so unlike an RNG-seeded reservoir the
+    whole estimate replays exactly in SQL, and the driver oracle
+    hash-checks what is normally an unverifiable approximation.
+    Standard bottom-k theory gives rank error O(n/sqrt(k)).
+
+    Scale shape: each batch emits its own bottom-k (k rows max), the
+    driver keeps the global bottom-k of blocks × k candidate rows;
+    quantiles use the ``quantile_disc`` convention (value at 0-based
+    rank ``ceil(q·k) − 1``) in exact rational arithmetic."""
+    import math
+    from fractions import Fraction
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        h = ((ids % _M31) * _A31 + _B31) % _M31
+        order = np.lexsort((ids, h))[:k]
+        return pa.table({
+            "h": pa.array(h[order]),
+            id_col: pa.array(ids[order]),
+            val_col: batch.column(val_col).take(
+                pa.array(order, type=pa.int64())),
+        })
+
+    cands = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sample = (cands.sort_values(["h", id_col], kind="mergesort")
+              .head(k)[val_col].to_numpy())
+    vals = np.sort(sample)
+    n = len(vals)
+    row = {"n_sample": n}
+    for q in qs:
+        rank = max(math.ceil(Fraction(str(q)) * n) - 1, 0)
+        row[f"p{round(q * 100):02d}"] = float(vals[rank])
+    return pd.DataFrame([row])
+
+
+def bottomk_quantiles_oracle_sql(val_col: str, id_col: str, table: str,
+                                 k: int = 1000,
+                                 qs=(0.25, 0.5, 0.75, 0.9)) -> str:
+    """DuckDB-equivalent SQL replaying the identical sample + ranks."""
+    cols = ", ".join(
+        f"quantile_disc({val_col}, {q}) AS p{round(q * 100):02d}"
+        for q in qs)
+    return f"""
+        SELECT count(*) AS n_sample, {cols}
+        FROM (SELECT {val_col} FROM {table}
+              ORDER BY (({id_col} % {_M31}) * {_A31} + {_B31}) % {_M31},
+                       {id_col}
+              LIMIT {k})
+    """

@@ -166,3 +166,46 @@ def test_mg_summarize_basic():
     kept = _mg_summarize(dict(counts), 2)
     assert set(kept) == {"a", "b"}
     assert kept["a"] <= 10 and kept["b"] <= 7
+
+
+def test_bottomk_quantiles_partition_invariant_and_bounded(ray_session):
+    """The bottom-k-by-hash sample is identical under any partitioning
+    and its quantiles sit near the exact ones."""
+    import numpy as np
+    import ray.data
+
+    from gruut_ray.pipelines.sketches import bottomk_sample_quantiles
+
+    rng = np.random.default_rng(21)
+    vals = np.round(rng.exponential(100.0, size=20_000), 2)
+    import pandas as pd
+    df = pd.DataFrame({"event_id": np.arange(20_000, dtype="int64"),
+                       "value": vals})
+    ds = ray.data.from_pandas(df)
+    a = bottomk_sample_quantiles(ds, "value", "event_id", k=2000)
+    b = bottomk_sample_quantiles(ds.repartition(13), "value",
+                                 "event_id", k=2000)
+    pd.testing.assert_frame_equal(a, b)
+    assert a.loc[0, "n_sample"] == 2000
+    for q in (25, 50, 75, 90):
+        exact = np.quantile(vals, q / 100, method="inverted_cdf")
+        est = a.loc[0, f"p{q:02d}"]
+        # rank error O(1/sqrt(k)) → generous value-space tolerance
+        assert abs(est - exact) / max(exact, 1.0) < 0.15, (q, est, exact)
+
+
+def test_bottomk_quantiles_small_input_is_exact(ray_session):
+    """k >= n: the 'sample' is the whole column → quantile_disc exact."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from gruut_ray.pipelines.sketches import bottomk_sample_quantiles
+
+    df = pd.DataFrame({"event_id": np.arange(100, dtype="int64"),
+                       "value": np.arange(100, dtype="float64")})
+    out = bottomk_sample_quantiles(ray.data.from_pandas(df), "value",
+                                   "event_id", k=1000)
+    assert out.loc[0, "n_sample"] == 100
+    assert out.loc[0, "p50"] == 49.0  # rank ceil(.5*100)-1 = 49
+    assert out.loc[0, "p90"] == 89.0
