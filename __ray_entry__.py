@@ -165,6 +165,17 @@ def _q_revenue_by_priority_skew(sf_dir: str):
                                     _read(sf_dir, "lineitem"))
 
 
+def _q_returned_item_revenue(sf_dir: str):
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20
+    (filtered fact → shuffle join → custkey partials → dimension merge)."""
+    from gruut_ray.pipelines.relational import returned_item_revenue
+
+    return returned_item_revenue(_read(sf_dir, "customer"),
+                                 _read(sf_dir, "orders"),
+                                 _read(sf_dir, "lineitem"),
+                                 _read(sf_dir, "nation"))
+
+
 def _q_events_hourly(sf_dir: str):
     from gruut_ray.pipelines.relational import events_hourly_window
 
@@ -895,6 +906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": _q_revenue_by_segment,
         "revenue_by_priority": _q_revenue_by_priority,
         "revenue_by_priority_skew": _q_revenue_by_priority_skew,
+        "returned_item_revenue": _q_returned_item_revenue,
         "regional_revenue": _q_regional_revenue,
         "customer_distribution": _q_customer_distribution,
         "customers_without_orders": _q_customers_without_orders,
@@ -1291,6 +1303,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "returned_item_revenue": """
+            SELECT c_custkey, c_name, n_name, revenue FROM (
+                SELECT c_custkey, any_value(c_name) AS c_name,
+                       any_value(n_name) AS n_name,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(round(l_discount * 100)
+                                              AS BIGINT)))
+                            AS DOUBLE) / 10000.0 AS revenue
+                FROM customer
+                JOIN orders ON c_custkey = o_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN nation ON c_nationkey = n_nationkey
+                WHERE l_returnflag = 'R'
+                GROUP BY c_custkey)
+            ORDER BY revenue DESC, c_custkey LIMIT 20
         """,
         "events_hourly": """
             SELECT event_type,

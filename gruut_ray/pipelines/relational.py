@@ -1130,3 +1130,63 @@ def skew_aware_join(
     names = [n for n, _ in out_fields]
     return hot_joined.select_columns(names).union(
         cold_joined.select_columns(names))
+
+
+def returned_item_revenue(customer: "ray.data.Dataset",
+                          orders: "ray.data.Dataset",
+                          lineitem: "ray.data.Dataset",
+                          nation: "ray.data.Dataset",
+                          topn: int = 20,
+                          num_partitions: int = 16) -> pd.DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top-N.  Composition of the repo's standard scale patterns: filtered
+    fact projection → large×large shuffle join (lineitem ⋈ orders on
+    orderkey) → per-batch exact-int partials keyed by custkey (the
+    exchange carries (custkey, int) pairs, never lineitems) → the tiny
+    per-customer rollup joins the customer/nation dimensions driver-side
+    (broadcast-sized; at dimension scale swap for the
+    :func:`skew_aware_join` path) → deterministic top-N
+    (revenue desc, custkey asc)."""
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    l = lineitem.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("l_returnflag"), pa.scalar("R"))
+        batch = batch.filter(mask)
+        revenue = pc.multiply(
+            _cents(batch.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100), _cents(batch.column("l_discount"))))
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "revenue": revenue})
+
+    o = orders.select_columns(["o_orderkey", "o_custkey"]) \
+        .repartition(num_partitions)
+    joined = (l.map_batches(filt, batch_format="pyarrow")
+              .repartition(num_partitions)
+              .join(o, join_type="inner", num_partitions=num_partitions,
+                    on=("l_orderkey",), right_on=("o_orderkey",)))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pa.table({"o_custkey": batch.column("o_custkey"),
+                       "revenue": batch.column("revenue")}).to_pandas()
+        agg = df.groupby("o_custkey", as_index=False)["revenue"].sum()
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    per_cust = partial_then_merge(joined, partials, ["o_custkey"],
+                                  {"revenue": "sum"},
+                                  exact_int_cols=["revenue"])
+
+    cust = customer.select_columns(
+        ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nat = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    out = (per_cust.merge(cust, left_on="o_custkey",
+                          right_on="c_custkey")
+           .merge(nat, left_on="c_nationkey", right_on="n_nationkey"))
+    out = (out.sort_values(["revenue", "c_custkey"],
+                           ascending=[False, True], kind="mergesort")
+           .head(topn).reset_index(drop=True))
+    out["revenue"] = (out["revenue"] / 1e4).astype("float64")
+    return out[["c_custkey", "c_name", "n_name", "revenue"]]
