@@ -687,7 +687,7 @@ def _q_warc_ingest(sf_dir: str):
     try:
         pages = synth_dataset(n_docs)
 
-        def write_shard(batch: _pa.Table, _ctr=[0]) -> _pa.Table:
+        def write_shard(batch: _pa.Table) -> _pa.Table:
             rows = ({"url": u, "warc_ts": t, "html": h}
                     for u, t, h in zip(
                         batch.column("url").to_pylist(),

@@ -844,7 +844,14 @@ def substring_dup_pairs(
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
 
-    if ds.count() * (2000 // window) <= driver_limit:  # sketch-rows bound
+    # size cut-over from ACTUAL data volume, not a per-doc row guess
+    # (review r03: a chars/doc constant under-counts long CC pages by
+    # 50×, pulling hundreds of millions of sketch rows into to_pandas):
+    # winnowing emits ≈ bytes/window fingerprints, so the exploded table
+    # is ≈ size_bytes/window rows; ×2 safety margin for the estimate
+    # (parquet size_bytes is compressed).  Unknown size → distributed.
+    size = ds.size_bytes() or (driver_limit + 1) * window
+    if 2 * size // max(window, 1) <= driver_limit:
         ex = exploded.to_pandas()
         pairs = (ex.groupby("fp", sort=False)
                  .apply(bucket_to_pairs, include_groups=False)
@@ -857,7 +864,11 @@ def substring_dup_pairs(
 
     pair_ds = (exploded.groupby("fp")
                .map_groups(bucket_to_pairs, batch_format="pandas")
-               .repartition(16))  # merge schema-less empties
+               .repartition(16)  # merge schema-less empties
+               # pairs ≪ corpus and are consumed twice (empty guard +
+               # count merge) → pin once instead of re-running the
+               # winnow+shuffle pipeline for each (review r03)
+               .materialize())
     if pair_ds.count() == 0:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64"),

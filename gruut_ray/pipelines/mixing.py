@@ -26,16 +26,9 @@ import pyarrow as pa
 if typing.TYPE_CHECKING:
     import ray.data
 
-_M31 = 2_147_483_648  # 2**31
-_A = 2_654_435_761    # Knuth multiplicative constant (odd)
-_B = 12_345
-
-
-def _accept_hash(ids: np.ndarray) -> np.ndarray:
-    """31-bit affine hash in [0, 2**31).  ``id % 2**31`` first keeps the
-    int64 product below 2**63 at any id magnitude; the identical
-    expression runs in the SQL oracle."""
-    return ((ids.astype(np.int64) % _M31) * _A + _B) % _M31
+from gruut_ray.pipelines.hash31 import M31 as _M31
+from gruut_ray.pipelines.hash31 import affine31 as _accept_hash
+from gruut_ray.pipelines.hash31 import affine31_sql as _affine31_sql
 
 
 def mixture_sample(
@@ -101,7 +94,7 @@ def mixture_oracle_sql(rates: typing.Mapping[str, float],
         SELECT source, count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM {table}
-        WHERE ((doc_id % {_M31}) * {_A} + {_B}) % {_M31}
+        WHERE {_affine31_sql('doc_id')}
               < (CASE source {cases} ELSE 0 END)
         GROUP BY source ORDER BY source
     """

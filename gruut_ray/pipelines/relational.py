@@ -120,6 +120,7 @@ def revenue_by_segment(orders: "ray.data.Dataset",
     def join_seg(batch: pa.Table, _cache={}) -> pa.Table:
         cust = _cache.get(cust_ref)
         if cust is None:
+            _cache.clear()  # bound to one table: fresh ref per call site
             cust = _cache[cust_ref] = ray.get(cust_ref)
         cents = _cents(batch.column("o_totalprice"))
         df = pa.table({"o_custkey": batch.column("o_custkey"),
@@ -1078,9 +1079,16 @@ def skew_aware_join(
     # is identical for ANY hot/cold split (only load balance changes)
     if k is None:
         k = max(64, int(4.0 / hot_fraction))
-    hh = heavy_hitters(left.select_columns([on]), on, k=k)
     key_type = lt.field(on).type
     is_int_key = pa.types.is_integer(key_type)
+    # heavy_hitters stringifies sketch items; only integer and string
+    # keys round-trip losslessly — any other key type (float, temporal,
+    # decimal) takes the plain hash join (review r03 finding: the
+    # str→typed rebuild raised ArrowInvalid for those types)
+    if not (is_int_key or pa.types.is_string(key_type)
+            or pa.types.is_large_string(key_type)):
+        return plain()
+    hh = heavy_hitters(left.select_columns([on]), on, k=k)
     cut = hot_fraction * n_left
     hot_vals = [int(i) if is_int_key else i
                 for i, mx in zip(hh["item"], hh["max_count"])
@@ -1095,23 +1103,30 @@ def skew_aware_join(
             return batch.filter(mask if want_hot else pc.invert(mask))
         return fn
 
-    right_hot_df = (right.map_batches(side_filter(right_on, True),
-                                      batch_format="pyarrow")
-                    .to_pandas())
-    if len(right_hot_df) > broadcast_limit:
+    # collect the hot right side as ARROW (a pandas round-trip would
+    # coerce nullable int64 → float64 and silently round values ≥ 2^53
+    # on rebuild — review r03 finding; the arrow path preserves types
+    # exactly, keeping hot-path rows bit-identical to the cold join)
+    right_hot_tbls = ray.get(
+        right.map_batches(side_filter(right_on, True),
+                          batch_format="pyarrow").to_arrow_refs())
+    right_hot = pa.concat_tables(
+        [t for t in right_hot_tbls if t.num_rows] or [rt.empty_table()])
+    if right_hot.num_rows > broadcast_limit:
         return plain()
-    right_hot_ref = ray.put(right_hot_df)
+    right_hot_ref = ray.put(right_hot)
 
     def hot_join(batch: pa.Table, _cache={}) -> pa.Table:
         rh = _cache.get(right_hot_ref)
         if rh is None:
+            # bound the per-worker cache to ONE broadcast table: each
+            # call site ray.puts a fresh ref, and the closure outlives
+            # the query in Ray's cached-function table (review r03)
+            _cache.clear()
             rh = _cache[right_hot_ref] = ray.get(right_hot_ref)
-        df = batch.to_pandas().merge(rh, left_on=on, right_on=right_on,
-                                     how="inner")
-        cols = {}
-        for name, typ in out_fields:
-            cols[name] = pa.array(df[name], type=typ)
-        return pa.table(cols)
+        joined = batch.join(rh, keys=[on], right_keys=[right_on],
+                            join_type="inner")
+        return joined.select([n for n, _ in out_fields])
 
     hot_joined = (left.map_batches(side_filter(on, True),
                                    batch_format="pyarrow")

@@ -359,9 +359,7 @@ def mark_seen(ds: "ray.data.Dataset", bloom: BloomFilter,
 # Deterministic bottom-k-by-hash sample → approximate quantiles
 # ---------------------------------------------------------------------------
 
-_M31 = 2_147_483_648  # 2**31
-_A31 = 2_654_435_761
-_B31 = 12_345
+from gruut_ray.pipelines.hash31 import affine31, affine31_sql
 
 
 def bottomk_sample_quantiles(
@@ -393,7 +391,7 @@ def bottomk_sample_quantiles(
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy().astype(np.int64)
-        h = ((ids % _M31) * _A31 + _B31) % _M31
+        h = affine31(ids)
         order = np.lexsort((ids, h))[:k]
         return pa.table({
             "h": pa.array(h[order]),
@@ -424,7 +422,7 @@ def bottomk_quantiles_oracle_sql(val_col: str, id_col: str, table: str,
     return f"""
         SELECT count(*) AS n_sample, {cols}
         FROM (SELECT {val_col} FROM {table}
-              ORDER BY (({id_col} % {_M31}) * {_A31} + {_B31}) % {_M31},
+              ORDER BY {affine31_sql(id_col)},
                        {id_col}
               LIMIT {k})
     """

@@ -134,6 +134,14 @@ class WebDatasetSink(Datasink):
         }
         with open(os.path.join(self.out_dir, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
+        # drop shards from a PREVIOUS run that this run didn't rewrite:
+        # WebDataset loaders glob shard-*.tar (not the manifest), so a
+        # stale shard would feed deleted samples back into training
+        current = {s["shard"] for s in shards}
+        for name in os.listdir(self.out_dir):
+            if (name.startswith("shard-") and name.endswith(".tar")
+                    and name not in current):
+                os.unlink(os.path.join(self.out_dir, name))
 
 
 def write_webdataset(ds, out_dir: str, id_col: str = "doc_id",

@@ -72,3 +72,22 @@ def test_skew_join_string_keys(ray_session):
                           on="lk", right_on="rk", hot_fraction=0.2)
     pd.testing.assert_frame_equal(_canon(out.to_pandas()), expected,
                                   check_dtype=False)
+
+
+def test_skew_join_float_key_falls_back(ray_session):
+    """Non-int/non-string keys can't round-trip the MG sketch — the
+    operator must take the plain join, not crash."""
+    import ray.data
+
+    from gruut_ray.pipelines.relational import skew_aware_join
+
+    left, right = _skewed_tables(n_left=500)
+    left["lk"] = left["lk"].astype("float64")
+    right["rk"] = right["rk"].astype("float64")
+    expected = _canon(left.merge(right, left_on="lk", right_on="rk")
+                      .drop(columns=["rk"]))
+    out = skew_aware_join(ray.data.from_pandas(left),
+                          ray.data.from_pandas(right),
+                          on="lk", right_on="rk", hot_fraction=0.2)
+    pd.testing.assert_frame_equal(_canon(out.to_pandas()), expected,
+                                  check_dtype=False)

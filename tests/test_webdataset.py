@@ -73,3 +73,22 @@ def test_webdataset_rerun_overwrites_not_duplicates(ray_session, tmp_path):
     assert [s["shard"] for s in m1["shards"]] == \
         [s["shard"] for s in m2["shards"]]
     assert m2["num_rows"] == 60
+
+
+def test_webdataset_stale_shards_removed_on_rewrite(ray_session, tmp_path):
+    """A smaller re-run deletes shards the new manifest doesn't list —
+    glob-based loaders must never see rows from a previous run."""
+    import os
+
+    import ray.data
+
+    from gruut_ray.sources.webdataset import write_webdataset
+
+    out = str(tmp_path / "wds4")
+    write_webdataset(ray.data.from_pandas(_docs(100)), out,
+                     rows_per_shard=20)
+    assert len([f for f in os.listdir(out) if f.endswith(".tar")]) == 5
+    m2 = write_webdataset(ray.data.from_pandas(_docs(30)), out,
+                          rows_per_shard=20)
+    tars = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
+    assert tars == sorted(s["shard"] for s in m2["shards"])
