@@ -642,6 +642,22 @@ _MIX_RATES = {"src1": 1.0, "src2": 0.5, "src3": 0.25, "src4": 0.1,
               "src5": 0.75, "src6": 0.0, "src7": 1.0, "src8": 0.33}
 
 
+def _q_cms_term_estimates(sf_dir: str):
+    """Count-Min point-frequency estimates for the MG heavy hitters'
+    terms; the sketch lower bound (estimate >= MG min_count) is asserted
+    in-line.  Sketch-driven → rows-only; (eps, delta) bounds pinned in
+    tests/test_sketches.py."""
+    from gruut_ray.pipelines.sketches import (count_min_estimates,
+                                              heavy_hitters)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    hh = heavy_hitters(ds, "text", k=50, text_split=True).head(10)
+    out = count_min_estimates(ds, hh["item"].tolist())
+    merged = out.merge(hh[["item", "min_count"]], on="item")
+    assert (merged["estimate"] >= merged["min_count"]).all()
+    return out.sort_values("item").reset_index(drop=True)
+
+
 def _q_mixture_sample(sf_dir: str):
     """Deterministic source-weighted mixture sampling (31-bit affine
     acceptance hash, identical expression in the SQL oracle); unlisted
@@ -936,6 +952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_stats": _q_line_dedup_stats,
         "incremental_dedup": _q_incremental_dedup,
         "dsir_select": _q_dsir_select,
+        "cms_term_estimates": _q_cms_term_estimates,
         "mixture_sample": _q_mixture_sample,
         "pack_sequences": _q_pack_sequences,
         "webdataset_export": _q_webdataset_export,

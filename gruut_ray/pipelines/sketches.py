@@ -426,3 +426,90 @@ def bottomk_quantiles_oracle_sql(val_col: str, id_col: str, table: str,
                        {id_col}
               LIMIT {k})
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+def _cms_bucket_hashes(items: typing.Sequence[str], depth: int,
+                       width: int) -> np.ndarray:
+    """(depth, n_items) bucket ids: splitmix64 of the item's blake2b-8
+    digest xor a per-row constant — deterministic across processes."""
+    import hashlib
+
+    base = np.asarray(
+        [int.from_bytes(hashlib.blake2b((s or "").encode(),
+                                        digest_size=8).digest(), "little")
+         for s in items], dtype=np.uint64)
+    rows = np.empty((depth, len(items)), dtype=np.int64)
+    for d in range(depth):
+        mixed = _splitmix64(base ^ np.uint64(0xA076_1D64_78BD_642F * (d + 1)
+                                             & 0xFFFF_FFFF_FFFF_FFFF))
+        rows[d] = (mixed % np.uint64(width)).astype(np.int64)
+    return rows
+
+
+def count_min_estimates(
+    ds: "ray.data.Dataset",
+    probe_items: typing.Sequence[str],
+    col: str = "text",
+    text_split: bool = True,
+    depth: int = 4,
+    width: int = 8192,
+) -> pd.DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) point-frequency
+    estimates for ``probe_items`` — the fixed-memory companion to
+    :func:`heavy_hitters`: MG finds WHICH items are frequent, CMS
+    answers "how often does THIS item occur" for any item, including
+    ones MG evicted.  Per-batch partial sketches (depth × width int64,
+    ~256 KB) sum on the driver — the merge is elementwise addition, so
+    the result is partition-invariant and deterministic; the classic
+    guarantee holds: estimate ≥ true count, and ≤ true + (e/width)·N
+    with probability 1 − e^−depth (both ends tested)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cms = np.zeros((depth, width), dtype=np.int64)
+        vals = batch.column(col).to_pylist()
+        if text_split:
+            import collections
+
+            cnt = collections.Counter()
+            for t in vals:
+                cnt.update((t or "").split())
+            items = list(cnt)
+            weights = np.asarray([cnt[i] for i in items], dtype=np.int64)
+        else:
+            items = [v for v in vals if v is not None]
+            weights = np.ones(len(items), dtype=np.int64)
+        if items:
+            rows = _cms_bucket_hashes(items, depth, width)
+            for d in range(depth):
+                np.add.at(cms[d], rows[d], weights)
+        n_items = int(weights.sum()) if items else 0
+        return pa.table({
+            "cms": pa.array([cms.tobytes()], type=pa.binary()),
+            "n": pa.array([n_items], type=pa.int64()),
+        })
+
+    total = np.zeros((depth, width), dtype=np.int64)
+    n_total = 0
+    for b in (ds.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for blob, n in zip(b.column("cms").to_pylist(),
+                           b.column("n").to_pylist()):
+            total += np.frombuffer(blob, dtype=np.int64).reshape(
+                depth, width)
+            n_total += int(n)
+
+    probe = list(probe_items)
+    if probe:
+        rows = _cms_bucket_hashes(probe, depth, width)
+        ests = total[np.arange(depth)[:, None], rows].min(axis=0)
+    else:
+        ests = np.empty(0, dtype=np.int64)
+    return pd.DataFrame({
+        "item": probe,
+        "estimate": ests.astype("int64"),
+        "n_total": np.full(len(probe), n_total, dtype="int64"),
+    })

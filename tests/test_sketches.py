@@ -209,3 +209,39 @@ def test_bottomk_quantiles_small_input_is_exact(ray_session):
     assert out.loc[0, "n_sample"] == 100
     assert out.loc[0, "p50"] == 49.0  # rank ceil(.5*100)-1 = 49
     assert out.loc[0, "p90"] == 89.0
+
+
+def test_count_min_bounds_and_partition_invariance(ray_session):
+    """CMS classic guarantees: never under-counts, over-counts bounded;
+    identical result under any partitioning."""
+    import collections
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from gruut_ray.pipelines.sketches import count_min_estimates
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(500)]
+    probs = np.array([1.0 / (i + 1) for i in range(500)])
+    probs /= probs.sum()
+    docs = [" ".join(rng.choice(vocab, size=40, p=probs))
+            for _ in range(400)]
+    exact = collections.Counter(w for d in docs for w in d.split())
+    n_total = sum(exact.values())
+    df = pd.DataFrame({"doc_id": range(400), "text": docs})
+    ds = ray.data.from_pandas(df)
+
+    probe = ["w0", "w1", "w10", "w100", "w499", "unseen_term"]
+    out = count_min_estimates(ds, probe, depth=4, width=8192)
+    assert out.loc[0, "n_total"] == n_total
+    eps_bound = int(np.e / 8192 * n_total) + 1
+    for _, row in out.iterrows():
+        true = exact.get(row["item"], 0)
+        assert row["estimate"] >= true               # never undercounts
+        assert row["estimate"] <= true + 4 * eps_bound  # generous margin
+
+    out13 = count_min_estimates(ds.repartition(13), probe,
+                                depth=4, width=8192)
+    pd.testing.assert_frame_equal(out, out13)
