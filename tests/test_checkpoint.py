@@ -148,3 +148,32 @@ def test_resume_invalidates_on_changed_input(ray_session, tmp_path):
     assert sum(p["rows"] for p in after.values()) == 100
     assert after[0]["completed_at"] != before[0]["completed_at"]
     assert after[0]["lineage_hash"] != before[0]["lineage_hash"]
+
+
+def test_map_batches_survives_worker_crash(ray_session, tmp_path):
+    """Task-level fault tolerance under the streaming executor: a map
+    worker that dies mid-run (os._exit — a real process death, not a
+    Python exception) is retried by Ray and the job completes with the
+    full, correct result.  This is the task-granularity half of the
+    resume story (manifests cover job-granularity restarts)."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    flag = tmp_path / "crashed_once"
+
+    def udf(batch: pa.Table) -> pa.Table:
+        if not flag.exists():
+            try:
+                flag.touch(exist_ok=False)
+            except FileExistsError:
+                pass  # another task crashed first; proceed normally
+            else:
+                os._exit(1)  # hard worker death, no cleanup
+        return batch
+
+    ds = ray.data.range(20_000, override_num_blocks=8)
+    total = ds.map_batches(udf, batch_format="pyarrow").sum("id")
+    assert total == 20_000 * 19_999 // 2
+    assert flag.exists()
