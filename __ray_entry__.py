@@ -165,6 +165,34 @@ def _q_revenue_by_priority_skew(sf_dir: str):
                                     _read(sf_dir, "lineitem"))
 
 
+def _q_late_order_priority(sf_dir: str):
+    """TPC-H Q4 shape: EXISTS semi-join as combiner + groupby-max, orders
+    with a lineitem shipped >60 days after the order date, per priority."""
+    from gruut_ray.pipelines.relational import late_order_priority
+
+    return late_order_priority(_read(sf_dir, "orders"),
+                               _read(sf_dir, "lineitem"))
+
+
+def _q_ship_delay_priority(sf_dir: str):
+    """TPC-H Q12 shape: CASE aggregation over ship-delay buckets counting
+    high- vs low-priority lines (large×large join, per-batch combiner)."""
+    from gruut_ray.pipelines.relational import ship_delay_priority
+
+    return ship_delay_priority(_read(sf_dir, "orders"),
+                               _read(sf_dir, "lineitem"))
+
+
+def _q_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 shape: GROUP BY orderkey HAVING sum(qty) > 250, joined to
+    orders + customer, top 100 by quantity via per-batch top-k partials."""
+    from gruut_ray.pipelines.relational import large_volume_customers
+
+    return large_volume_customers(_read(sf_dir, "customer"),
+                                  _read(sf_dir, "orders"),
+                                  _read(sf_dir, "lineitem"))
+
+
 def _q_returned_item_revenue(sf_dir: str):
     """TPC-H Q10 shape: returned-item revenue per customer, top 20
     (filtered fact → shuffle join → custkey partials → dimension merge)."""
@@ -923,6 +951,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": _q_revenue_by_priority,
         "revenue_by_priority_skew": _q_revenue_by_priority_skew,
         "returned_item_revenue": _q_returned_item_revenue,
+        "late_order_priority": _q_late_order_priority,
+        "ship_delay_priority": _q_ship_delay_priority,
+        "large_volume_customers": _q_large_volume_customers,
         "regional_revenue": _q_regional_revenue,
         "customer_distribution": _q_customer_distribution,
         "customers_without_orders": _q_customers_without_orders,
@@ -1320,6 +1351,52 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "late_order_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND epoch_us(l_shipdate) >
+                      epoch_us(o_orderdate) + 60 * 86400000000
+            )
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "ship_delay_priority": """
+            WITH j AS (
+                SELECT floor((epoch_us(l_shipdate) - epoch_us(o_orderdate))
+                             / 86400000000.0) AS d,
+                       o_orderpriority
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            )
+            SELECT CASE WHEN d < 0 THEN 'early'
+                        WHEN d < 30 THEN '0-29'
+                        WHEN d < 60 THEN '30-59'
+                        ELSE '60+' END AS delay_bucket,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM j GROUP BY delay_bucket ORDER BY delay_bucket
+        """,
+        "large_volume_customers": """
+            WITH q AS (
+                SELECT l_orderkey,
+                       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 25000
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+                   CAST(qty_c AS DOUBLE) / 100.0 AS total_qty
+            FROM q
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY total_qty DESC, o_orderkey LIMIT 100
         """,
         "returned_item_revenue": """
             SELECT c_custkey, c_name, n_name, revenue FROM (

@@ -1205,3 +1205,204 @@ def returned_item_revenue(customer: "ray.data.Dataset",
            .head(topn).reset_index(drop=True))
     out["revenue"] = (out["revenue"] / 1e4).astype("float64")
     return out[["c_custkey", "c_name", "n_name", "revenue"]]
+
+
+def _us(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """timestamp[us] column → int64 epoch microseconds (exact reinterpret;
+    mirrors DuckDB's ``epoch_us()`` so both engines compare the same
+    integers)."""
+    return pc.cast(col, pa.int64())
+
+
+def late_order_priority(orders: "ray.data.Dataset",
+                        lineitem: "ray.data.Dataset",
+                        late_days: int = 60,
+                        num_partitions: int = 16) -> pd.DataFrame:
+    """TPC-H Q4-shaped EXISTS semi-join: count orders per priority that had
+    at least one lineitem shipped more than ``late_days`` after the order
+    date (SQL ``WHERE EXISTS (... l_shipdate > o_orderdate + 60 DAY)``).
+
+    Scale shape: ``EXISTS(l_shipdate > t)`` ≡ ``max(l_shipdate) > t``, so
+    lineitem first combines per batch to one (orderkey, max_ship) row —
+    the groupby then shuffles ≤ one row per order per block instead of
+    every lineitem — and the distributed max joins orders by hash.  The
+    final rollup is five rows (ref gruut has no relational ops; this is a
+    north-rule addition exercising semi-join + combiner patterns)."""
+    from ray.data.aggregate import Max
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    def partial_max(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "max_ship_us": _us(batch.column("l_shipdate")),
+        })
+        agg = t.group_by("l_orderkey").aggregate([("max_ship_us", "max")])
+        return pa.table({"l_orderkey": agg.column("l_orderkey"),
+                         "max_ship_us": agg.column("max_ship_us_max")})
+
+    maxship = (lineitem.select_columns(["l_orderkey", "l_shipdate"])
+               .map_batches(partial_max, batch_format="pyarrow")
+               .groupby("l_orderkey")
+               .aggregate(Max("max_ship_us", alias_name="max_ship_us"))
+               .repartition(num_partitions))  # merge schema-less empties
+    o = orders.select_columns(
+        ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .repartition(num_partitions)
+    joined = o.join(maxship, join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("o_orderkey",), right_on=("l_orderkey",))
+    late_us = late_days * 86_400_000_000
+
+    def partials(batch: pa.Table) -> pa.Table:
+        late = pc.greater(batch.column("max_ship_us"),
+                          pc.add(_us(batch.column("o_orderdate")),
+                                 pa.scalar(late_us)))
+        t = batch.filter(late)
+        df = pa.table({"o_orderpriority": t.column("o_orderpriority")}) \
+            .to_pandas()
+        agg = df.groupby("o_orderpriority", as_index=False).size() \
+            .rename(columns={"size": "n_orders"})
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    return partial_then_merge(joined, partials, ["o_orderpriority"],
+                              {"n_orders": "sum"})
+
+
+def ship_delay_priority(orders: "ray.data.Dataset",
+                        lineitem: "ray.data.Dataset",
+                        num_partitions: int = 16) -> pd.DataFrame:
+    """TPC-H Q12-shaped CASE aggregation: lineitems bucketed by ship delay
+    (floor days between order and ship date — the synthetic data ships
+    early as well as late, so 'early' is a real bucket), counting
+    high-priority (1-URGENT/2-HIGH) vs low-priority lines per bucket.
+
+    Scale shape: large×large hash join projected to 4 columns, then the
+    CASE+count collapses inside each batch (combiner) — the final merge
+    is 4 rows × blocks."""
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    o = orders.select_columns(
+        ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .repartition(num_partitions)
+    l = lineitem.select_columns(["l_orderkey", "l_shipdate"]) \
+        .repartition(num_partitions)
+    joined = l.join(o, join_type="inner", num_partitions=num_partitions,
+                    on=("l_orderkey",), right_on=("o_orderkey",))
+    buckets = np.array(["early", "0-29", "30-59", "60+"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ship = _us(batch.column("l_shipdate")).to_numpy(zero_copy_only=False)
+        order = _us(batch.column("o_orderdate")).to_numpy(
+            zero_copy_only=False)
+        days = np.floor_divide(ship - order, 86_400_000_000)
+        idx = np.clip(days // 30 + 1, 0, 3).astype(np.int64)
+        prio = batch.column("o_orderpriority").to_numpy(
+            zero_copy_only=False)
+        high = np.isin(prio, ("1-URGENT", "2-HIGH"))
+        df = pd.DataFrame({"delay_bucket": buckets[idx], "high": high})
+        agg = df.groupby("delay_bucket", as_index=False).agg(
+            high_line_count=("high", "sum"),
+            low_line_count=("high", lambda s: int((~s).sum())))
+        agg["high_line_count"] = agg["high_line_count"].astype("int64")
+        agg["low_line_count"] = agg["low_line_count"].astype("int64")
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    return partial_then_merge(joined, partials, ["delay_bucket"],
+                              {"high_line_count": "sum",
+                               "low_line_count": "sum"})
+
+
+def large_volume_customers(customer: "ray.data.Dataset",
+                           orders: "ray.data.Dataset",
+                           lineitem: "ray.data.Dataset",
+                           min_quantity: float = 250.0,
+                           topn: int = 100,
+                           num_partitions: int = 16) -> pd.DataFrame:
+    """TPC-H Q18-shaped GROUP BY ... HAVING: orders whose total lineitem
+    quantity exceeds ``min_quantity``, joined back to orders and customer,
+    top ``topn`` by quantity.
+
+    Scale shape: quantity sums combine per batch (one row per orderkey per
+    block) before the distributed groupby; the HAVING filter runs on the
+    aggregate stream so only the tiny qualifying set (p99+ of orders)
+    enters the orders hash join; the top-k reduces per batch before the
+    driver merge, and customer names for the ≤ ``topn`` winners come from
+    a broadcast-key filtered scan of customer (ships ``topn`` rows, never
+    a second all-to-all — two chained ``Dataset.join`` hash shuffles also
+    deadlock under a small-CPU Ray instance, each pool waiting on the
+    other's aggregator actors).  Quantity is exact int64 hundredths
+    end-to-end."""
+    from ray.data.aggregate import Sum
+
+    min_qc = int(round(min_quantity * 100))
+
+    def partial_qty(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "qty_c": _cents(batch.column("l_quantity")),
+        })
+        agg = t.group_by("l_orderkey").aggregate([("qty_c", "sum")])
+        return pa.table({"l_orderkey": agg.column("l_orderkey"),
+                         "qty_c": agg.column("qty_c_sum")})
+
+    def having(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("qty_c"),
+                                       pa.scalar(min_qc)))
+
+    big = (lineitem.select_columns(["l_orderkey", "l_quantity"])
+           .map_batches(partial_qty, batch_format="pyarrow")
+           .groupby("l_orderkey")
+           .aggregate(Sum("qty_c", alias_name="qty_c"))
+           .map_batches(having, batch_format="pyarrow")
+           .repartition(num_partitions))  # merge schema-less empties
+    o = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .repartition(num_partitions)
+    jo = big.join(o, join_type="inner", num_partitions=num_partitions,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["qty_c", "l_orderkey"],
+                           ascending=[False, True], kind="mergesort")
+            .head(topn), preserve_index=False).replace_schema_metadata(None)
+
+    parts = jo.map_batches(local_topk,
+                           batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"c_name": [], "c_custkey": [],
+                             "o_orderkey": [], "o_totalprice": [],
+                             "total_qty": []})
+    out = (parts.sort_values(["qty_c", "l_orderkey"],
+                             ascending=[False, True], kind="mergesort")
+           .head(topn).reset_index(drop=True))
+
+    # c_name for the ≤ topn winners: broadcast the key set into a filtered
+    # scan — every customer block is read (column-pruned) but only matching
+    # rows leave the tasks, so the driver holds ≤ topn rows at any scale.
+    import ray
+
+    keys_ref = ray.put(frozenset(out["o_custkey"].astype("int64")))
+
+    def pick(batch: pa.Table, _cache={}) -> pa.Table:
+        if "keys" not in _cache:
+            _cache["keys"] = np.fromiter(ray.get(keys_ref), dtype=np.int64)
+        mask = np.isin(batch.column("c_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64), _cache["keys"])
+        return batch.filter(pa.array(mask))
+
+    names = (customer.select_columns(["c_custkey", "c_name"])
+             .map_batches(pick, batch_format="pyarrow").to_pandas())
+    out = out.merge(names, left_on="o_custkey", right_on="c_custkey",
+                    how="inner")
+    out = (out.sort_values(["qty_c", "l_orderkey"],
+                           ascending=[False, True], kind="mergesort")
+           .reset_index(drop=True))
+    out["total_qty"] = (out["qty_c"] / 100.0).astype("float64")
+    out = out.rename(columns={"l_orderkey": "o_orderkey"})
+    return out[["c_name", "c_custkey", "o_orderkey", "o_totalprice",
+                "total_qty"]]
