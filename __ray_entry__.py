@@ -708,6 +708,34 @@ def _q_pack_sequences(sf_dir: str):
                           seq_len=512)
 
 
+def _q_host_stats(sf_dir: str):
+    """Per-host page/byte rollup over CC-shaped synth pages through the
+    Arrow-vectorized URL canonicalizer (webstats.py).  The pages table is
+    synthesized (not a registered view) → rows-only driver check; a DuckDB
+    oracle over a materialized copy runs in tests/test_webstats.py."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from gruut_ray.pipelines.webstats import host_stats
+    from gruut_ray.sources.synth import synth_dataset
+
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows * 2
+    return host_stats(synth_dataset(n_docs))
+
+
+def _q_intra_source_dedup(sf_dir: str):
+    """Exact per-source duplicate collapse over documents: (source,
+    n_docs, n_unique) — the standard intra-domain first dedup pass of a
+    CC pipeline, keyed here by the registered table's source column so
+    the driver gets a full SQL oracle."""
+    from gruut_ray.pipelines.webstats import intra_source_dedup
+
+    return intra_source_dedup(
+        _read(sf_dir, "documents", columns=["source", "text"]))
+
+
 def _q_warc_ingest(sf_dir: str):
     """WARC ingestion (ISO 28500, the real CC on-disk format): synth
     pages → per-record-gzip .warc.gz shards written by map_batches
@@ -989,6 +1017,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "webdataset_export": _q_webdataset_export,
         "substring_dup_pairs": _q_substring_dup_pairs,
         "warc_ingest": _q_warc_ingest,
+        "host_stats": _q_host_stats,
+        "intra_source_dedup": _q_intra_source_dedup,
         "contamination_overlap": _q_contamination_overlap,
         "daily_active_users": _q_daily_active_users,
         "approx_daily_active_users": _q_approx_daily_active_users,
@@ -1351,6 +1381,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "intra_source_dedup": """
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT text) AS n_unique
+            FROM documents GROUP BY source ORDER BY source
         """,
         "late_order_priority": """
             SELECT o_orderpriority, count(*) AS n_orders
