@@ -217,6 +217,15 @@ def _q_top_terms_by_lang(sf_dir: str):
     return top_terms_by_lang(ds, k=5)
 
 
+def _q_top_bigrams_by_lang(sf_dir: str):
+    """Top-5 adjacent word pairs per language (collocation/n-gram-LM
+    seed): Counter partials → groupby sum → per-lang top-k."""
+    from gruut_ray.pipelines.text_stats import top_bigrams_by_lang
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    return top_bigrams_by_lang(ds, k=5)
+
+
 def _q_suppliers_by_region(sf_dir: str):
     from gruut_ray.pipelines.relational import suppliers_by_region
 
@@ -970,6 +979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_fingerprints": _q_distinct_fingerprints,
         "top10_longest": _q_top10_longest,
         "top_terms_by_lang": _q_top_terms_by_lang,
+        "top_bigrams_by_lang": _q_top_bigrams_by_lang,
         "suppliers_by_region": _q_suppliers_by_region,
         "shipping_priority": _q_shipping_priority,
         "part_type_summary": _q_part_type_summary,
@@ -1381,6 +1391,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "top_bigrams_by_lang": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\\s+')) AS w,
+                       unnest(generate_series(1,
+                           len(regexp_split_to_array(trim(text),
+                                                     '\\s+')))) AS i
+                FROM documents
+            ), pairs AS (
+                SELECT a.lang, a.w || ' ' || b.w AS bigram
+                FROM toks a
+                JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            ), counts AS (
+                SELECT lang, bigram, count(*) AS n
+                FROM pairs GROUP BY lang, bigram
+            ), ranked AS (
+                SELECT lang, bigram, n,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n DESC, bigram) AS rk
+                FROM counts
+            )
+            SELECT lang, bigram, n FROM ranked WHERE rk <= 5
+            ORDER BY lang, n DESC, bigram
         """,
         "intra_source_dedup": """
             SELECT source, count(*) AS n_docs,

@@ -488,3 +488,56 @@ def lang_source_rollup(ds: "ray.data.Dataset", lang_col: str = "lang",
     out["n_docs"] = out["n_docs"].astype("int64")
     return (out.sort_values([lang_col, source_col])
             .reset_index(drop=True))
+
+
+def top_bigrams_by_lang(ds: "ray.data.Dataset", k: int = 5,
+                        text_col: str = "text", lang_col: str = "lang"):
+    """Top-k most frequent adjacent word pairs per language — the seed of
+    an n-gram LM / collocation table over a web corpus.
+
+    Same scale shape as :func:`top_terms_by_lang`: per-batch Counter
+    partials collapse the hot bigrams inside every block before any
+    exchange (the shuffle moves (block × batch-bigram-vocab) count rows,
+    never token rows), distributed ``groupby(lang, bigram)`` sum, then
+    per-lang top-k over the tiny count tables.  Ties break by bigram
+    ascending, matching the SQL oracle's row_number ordering."""
+    import collections
+
+    import pandas as pd
+    import pyarrow as pa
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        langs_col = batch.column(lang_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        counts: dict = {}
+        for lang, text in zip(langs_col, texts):
+            c = counts.setdefault(lang, collections.Counter())
+            toks = (text or "").lower().split()
+            c.update(a + " " + b for a, b in zip(toks, toks[1:]))
+        rows_lang, rows_bg, rows_n = [], [], []
+        for lang, c in counts.items():
+            for bg, n in c.items():
+                rows_lang.append(lang)
+                rows_bg.append(bg)
+                rows_n.append(n)
+        return pa.table({
+            "lang": pa.array(rows_lang, type=pa.string()),
+            "bigram": pa.array(rows_bg, type=pa.string()),
+            "n": pa.array(rows_n, type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    counts = (ds.map_batches(partial_counts, batch_format="pyarrow")
+              .groupby(["lang", "bigram"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.sort_values(["n", "bigram"], ascending=[False, True])
+                .head(k))
+
+    out = counts.groupby("lang").map_groups(topk, batch_format="pandas")
+    return (out.to_pandas()
+            .sort_values(["lang", "n", "bigram"],
+                         ascending=[True, False, True])
+            .reset_index(drop=True))
