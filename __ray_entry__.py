@@ -734,6 +734,40 @@ def _q_host_stats(sf_dir: str):
     return host_stats(synth_dataset(n_docs))
 
 
+def _q_url_policy_filter(sf_dir: str):
+    """Deny-list URL filtering over CC-shaped synth pages (blocked hosts
+    broadcast once; blocked URL patterns fused into one vectorized RE2
+    pass): kept/dropped counts per drop_reason.  Synth table → rows-only
+    driver check; DuckDB oracle in tests/test_webstats.py."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+    from gruut_ray.pipelines.webstats import url_policy_filter
+    from gruut_ray.sources.synth import synth_dataset
+
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows * 2
+    blocked_hosts = [f"site{i}.example" for i in range(10)]
+    flagged = url_policy_filter(synth_dataset(n_docs),
+                                blocked_hosts=blocked_hosts,
+                                blocked_patterns=[r"/zh/"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pa.table({"drop_reason": batch.column("drop_reason")}) \
+            .to_pandas()
+        agg = df.groupby("drop_reason", as_index=False).size() \
+            .rename(columns={"size": "n_pages"})
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    return partial_then_merge(flagged, partials, ["drop_reason"],
+                              {"n_pages": "sum"})
+
+
 def _q_intra_source_dedup(sf_dir: str):
     """Exact per-source duplicate collapse over documents: (source,
     n_docs, n_unique) — the standard intra-domain first dedup pass of a
@@ -1028,6 +1062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_pairs": _q_substring_dup_pairs,
         "warc_ingest": _q_warc_ingest,
         "host_stats": _q_host_stats,
+        "url_policy_filter": _q_url_policy_filter,
         "intra_source_dedup": _q_intra_source_dedup,
         "contamination_overlap": _q_contamination_overlap,
         "daily_active_users": _q_daily_active_users,

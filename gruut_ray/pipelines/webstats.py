@@ -186,3 +186,49 @@ def intra_source_dedup(ds: "ray.data.Dataset", group_col: str = "source",
     out["n_docs"] = out["n_docs"].astype("int64")
     out["n_unique"] = out["n_unique"].astype("int64")
     return out
+
+
+def url_policy_filter(pages: "ray.data.Dataset",
+                      blocked_hosts: typing.Iterable[str] = (),
+                      blocked_patterns: typing.Iterable[str] = (),
+                      url_col: str = "url") -> "ray.data.Dataset":
+    """Deny-list URL filtering (the blocklist pass every CC-style pipeline
+    runs before content work): drop pages whose canonical host is on
+    ``blocked_hosts`` or whose canonical URL matches any of
+    ``blocked_patterns`` (RE2 regexes).  Returns the surviving rows with
+    ``canonical_url``/``host`` appended (downstream stages reuse them),
+    plus a ``drop_reason`` column on the dropped rows — callers keep
+    either side via a cheap filter.
+
+    Scale shape: the host set broadcasts once via ``ray.put`` (read per
+    actor, never per batch); patterns compile into ONE alternation applied
+    as a single vectorized ``pc.match_substring_regex`` pass; no shuffle.
+    Rows with an unparseable URL (null host) are kept — a malformed URL is
+    a quality signal, not a policy match."""
+    import ray
+
+    hosts_ref = ray.put(frozenset(h.lower() for h in blocked_hosts))
+    pattern = "|".join(f"(?:{p})" for p in blocked_patterns)
+
+    def apply_policy(batch: pa.Table, _cache={}) -> pa.Table:
+        if "hosts" not in _cache:
+            _cache["hosts"] = ray.get(hosts_ref)
+        hosts = _cache["hosts"]
+        batch = add_host_column(batch, url_col=url_col)
+        host_np = batch.column("host").to_numpy(zero_copy_only=False)
+        blocked_host = np.array(
+            [h in hosts if h is not None else False for h in host_np],
+            dtype=bool) if hosts else np.zeros(len(host_np), dtype=bool)
+        if pattern:
+            m = pc.match_substring_regex(batch.column("canonical_url"),
+                                         pattern)
+            blocked_pat = pc.fill_null(m, False).to_numpy(
+                zero_copy_only=False)
+        else:
+            blocked_pat = np.zeros(len(host_np), dtype=bool)
+        reason = np.where(blocked_host, "blocked_host",
+                          np.where(blocked_pat, "blocked_pattern", ""))
+        return batch.append_column("drop_reason",
+                                   pa.array(reason, type=pa.string()))
+
+    return pages.map_batches(apply_policy, batch_format="pyarrow")

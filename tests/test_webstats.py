@@ -148,3 +148,43 @@ def test_intra_source_dedup_counts_duplicates(ray_session):
     assert out.loc["a", "n_docs"] == 3 and out.loc["a", "n_unique"] == 2
     assert out.loc["b", "n_docs"] == 2 and out.loc["b", "n_unique"] == 2
     assert out.loc["c", "n_docs"] == 1 and out.loc["c", "n_unique"] == 1
+
+
+def test_url_policy_filter_matches_duckdb(synth_parquet, ray_session):
+    """Blocked-host + blocked-pattern counts agree with a DuckDB oracle
+    over the same materialized pages; host blocking wins when both hit."""
+    import ray
+
+    from gruut_ray.pipelines.webstats import url_policy_filter
+
+    flagged = url_policy_filter(
+        ray.data.read_parquet(synth_parquet),
+        blocked_hosts=[f"site{i}.example" for i in range(10)],
+        blocked_patterns=[r"/zh/"])
+    got = (flagged.to_pandas().groupby("drop_reason", dropna=False)
+           .size().to_dict())
+    want = duckdb.connect().execute(f"""
+        SELECT CASE
+            WHEN lower(regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#@:]*)', 1))
+                 SIMILAR TO 'site[0-9]\\.example' THEN 'blocked_host'
+            WHEN regexp_matches(url, '/zh/') THEN 'blocked_pattern'
+            ELSE '' END AS drop_reason,
+            count(*) AS n
+        FROM read_parquet('{synth_parquet}') GROUP BY 1
+    """).fetchdf().set_index("drop_reason")["n"].to_dict()
+    assert got == want
+    assert set(want) == {"", "blocked_host", "blocked_pattern"}
+
+
+def test_url_policy_filter_unparseable_url_kept(ray_session):
+    import ray
+
+    from gruut_ray.pipelines.webstats import url_policy_filter
+
+    rows = pa.table({"url": ["::nope::", "https://bad.example/x"]})
+    out = url_policy_filter(ray.data.from_arrow(rows),
+                            blocked_hosts=["bad.example"]).to_pandas()
+    by_url = out.set_index("url")["drop_reason"].to_dict()
+    assert by_url["::nope::"] == ""
+    assert by_url["https://bad.example/x"] == "blocked_host"
