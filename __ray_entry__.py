@@ -734,6 +734,17 @@ def _q_host_stats(sf_dir: str):
     return host_stats(synth_dataset(n_docs))
 
 
+def _q_source_prior_flags(sf_dir: str):
+    """Two-pass per-domain prior: per-source (count,sum) prior → broadcast
+    → count docs strictly above their source's mean length.  Exact
+    integer comparison (n_chars*n_docs > total), so the SQL oracle is
+    bit-identical."""
+    from gruut_ray.pipelines.webstats import group_prior_flags
+
+    return group_prior_flags(
+        _read(sf_dir, "documents", columns=["source", "n_chars"]))
+
+
 def _q_url_policy_filter(sf_dir: str):
     """Deny-list URL filtering over CC-shaped synth pages (blocked hosts
     broadcast once; blocked URL patterns fused into one vectorized RE2
@@ -1063,6 +1074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_ingest": _q_warc_ingest,
         "host_stats": _q_host_stats,
         "url_policy_filter": _q_url_policy_filter,
+        "source_prior_flags": _q_source_prior_flags,
         "intra_source_dedup": _q_intra_source_dedup,
         "contamination_overlap": _q_contamination_overlap,
         "daily_active_users": _q_daily_active_users,
@@ -1426,6 +1438,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "source_prior_flags": """
+            WITH s AS (
+                SELECT source, count(*) AS n_docs,
+                       sum(n_chars) AS total
+                FROM documents GROUP BY source
+            )
+            SELECT d.source,
+                   CAST(count(*) FILTER (
+                       WHERE d.n_chars * s.n_docs > s.total) AS BIGINT)
+                       AS n_above,
+                   count(*) AS n_docs
+            FROM documents d JOIN s USING (source)
+            GROUP BY d.source ORDER BY d.source
         """,
         "top_bigrams_by_lang": """
             WITH toks AS (

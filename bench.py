@@ -205,8 +205,23 @@ def _q_phonemize():
               batch_size=128).sum("n_phonemes")
 
 
+def _q_intra_source_dedup():
+    """Per-domain exact dedup: (source, 128-bit hash) combiner →
+    distributed groupby → per-source rollup."""
+    from gruut_ray.pipelines.webstats import intra_source_dedup
+    intra_source_dedup(_read("documents", ["source", "text"]))
+
+
+def _q_top_bigrams():
+    """Adjacent-pair Counter partials → groupby sum → per-lang top-k."""
+    from gruut_ray.pipelines.text_stats import top_bigrams_by_lang
+    top_bigrams_by_lang(_read("documents", ["lang", "text"]), k=5)
+
+
 SECONDARY = {
     "tokens_by_lang": _q_tokens_by_lang,
+    "intra_source_dedup": _q_intra_source_dedup,
+    "top_bigrams": _q_top_bigrams,
     "phonemize": _q_phonemize,
     "exact_dedup": _q_exact_dedup,
     "minhash_lsh_dedup": _q_minhash_dedup,

@@ -232,3 +232,66 @@ def url_policy_filter(pages: "ray.data.Dataset",
                                    pa.array(reason, type=pa.string()))
 
     return pages.map_batches(apply_policy, batch_format="pyarrow")
+
+
+def group_prior_flags(ds: "ray.data.Dataset", group_col: str = "source",
+                      value_col: str = "n_chars") -> pd.DataFrame:
+    """Two-pass per-group prior rescoring — the aggregate → broadcast →
+    rescore shape a CC pipeline uses for per-domain quality priors: pass 1
+    computes each group's (count, sum) prior, pass 2 re-scans the corpus
+    with the tiny prior table broadcast via ``ray.put`` and counts rows
+    strictly above their own group's mean.  No shuffle joins: the prior
+    table is (num groups) rows, read once per task.
+
+    The above-mean test is exact integer arithmetic
+    (``value*n_docs > total``), so the DuckDB oracle compares bit-for-bit
+    with no float mean in between."""
+    import ray
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    def prior_partials(batch: pa.Table) -> pa.Table:
+        df = pa.table({
+            "grp": batch.column(group_col),
+            "v": pc.cast(batch.column(value_col), pa.int64()),
+        }).to_pandas()
+        agg = df.groupby("grp", as_index=False, dropna=False).agg(
+            n_docs=("v", "size"), total=("v", "sum"))
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    slim = ds.select_columns([group_col, value_col])
+    prior = partial_then_merge(slim, prior_partials, ["grp"],
+                               {"n_docs": "sum", "total": "sum"},
+                               exact_int_cols=["total"])
+    prior_map = {g: (int(n), int(t)) for g, n, t in
+                 zip(prior["grp"], prior["n_docs"], prior["total"])}
+    prior_ref = ray.put(prior_map)
+
+    def rescore(batch: pa.Table, _cache={}) -> pa.Table:
+        if "prior" not in _cache:
+            _cache["prior"] = ray.get(prior_ref)
+        pm = _cache["prior"]
+        grp = batch.column(group_col).to_pylist()
+        v = pc.cast(batch.column(value_col),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        n = np.fromiter((pm[g][0] for g in grp), dtype=np.int64,
+                        count=len(grp))
+        tot = np.fromiter((pm[g][1] for g in grp), dtype=object,
+                          count=len(grp))  # python ints: no int64 overflow
+        above = np.fromiter(
+            (int(vi) * int(ni) > ti for vi, ni, ti in zip(v, n, tot)),
+            dtype=bool, count=len(grp))
+        df = pd.DataFrame({"grp": grp, "above": above})
+        agg = df.groupby("grp", as_index=False, dropna=False).agg(
+            n_above=("above", "sum"), n_docs=("above", "size"))
+        agg["n_above"] = agg["n_above"].astype("int64")
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    out = partial_then_merge(slim, rescore, ["grp"],
+                             {"n_above": "sum", "n_docs": "sum"})
+    out = out.rename(columns={"grp": group_col})
+    out["n_above"] = out["n_above"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
