@@ -217,6 +217,16 @@ def _q_top_terms_by_lang(sf_dir: str):
     return top_terms_by_lang(ds, k=5)
 
 
+def _q_distinctive_terms_by_lang(sf_dir: str):
+    """TF-IDF-style distinctive terms per lang in exact integer math
+    (tf*1e6 // df): one scan emits tf+df partials, groupby reduces,
+    vocabulary-sized df groupby + one hash join, per-lang top-k."""
+    from gruut_ray.pipelines.text_stats import distinctive_terms_by_lang
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    return distinctive_terms_by_lang(ds, k=5)
+
+
 def _q_top_bigrams_by_lang(sf_dir: str):
     """Top-5 adjacent word pairs per language (collocation/n-gram-LM
     seed): Counter partials → groupby sum → per-lang top-k."""
@@ -1025,6 +1035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top10_longest": _q_top10_longest,
         "top_terms_by_lang": _q_top_terms_by_lang,
         "top_bigrams_by_lang": _q_top_bigrams_by_lang,
+        "distinctive_terms_by_lang": _q_distinctive_terms_by_lang,
         "suppliers_by_region": _q_suppliers_by_region,
         "shipping_priority": _q_shipping_priority,
         "part_type_summary": _q_part_type_summary,
@@ -1438,6 +1449,33 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "distinctive_terms_by_lang": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\\s+')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT lang, term, count(*) AS n
+                FROM toks GROUP BY lang, term
+            ), df AS (
+                SELECT term, count(DISTINCT doc_id) AS df
+                FROM toks GROUP BY term
+            ), scored AS (
+                SELECT tf.lang, tf.term,
+                       CAST((tf.n * 1000000) // df.df AS BIGINT)
+                           AS tfidf_scaled
+                FROM tf JOIN df USING (term)
+            ), ranked AS (
+                SELECT lang, term, tfidf_scaled,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY tfidf_scaled DESC,
+                                                   term) AS rk
+                FROM scored
+            )
+            SELECT lang, term, tfidf_scaled FROM ranked WHERE rk <= 5
+            ORDER BY lang, tfidf_scaled DESC, term
         """,
         "source_prior_flags": """
             WITH s AS (

@@ -541,3 +541,99 @@ def top_bigrams_by_lang(ds: "ray.data.Dataset", k: int = 5,
             .sort_values(["lang", "n", "bigram"],
                          ascending=[True, False, True])
             .reset_index(drop=True))
+
+
+def distinctive_terms_by_lang(ds: "ray.data.Dataset", k: int = 5,
+                              scale: int = 1_000_000,
+                              text_col: str = "text",
+                              lang_col: str = "lang",
+                              num_partitions: int = 8):
+    """Top-k most *distinctive* terms per language by a TF-IDF-style
+    score computed in exact integer arithmetic —
+    ``score = tf(lang,term) * scale // df(term)`` (floor division, both
+    engines) — so the SQL oracle compares bit-for-bit with no float
+    log/idf in between.
+
+    Scale shape: ONE scan emits per-batch partials carrying both stats
+    (term occurrences ``n`` and containing-doc counts ``ndocs`` — a doc
+    lives in exactly one batch, so per-batch distinct-doc counts sum
+    exactly); a distributed ``groupby(lang, term)`` reduces them; the
+    global document frequency is a second, vocabulary-sized groupby over
+    that reduced table (not over the corpus); one hash join brings
+    df back to the tf rows and the per-lang top-k runs over tiny
+    per-lang groups."""
+    import collections
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        langs_col = batch.column(lang_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        tf: dict = {}
+        nd: dict = {}
+        for lang, text in zip(langs_col, texts):
+            toks = (text or "").strip().lower().split()
+            c = tf.setdefault(lang, collections.Counter())
+            c.update(toks)
+            d = nd.setdefault(lang, collections.Counter())
+            d.update(set(toks))
+        rows_lang, rows_term, rows_n, rows_nd = [], [], [], []
+        for lang, c in tf.items():
+            d = nd[lang]
+            for term, n in c.items():
+                rows_lang.append(lang)
+                rows_term.append(term)
+                rows_n.append(n)
+                rows_nd.append(d[term])
+        return pa.table({
+            "lang": pa.array(rows_lang, type=pa.string()),
+            "term": pa.array(rows_term, type=pa.string()),
+            "n": pa.array(rows_n, type=pa.int64()),
+            "ndocs": pa.array(rows_nd, type=pa.int64()),
+        })
+
+    tf_tbl = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby(["lang", "term"])
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("ndocs", alias_name="ndocs"))
+              .repartition(num_partitions))  # merge schema-less empties
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        df = pa.table({"dterm": batch.column("term"),
+                       "df": batch.column("ndocs")}).to_pandas()
+        agg = df.groupby("dterm", as_index=False)["df"].sum()
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    df_tbl = (tf_tbl.map_batches(df_partials, batch_format="pyarrow")
+              .groupby("dterm")
+              .aggregate(Sum("df", alias_name="df"))
+              .repartition(num_partitions))
+    joined = tf_tbl.join(df_tbl, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("term",), right_on=("dterm",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        dfv = batch.column("df").to_numpy(zero_copy_only=False)
+        s = (n.astype(np.int64) * scale) // dfv.astype(np.int64)
+        return pa.table({
+            "lang": batch.column("lang"),
+            "term": batch.column("term"),
+            "tfidf_scaled": pa.array(s, type=pa.int64()),
+        })
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.sort_values(["tfidf_scaled", "term"],
+                                  ascending=[False, True]).head(k))
+
+    out = scored.groupby("lang").map_groups(topk, batch_format="pandas")
+    return (out.to_pandas()
+            .sort_values(["lang", "tfidf_scaled", "term"],
+                         ascending=[True, False, True])
+            .reset_index(drop=True))
