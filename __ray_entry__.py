@@ -653,6 +653,15 @@ def _q_length_quantiles(sf_dir: str):
         _read(sf_dir, "documents", columns=["lang", "n_chars"]))
 
 
+def _q_quantile_threshold_keep(sf_dir: str):
+    """Two-pass percentile filter: exact per-lang p10 length threshold
+    (histogram quantile) broadcast into a survivor count per lang."""
+    from gruut_ray.pipelines.text_stats import quantile_threshold_keep
+
+    return quantile_threshold_keep(
+        _read(sf_dir, "documents", columns=["lang", "n_chars"]), q=0.1)
+
+
 def _q_line_dedup_stats(sf_dir: str):
     """C4-rule line dedup accounting: lines occurring in >= 2 distinct
     docs are dropped; per-doc kept/removed/clean-length stats."""
@@ -1074,6 +1083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_approx": _q_value_quantiles_approx,
         "stratified_sample": _q_stratified_sample,
         "length_quantiles_by_lang": _q_length_quantiles,
+        "quantile_threshold_keep": _q_quantile_threshold_keep,
         "line_dedup_stats": _q_line_dedup_stats,
         "incremental_dedup": _q_incremental_dedup,
         "dsir_select": _q_dsir_select,
@@ -1449,6 +1459,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "quantile_threshold_keep": """
+            WITH q AS (
+                SELECT lang, quantile_disc(n_chars, 0.1) AS threshold
+                FROM documents GROUP BY lang
+            )
+            SELECT d.lang, any_value(q.threshold) AS threshold,
+                   count(*) AS n_docs,
+                   CAST(count(*) FILTER (WHERE d.n_chars >= q.threshold)
+                        AS BIGINT) AS n_kept
+            FROM documents d JOIN q USING (lang)
+            GROUP BY d.lang ORDER BY d.lang
         """,
         "distinctive_terms_by_lang": """
             WITH toks AS (

@@ -637,3 +637,49 @@ def distinctive_terms_by_lang(ds: "ray.data.Dataset", k: int = 5,
             .sort_values(["lang", "tfidf_scaled", "term"],
                          ascending=[True, False, True])
             .reset_index(drop=True))
+
+
+def quantile_threshold_keep(ds: "ray.data.Dataset", q: float = 0.1,
+                            lang_col: str = "lang",
+                            val_col: str = "n_chars"):
+    """Percentile-threshold filtering, the two-pass data-driven variant of
+    a fixed length cutoff: pass 1 computes each group's EXACT q-quantile
+    (:func:`length_quantiles_by_lang` histogram — only (group, value,
+    count) rows move); pass 2 broadcasts the tiny per-group threshold
+    table and counts survivors (``value >= threshold``) per group.
+    Returns (lang, threshold, n_docs, n_kept) — all integers, so the SQL
+    ``quantile_disc`` oracle compares exactly."""
+    import ray
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    qdf = length_quantiles_by_lang(ds, qs=(q,), lang_col=lang_col,
+                                   val_col=val_col)
+    col = f"p{round(q * 100):02d}"
+    thresholds = dict(zip(qdf["lang"], (int(v) for v in qdf[col])))
+    thr_ref = ray.put(thresholds)
+
+    def keep_partials(batch: pa.Table, _cache={}) -> pa.Table:
+        if "thr" not in _cache:
+            _cache["thr"] = ray.get(thr_ref)
+        thr = _cache["thr"]
+        langs = batch.column(lang_col).to_pylist()
+        vals = pc.cast(batch.column(val_col),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        t = np.fromiter((thr[l] for l in langs), dtype=np.int64,
+                        count=len(langs))
+        import pandas as pd
+        df = pd.DataFrame({"lang": langs, "kept": vals >= t})
+        agg = df.groupby("lang", as_index=False).agg(
+            n_docs=("kept", "size"), n_kept=("kept", "sum"))
+        agg["n_kept"] = agg["n_kept"].astype("int64")
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    out = partial_then_merge(ds.select_columns([lang_col, val_col]),
+                             keep_partials, ["lang"],
+                             {"n_docs": "sum", "n_kept": "sum"})
+    out["threshold"] = out["lang"].map(thresholds).astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_kept"] = out["n_kept"].astype("int64")
+    return out[["lang", "threshold", "n_docs", "n_kept"]]
