@@ -165,6 +165,20 @@ def _q_revenue_by_priority_skew(sf_dir: str):
                                     _read(sf_dir, "lineitem"))
 
 
+def _q_bucketed_join_revenue(sf_dir: str):
+    """Co-partitioned bucketed join: both sides written once partitioned
+    by affine31(key)%16, then per-bucket local joins as plain Ray tasks
+    (zero exchange at join time).  Same oracle as revenue_by_priority."""
+    import tempfile
+
+    from gruut_ray.pipelines.relational import bucketed_join_revenue
+
+    scratch = tempfile.mkdtemp(prefix="bucketed_join_", dir="/tmp")
+    return bucketed_join_revenue(_read(sf_dir, "orders"),
+                                 _read(sf_dir, "lineitem"),
+                                 scratch_dir=scratch)
+
+
 def _q_late_order_priority(sf_dir: str):
     """TPC-H Q4 shape: EXISTS semi-join as combiner + groupby-max, orders
     with a lineitem shipped >60 days after the order date, per priority."""
@@ -1054,6 +1068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": _q_revenue_by_priority,
         "revenue_by_priority_skew": _q_revenue_by_priority_skew,
         "returned_item_revenue": _q_returned_item_revenue,
+        "bucketed_join_revenue": _q_bucketed_join_revenue,
         "late_order_priority": _q_late_order_priority,
         "ship_delay_priority": _q_ship_delay_priority,
         "large_volume_customers": _q_large_volume_customers,
@@ -1443,6 +1458,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "revenue_by_priority": """
+            SELECT o_orderpriority,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS DOUBLE) / 10000.0 AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "bucketed_join_revenue": """
             SELECT o_orderpriority,
                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                             * (100 - CAST(round(l_discount * 100) AS BIGINT)))

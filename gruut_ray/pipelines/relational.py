@@ -1406,3 +1406,87 @@ def large_volume_customers(customer: "ray.data.Dataset",
     out = out.rename(columns={"l_orderkey": "o_orderkey"})
     return out[["c_name", "c_custkey", "o_orderkey", "o_totalprice",
                 "total_qty"]]
+
+
+def bucketed_join_revenue(orders: "ray.data.Dataset",
+                          lineitem: "ray.data.Dataset",
+                          scratch_dir: str,
+                          num_buckets: int = 16) -> pd.DataFrame:
+    """Co-partitioned BUCKETED join: both tables are written ONCE
+    partitioned by ``affine31(key) % num_buckets``; the join then runs
+    per bucket as independent Ray tasks, each joining two small
+    co-bucketed parquet directories locally — ZERO exchange at join time.
+
+    This is the at-scale answer to "pick one partitioning key and reuse
+    it": the bucket write is a one-time cost amortized over every later
+    join/groupby on the same key (a 100 TB fact table re-shuffled per
+    query vs re-read per bucket).  Same result as
+    :func:`revenue_by_priority` by construction — the driver checks it
+    against the identical SQL oracle.
+
+    Ray shape: the bucket writes are ordinary partitioned
+    ``write_parquet`` calls; the per-bucket joins are plain ``@ray.remote``
+    tasks (the Dataset API would re-shuffle; a bucket is already the unit
+    of parallelism), each using one pyarrow hash join + the shared
+    fixed-point revenue partial; the driver merges (buckets × 5) rows."""
+    import os
+
+    import ray
+
+    from gruut_ray.pipelines.hash31 import affine31
+
+    def add_bucket(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column(col).to_numpy(zero_copy_only=False)
+            b = affine31(ids) % num_buckets
+            return batch.append_column("bucket",
+                                       pa.array(b, type=pa.int32()))
+        return fn
+
+    o_dir = os.path.join(scratch_dir, "orders_b")
+    l_dir = os.path.join(scratch_dir, "lineitem_b")
+    (orders.select_columns(["o_orderkey", "o_orderpriority"])
+     .map_batches(add_bucket("o_orderkey"), batch_format="pyarrow")
+     .write_parquet(o_dir, partition_cols=["bucket"]))
+    (lineitem.select_columns(["l_orderkey", "l_extendedprice",
+                              "l_discount"])
+     .map_batches(add_bucket("l_orderkey"), batch_format="pyarrow")
+     .write_parquet(l_dir, partition_cols=["bucket"]))
+
+    @ray.remote
+    def join_bucket(b: int) -> "pd.DataFrame":
+        import glob
+
+        import pyarrow.parquet as pq
+
+        def read_bucket(root):
+            files = glob.glob(os.path.join(root, f"bucket={b}",
+                                           "*.parquet"))
+            if not files:
+                return None
+            return pa.concat_tables(pq.read_table(f) for f in files)
+
+        ot = read_bucket(o_dir)
+        lt = read_bucket(l_dir)
+        if ot is None or lt is None:
+            return pd.DataFrame()
+        j = lt.join(ot, keys=["l_orderkey"], right_keys=["o_orderkey"],
+                    join_type="inner")
+        revenue = pc.multiply(
+            _cents(j.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100), _cents(j.column("l_discount"))))
+        df = pa.table({"o_orderpriority": j.column("o_orderpriority"),
+                       "revenue": revenue}).to_pandas()
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("revenue", "size"))
+
+    parts = [p for p in ray.get([join_bucket.remote(b)
+                                 for b in range(num_buckets)])
+             if not p.empty]
+    merged = pd.concat(parts, ignore_index=True)
+    out = merged.groupby("o_orderpriority", as_index=False).agg(
+        revenue=("revenue", "sum"), n_items=("n_items", "sum"))
+    out = out.sort_values("o_orderpriority").reset_index(drop=True)
+    out["revenue"] = (out["revenue"] / 1e4).astype("float64")
+    out["n_items"] = out["n_items"].astype("int64")
+    return out
