@@ -667,6 +667,18 @@ def _q_length_quantiles(sf_dir: str):
         _read(sf_dir, "documents", columns=["lang", "n_chars"]))
 
 
+def _q_dup_chain_components(sf_dir: str):
+    """Distributed connected components over shared-5-token-prefix
+    chains: keyed repartition builds id-sorted chain edges per block,
+    min-label propagation labels them, and the (n_components, label_sum,
+    n_nodes) summary matches a GROUP BY prefix HAVING count>=2 oracle
+    exactly."""
+    from gruut_ray.pipelines.dedup import dup_chain_components
+
+    return dup_chain_components(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _q_quantile_threshold_keep(sf_dir: str):
     """Two-pass percentile filter: exact per-lang p10 length threshold
     (histogram quantile) broadcast into a survivor count per lang."""
@@ -1099,6 +1111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "length_quantiles_by_lang": _q_length_quantiles,
         "quantile_threshold_keep": _q_quantile_threshold_keep,
+        "dup_chain_components": _q_dup_chain_components,
         "line_dedup_stats": _q_line_dedup_stats,
         "incremental_dedup": _q_incremental_dedup,
         "dsir_select": _q_dsir_select,
@@ -1483,6 +1496,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "dup_chain_components": """
+            WITH g AS (
+                SELECT min(doc_id) AS m, count(*) AS c
+                FROM documents
+                GROUP BY array_to_string(
+                    (regexp_split_to_array(trim(lower(text)),
+                                           '\\s+'))[1:5], ' ')
+                HAVING count(*) >= 2
+            )
+            SELECT count(*) AS n_components,
+                   CAST(coalesce(sum(m), 0) AS BIGINT) AS label_sum,
+                   CAST(coalesce(sum(c), 0) AS BIGINT) AS n_nodes
+            FROM g
         """,
         "quantile_threshold_keep": """
             WITH q AS (

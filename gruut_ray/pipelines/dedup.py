@@ -326,6 +326,94 @@ def minhash_lsh_dedup(
                                    max_label_rounds)
 
 
+def connected_components(edges: "ray.data.Dataset",
+                         max_rounds: int = 10) -> "ray.data.Dataset":
+    """Distributed connected components by iterative min-label
+    propagation — the graph primitive under near-dup clustering (minhash
+    components, cross-doc citation groups).  ``edges`` is a Dataset with
+    int64 ``src``/``dst`` columns (undirected; pass each edge once);
+    returns a Dataset of (node, label) where label is the component's
+    minimum node id.  Isolated nodes don't appear (they are their own
+    label by definition).
+
+    Everything stays in Datasets (groupby + hash join per round); the
+    driver never holds per-node state, so components can outgrow any
+    single machine.  Labels only decrease, so ``sum(label)`` is a cheap
+    convergence witness; near-clique dup graphs exit after one round,
+    a path graph of diameter d needs O(log d)-ish doubling via the
+    neighbor exchange (bounded by ``max_rounds``).
+
+    Call with a MATERIALIZED edges Dataset when it will be reused — each
+    round re-reads it."""
+
+    def both_directions(batch: pa.Table) -> pa.Table:
+        src = batch.column("src")
+        dst = batch.column("dst")
+        return pa.table({
+            "node": pa.concat_arrays([src.combine_chunks(),
+                                      dst.combine_chunks()]),
+            "nbr": pa.concat_arrays([dst.combine_chunks(),
+                                     src.combine_chunks()]),
+        })
+
+    # NOTE: map_batches is skipped for empty blocks, so schema-less empty
+    # blocks (emitted by aggregate/map_groups partitions) survive any
+    # coercion UDF and break pyarrow hash joins ("no match for key field on
+    # right side").  repartition() merges blocks and is the one reliable way
+    # to eliminate them — applied to every join input below.
+    msgs = edges.map_batches(both_directions, batch_format="pyarrow")
+
+    from ray.data.aggregate import Min
+
+    def _typed_labels(b: pa.Table) -> pa.Table:
+        # aggregate partitions can emit schema-less empty blocks, which
+        # break downstream hash joins ("no match for key field") — coerce
+        # every block to the (node, label) schema
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table({"node": pa.array([], type=pa.int64()),
+                             "label": pa.array([], type=pa.int64())})
+        return pa.table({
+            "node": pc.cast(b.column("node"), pa.int64()),
+            "label": pc.cast(b.column("label"), pa.int64()),
+        })
+
+    num_partitions = max(2, min(16, edges.num_blocks()))
+    msgs = msgs.repartition(num_partitions).materialize()
+    # round 0: label(x) = min(x, min neighbor)
+    labels = msgs.union(
+        msgs.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "nbr": b.column("node")}),
+            batch_format="pyarrow")
+    ).groupby("node").aggregate(Min("nbr", alias_name="label")) \
+        .map_batches(_typed_labels, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+
+    # labels only ever decrease, so sum(label) is a convergence witness:
+    # unchanged sum => fixed point => stop
+    prev_sum = labels.sum("label")
+    for _ in range(max_rounds - 1):
+        # each node sends its current label to every neighbor (hash join
+        # messages->labels on the sending endpoint), then min-combine
+        prop = msgs.join(labels, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("nbr",), right_on=("node",),
+                         left_suffix="", right_suffix="_r")
+        prop = prop.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "label": b.column("label")}),
+            batch_format="pyarrow")
+        labels = labels.union(prop).groupby("node").aggregate(
+            Min("label", alias_name="label")).map_batches(
+            _typed_labels, batch_format="pyarrow") \
+            .repartition(num_partitions).materialize()
+        new_sum = labels.sum("label")
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
 def _dedup_verify_and_label(ds, signed, candidates, id_col: str,
                             text_col: str, verify: str,
                             jaccard_threshold: float,
@@ -394,72 +482,8 @@ def _dedup_verify_and_label(ds, signed, candidates, id_col: str,
     if edges.count() == 0:
         return ds
 
-    def both_directions(batch: pa.Table) -> pa.Table:
-        src = batch.column("src")
-        dst = batch.column("dst")
-        return pa.table({
-            "node": pa.concat_arrays([src.combine_chunks(),
-                                      dst.combine_chunks()]),
-            "nbr": pa.concat_arrays([dst.combine_chunks(),
-                                     src.combine_chunks()]),
-        })
-
-    # NOTE: map_batches is skipped for empty blocks, so schema-less empty
-    # blocks (emitted by aggregate/map_groups partitions) survive any
-    # coercion UDF and break pyarrow hash joins ("no match for key field on
-    # right side").  repartition() merges blocks and is the one reliable way
-    # to eliminate them — applied to every join input below.
-    msgs = edges.map_batches(both_directions, batch_format="pyarrow")
-
-    from ray.data.aggregate import Min
-
-    def _typed_labels(b: pa.Table) -> pa.Table:
-        # aggregate partitions can emit schema-less empty blocks, which
-        # break downstream hash joins ("no match for key field") — coerce
-        # every block to the (node, label) schema
-        if b.num_columns == 0 or b.num_rows == 0:
-            return pa.table({"node": pa.array([], type=pa.int64()),
-                             "label": pa.array([], type=pa.int64())})
-        return pa.table({
-            "node": pc.cast(b.column("node"), pa.int64()),
-            "label": pc.cast(b.column("label"), pa.int64()),
-        })
-
+    labels = connected_components(edges, max_rounds=max_label_rounds)
     num_partitions = max(2, min(16, edges.num_blocks()))
-    msgs = msgs.repartition(num_partitions).materialize()
-    # round 0: label(x) = min(x, min neighbor)
-    labels = msgs.union(
-        msgs.map_batches(
-            lambda b: pa.table({"node": b.column("node"),
-                                "nbr": b.column("node")}),
-            batch_format="pyarrow")
-    ).groupby("node").aggregate(Min("nbr", alias_name="label")) \
-        .map_batches(_typed_labels, batch_format="pyarrow") \
-        .repartition(num_partitions).materialize()
-
-    # labels only ever decrease, so sum(label) is a convergence witness:
-    # unchanged sum ⇒ fixed point ⇒ stop (LSH dup components are near-
-    # cliques, so this usually exits after one propagation round)
-    prev_sum = labels.sum("label")
-    for _ in range(max_label_rounds - 1):
-        # each node sends its current label to every neighbor (hash join
-        # messages→labels on the sending endpoint), then min-combine
-        prop = msgs.join(labels, join_type="inner",
-                         num_partitions=num_partitions,
-                         on=("nbr",), right_on=("node",),
-                         left_suffix="", right_suffix="_r")
-        prop = prop.map_batches(
-            lambda b: pa.table({"node": b.column("node"),
-                                "label": b.column("label")}),
-            batch_format="pyarrow")
-        labels = labels.union(prop).groupby("node").aggregate(
-            Min("label", alias_name="label")).map_batches(
-            _typed_labels, batch_format="pyarrow") \
-            .repartition(num_partitions).materialize()
-        new_sum = labels.sum("label")
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
 
     # survivors: anti-join the corpus against dup nodes (label != self)
     def dup_nodes(b: pa.Table) -> pa.Table:
@@ -888,3 +912,101 @@ def substring_dup_pairs(
     out = counts[counts["shared"] >= min_shared]
     return (out.sort_values(["a", "b"]).reset_index(drop=True)
             .astype({"a": "int64", "b": "int64", "shared": "int64"}))
+
+
+def dup_chain_components(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                         text_col: str = "text",
+                         prefix_tokens: int = 5,
+                         num_partitions: int = 16,
+                         driver_limit: int = 5_000_000) -> pd.DataFrame:
+    """End-to-end exercise of :func:`connected_components` with an exact
+    SQL witness: docs sharing the same ``prefix_tokens``-word lowered
+    prefix (a cheap near-dup key — the testdata has no byte-identical
+    texts but plenty of shared openings) are linked as id-sorted CHAINS
+    (id1—id2—id3…, diameter = group size − 1, forcing real multi-round
+    propagation — a star would converge in one), then components are
+    labeled distributedly and summarized as (n_components, label_sum,
+    n_nodes).  Because each chain's component minimum is the group's min
+    doc_id, the SQL oracle is a plain GROUP BY prefix HAVING count>=2.
+
+    Scale shape: (128-bit hash, id) pairs keyed-repartition so each text
+    group lands in one block; edges build per block (one pandas kernel,
+    no per-group dispatch); the label table reduces to three integers
+    via the node==label identity (a component's min node is the one row
+    whose label equals itself)."""
+    import hashlib
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        keys = [" ".join((t or "").strip().lower().split()[:prefix_tokens])
+                for t in texts]
+        hashes = [hashlib.blake2b(k.encode(),
+                                  digest_size=16).hexdigest()
+                  for k in keys]
+        return pa.table({
+            "h": pa.array(hashes, type=pa.string()),
+            "id": pc.cast(batch.column(id_col), pa.int64()),
+        })
+
+    def block_edges(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src": np.array([], dtype=np.int64),
+                              "dst": np.array([], dtype=np.int64)})
+        if len(df) < 2:
+            return empty
+        g = df.sort_values(["h", "id"], kind="mergesort")
+        h = g["h"].to_numpy()
+        ids = g["id"].to_numpy().astype(np.int64)
+        same = h[1:] == h[:-1]  # row i+1 shares the hash with row i
+        if not same.any():
+            return empty
+        return pd.DataFrame({"src": ids[:-1][same], "dst": ids[1:][same]})
+
+    import ray
+
+    pairs = ds.select_columns([id_col, text_col]) \
+        .map_batches(to_pairs, batch_format="pyarrow")
+    if ds.count() <= driver_limit:  # metadata-only on parquet reads
+        edges_df = block_edges(pairs.to_pandas())
+        edges = ray.data.from_arrow(
+            pa.table({"src": pa.array(edges_df["src"], type=pa.int64()),
+                      "dst": pa.array(edges_df["dst"], type=pa.int64())})
+        ).materialize()  # reused every propagation round
+    else:
+        from ray.data.context import ShuffleStrategy
+
+        prev = pairs.context.shuffle_strategy
+        pairs.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        try:
+            # materialize INSIDE the strategy window: the chain is lazy
+            # and the keyed repartition validates the strategy at
+            # execution, not construction
+            edges = (pairs.repartition(num_partitions, keys=["h"])
+                     .map_batches(block_edges, batch_format="pandas",
+                                  batch_size=None)
+                     .repartition(4).materialize())
+        finally:
+            pairs.context.shuffle_strategy = prev
+    if edges.count() == 0:
+        return pd.DataFrame({"n_components": [0], "label_sum": [0],
+                             "n_nodes": [0]})
+    labels = connected_components(edges)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        node = batch.column("node")
+        label = batch.column("label")
+        is_root = pc.equal(node, label)
+        roots = pc.sum(pc.cast(is_root, pa.int64())).as_py() or 0
+        root_sum = pc.sum(pc.if_else(
+            is_root, label, pa.scalar(0, pa.int64()))).as_py() or 0
+        return pa.table({
+            "n_components": pa.array([roots], type=pa.int64()),
+            "label_sum": pa.array([root_sum], type=pa.int64()),
+            "n_nodes": pa.array([batch.num_rows], type=pa.int64()),
+        })
+
+    parts = labels.map_batches(partials, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "n_components": [int(parts["n_components"].sum())],
+        "label_sum": [int(parts["label_sum"].sum())],
+        "n_nodes": [int(parts["n_nodes"].sum())],
+    })

@@ -388,3 +388,37 @@ def test_substring_dup_pairs_driver_vs_distributed(ray_session):
                                driver_limit=0)
     pd.testing.assert_frame_equal(drv, dist)
     assert len(drv) > 0  # the shared boilerplate links the docs
+
+
+def test_connected_components_path_and_ring(ray_session):
+    """Multi-hop propagation: a diameter-9 path and a disjoint ring must
+    converge to per-component min labels (LSH near-cliques converge in
+    one round; these need several)."""
+    import ray
+
+    from gruut_ray.pipelines.dedup import connected_components
+
+    path = [(i, i + 1) for i in range(100, 109)]          # 100..109 chain
+    ring = [(200 + i, 200 + (i + 1) % 6) for i in range(6)]  # 200..205
+    edges = pa.table({
+        "src": pa.array([e[0] for e in path + ring], type=pa.int64()),
+        "dst": pa.array([e[1] for e in path + ring], type=pa.int64()),
+    })
+    labels = connected_components(
+        ray.data.from_arrow(edges).repartition(4).materialize(),
+        max_rounds=10).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+    assert all(got[n] == 100 for n in range(100, 110))
+    assert all(got[n] == 200 for n in range(200, 206))
+
+
+def test_connected_components_single_edge(ray_session):
+    import ray
+
+    from gruut_ray.pipelines.dedup import connected_components
+
+    edges = pa.table({"src": pa.array([7], type=pa.int64()),
+                      "dst": pa.array([3], type=pa.int64())})
+    labels = connected_components(
+        ray.data.from_arrow(edges).materialize()).to_pandas()
+    assert dict(zip(labels["node"], labels["label"])) == {7: 3, 3: 3}
