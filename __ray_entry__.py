@@ -165,6 +165,15 @@ def _q_revenue_by_priority_skew(sf_dir: str):
                                     _read(sf_dir, "lineitem"))
 
 
+def _q_nation_coverage(sf_dir: str):
+    """FULL OUTER join of per-nation customer vs supplier counts (both
+    null sides real at small SF); sides pre-aggregate before the join."""
+    from gruut_ray.pipelines.relational import nation_coverage
+
+    return nation_coverage(_read(sf_dir, "customer"),
+                           _read(sf_dir, "supplier"))
+
+
 def _q_bucketed_join_revenue(sf_dir: str):
     """Co-partitioned bucketed join: both sides written once partitioned
     by affine31(key)%16, then per-bucket local joins as plain Ray tasks
@@ -1080,6 +1089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": _q_revenue_by_priority,
         "revenue_by_priority_skew": _q_revenue_by_priority_skew,
         "returned_item_revenue": _q_returned_item_revenue,
+        "nation_coverage": _q_nation_coverage,
         "bucketed_join_revenue": _q_bucketed_join_revenue,
         "late_order_priority": _q_late_order_priority,
         "ship_delay_priority": _q_ship_delay_priority,
@@ -1478,6 +1488,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "nation_coverage": """
+            WITH c AS (
+                SELECT c_nationkey AS k, count(*) AS n_customers
+                FROM customer GROUP BY c_nationkey
+            ), s AS (
+                SELECT s_nationkey AS k, count(*) AS n_suppliers
+                FROM supplier GROUP BY s_nationkey
+            )
+            SELECT CAST(coalesce(c.k, s.k) AS BIGINT) AS nationkey,
+                   CAST(coalesce(n_customers, 0) AS BIGINT) AS n_customers,
+                   CAST(coalesce(n_suppliers, 0) AS BIGINT) AS n_suppliers
+            FROM c FULL OUTER JOIN s ON c.k = s.k
+            ORDER BY nationkey
         """,
         "bucketed_join_revenue": """
             SELECT o_orderpriority,

@@ -1490,3 +1490,51 @@ def bucketed_join_revenue(orders: "ray.data.Dataset",
     out["revenue"] = (out["revenue"] / 1e4).astype("float64")
     out["n_items"] = out["n_items"].astype("int64")
     return out
+
+
+def nation_coverage(customer: "ray.data.Dataset",
+                    supplier: "ray.data.Dataset",
+                    num_partitions: int = 4) -> pd.DataFrame:
+    """FULL OUTER join demo over real asymmetry: per-nation customer
+    counts vs per-nation supplier counts (at small SF many nations have
+    customers but no suppliers and vice versa, so both null sides are
+    exercised).  Counts pre-aggregate per side (combiner) before the
+    join, so the outer join moves ≤ |nations| rows per side; Ray's
+    full_outer coalesces the key into the left key column."""
+    import ray
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    def side(ds, key, out_col):
+        def partials(batch: pa.Table) -> pa.Table:
+            df = pa.table({"k": pc.cast(batch.column(key),
+                                        pa.int64())}).to_pandas()
+            agg = df.groupby("k", as_index=False).size() \
+                .rename(columns={"size": out_col})
+            return pa.Table.from_pandas(
+                agg, preserve_index=False).replace_schema_metadata(None)
+
+        merged = partial_then_merge(ds.select_columns([key]), partials,
+                                    ["k"], {out_col: "sum"})
+        return ray.data.from_arrow(pa.table({
+            "k" if out_col == "n_customers" else "ks":
+                pa.array(merged["k"], type=pa.int64()),
+            out_col: pa.array(merged[out_col], type=pa.int64()),
+        })).repartition(num_partitions)
+
+    c = side(customer, "c_nationkey", "n_customers")
+    s = side(supplier, "s_nationkey", "n_suppliers")
+    j = c.join(s, join_type="full_outer", num_partitions=num_partitions,
+               on=("k",), right_on=("ks",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "nationkey": pc.cast(batch.column("k"), pa.int64()),
+            "n_customers": pc.cast(pc.coalesce(
+                batch.column("n_customers"), 0), pa.int64()),
+            "n_suppliers": pc.cast(pc.coalesce(
+                batch.column("n_suppliers"), 0), pa.int64()),
+        })
+
+    out = j.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return out.sort_values("nationkey").reset_index(drop=True)
