@@ -771,6 +771,25 @@ def _q_pack_sequences(sf_dir: str):
                           seq_len=512)
 
 
+def _q_cc_end_to_end(sf_dir: str):
+    """Composed flagship over synth CC pages: URL policy filter → html
+    extract (byte-identity asserted) → fused quality filter → per-host
+    exact dedup accounting.  Model-driven keep decisions → rows-only;
+    invariants pinned in tests/test_webstats.py."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from gruut_ray.pipelines.quality_filter import cc_end_to_end
+    from gruut_ray.sources.synth import synth_dataset
+
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows * 2
+    return cc_end_to_end(synth_dataset(n_docs),
+                         blocked_hosts=[f"site{i}.example"
+                                        for i in range(10)])
+
+
 def _q_host_stats(sf_dir: str):
     """Per-host page/byte rollup over CC-shaped synth pages through the
     Arrow-vectorized URL canonicalizer (webstats.py).  The pages table is
@@ -1132,6 +1151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_pairs": _q_substring_dup_pairs,
         "warc_ingest": _q_warc_ingest,
         "host_stats": _q_host_stats,
+        "cc_end_to_end": _q_cc_end_to_end,
         "url_policy_filter": _q_url_policy_filter,
         "source_prior_flags": _q_source_prior_flags,
         "intra_source_dedup": _q_intra_source_dedup,

@@ -297,3 +297,108 @@ def run_to_parquet(
     stats["rows"] = sum(p.get("rows", 0) for p in stats["partitions"].values())
     stats["kept"] = sum(p.get("kept", 0) for p in stats["partitions"].values())
     return stats
+
+
+def cc_end_to_end(pages: "ray.data.Dataset",
+                  blocked_hosts: typing.Sequence[str] = (),
+                  blocked_patterns: typing.Sequence[str] = (r"/zh/",),
+                  **qf_kwargs) -> "pd.DataFrame":
+    """The composed flagship: URL policy filter → html extract (byte-
+    identity asserted in-stream) → fused langid/quality/PII scrub →
+    per-host exact dedup accounting.  One streaming pass per stage, no
+    shuffle until the final (host, hash) dedup groupby; returns a
+    one-row counter summary.
+
+    Every stage is the production operator (webstats.url_policy_filter,
+    stages.extract, quality_filter, webstats-style hash pairs), so this
+    pipeline is exactly what `jobs/quality_filter_job.py` runs plus the
+    web-layer passes — the composition the north rule describes."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+    from gruut_ray.pipelines.webstats import url_policy_filter
+    from gruut_ray.stages.extract import extract_text
+
+    flagged = url_policy_filter(pages, blocked_hosts=blocked_hosts,
+                                blocked_patterns=blocked_patterns)
+
+    def count_and_keep(batch: pa.Table) -> pa.Table:
+        reasons = batch.column("drop_reason").to_pylist()
+        keep = pa.array([r == "" for r in reasons])
+        return batch.filter(keep)
+
+    n_pages = pages.count()
+    kept_pages = flagged.map_batches(count_and_keep,
+                                     batch_format="pyarrow")
+
+    def check_extract(batch: pa.Table) -> pa.Table:
+        htmls = batch.column("html").to_pylist()
+        truths = batch.column("text").to_pylist()
+        extracted = [extract_text(h) for h in htmls]
+        ok = [e == t for e, t in zip(extracted, truths)]
+        batch = batch.drop_columns(["html", "text"])
+        batch = batch.append_column(
+            "text", pa.array(extracted, type=pa.large_string()))
+        return batch.append_column("extract_ok", pa.array(ok, pa.bool_()))
+
+    extracted = kept_pages.map_batches(check_extract,
+                                       batch_format="pyarrow",
+                                       batch_size=256)
+    scored = quality_filter(extracted, text_col="text", **qf_kwargs)
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        keep = batch.column("keep").to_pylist()
+        ok = batch.column("extract_ok").to_pylist()
+        hosts = batch.column("host").to_pylist()
+        texts = batch.column("scrubbed_text").to_pylist()
+        rows = {}
+        n_kept = 0
+        for k, o, h, t in zip(keep, ok, hosts, texts):
+            assert o, "extract_text(html) != text for a row"
+            if not k:
+                continue
+            n_kept += 1
+            hh = hashlib.blake2b((t or "").encode(),
+                                 digest_size=16).hexdigest()
+            rows[(h, hh)] = rows.get((h, hh), 0) + 1
+        return pa.table({
+            "host": pa.array([k[0] for k in rows], type=pa.string()),
+            "h": pa.array([k[1] for k in rows], type=pa.string()),
+            "n": pa.array(list(rows.values()), type=pa.int64()),
+            "n_kept": pa.array([n_kept] + [0] * (len(rows) - 1)
+                               if rows else [], type=pa.int64()),
+        })
+
+    pairs = (scored.map_batches(pair_partials, batch_format="pyarrow")
+             .groupby(["host", "h"])
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("n_kept", alias_name="n_kept")))
+
+    def final_partials(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({"g": pa.array([], type=pa.int64()),
+                             "n_kept": pa.array([], type=pa.int64()),
+                             "n_unique": pa.array([], type=pa.int64())})
+        return pa.table({
+            "g": pa.array([0] * 1, type=pa.int64()),
+            "n_kept": pa.array(
+                [pc.sum(batch.column("n_kept")).as_py() or 0],
+                type=pa.int64()),
+            "n_unique": pa.array([batch.num_rows], type=pa.int64()),
+        })
+
+    summary = partial_then_merge(pairs, final_partials, ["g"],
+                                 {"n_kept": "sum", "n_unique": "sum"})
+    n_kept = int(summary["n_kept"].sum()) if not summary.empty else 0
+    n_unique = int(summary["n_unique"].sum()) if not summary.empty else 0
+    n_after_policy = kept_pages.count()
+    return pd.DataFrame({
+        "n_pages": [int(n_pages)],
+        "n_blocked": [int(n_pages - n_after_policy)],
+        "n_kept": [n_kept],
+        "n_unique_per_host": [n_unique],
+    })

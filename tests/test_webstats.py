@@ -188,3 +188,28 @@ def test_url_policy_filter_unparseable_url_kept(ray_session):
     by_url = out.set_index("url")["drop_reason"].to_dict()
     assert by_url["::nope::"] == ""
     assert by_url["https://bad.example/x"] == "blocked_host"
+
+
+def test_cc_end_to_end_counters(ray_session):
+    """Composed pipeline invariants: blocked count matches the oracle
+    count of blocked hosts/patterns; kept ≤ survivors; per-host unique ≤
+    kept; all extract byte-identities held (in-stream assert)."""
+    import ray
+
+    from gruut_ray.pipelines.quality_filter import cc_end_to_end
+    from gruut_ray.sources.synth import make_batch_for_ids, synth_dataset
+
+    n = 1000
+    blocked = [f"site{i}.example" for i in range(10)]
+    out = cc_end_to_end(synth_dataset(n), blocked_hosts=blocked,
+                        use_ppl=False).iloc[0]
+
+    raw = make_batch_for_ids(list(range(n)))
+    import re
+    exp_blocked = sum(
+        1 for u in raw["url"]
+        if u.split("://")[1].split("/")[0] in blocked or re.search("/zh/", u))
+    assert out["n_pages"] == n
+    assert out["n_blocked"] == exp_blocked
+    assert 0 < out["n_kept"] <= n - exp_blocked
+    assert 0 < out["n_unique_per_host"] <= out["n_kept"]
