@@ -1217,7 +1217,8 @@ def _us(col: pa.ChunkedArray) -> pa.ChunkedArray:
 def late_order_priority(orders: "ray.data.Dataset",
                         lineitem: "ray.data.Dataset",
                         late_days: int = 60,
-                        num_partitions: int = 16) -> pd.DataFrame:
+                        num_partitions: int = 16,
+                        driver_limit: int = 5_000_000) -> pd.DataFrame:
     """TPC-H Q4-shaped EXISTS semi-join: count orders per priority that had
     at least one lineitem shipped more than ``late_days`` after the order
     date (SQL ``WHERE EXISTS (... l_shipdate > o_orderdate + 60 DAY)``).
@@ -1227,10 +1228,19 @@ def late_order_priority(orders: "ray.data.Dataset",
     the groupby then shuffles ≤ one row per order per block instead of
     every lineitem — and the distributed max joins orders by hash.  The
     final rollup is five rows (ref gruut has no relational ops; this is a
-    north-rule addition exercising semi-join + combiner patterns)."""
+    north-rule addition exercising semi-join + combiner patterns).
+
+    Size cut-over (same pattern as sessionize): below ``driver_limit``
+    distinct orderkeys the per-batch max partials reduce on the driver
+    and broadcast back as a dict into a shuffle-free scan of orders —
+    the per-query hash-shuffle aggregator spin-up (~4 s fixed) dominates
+    small inputs.  Output-identical by construction; the distributed
+    groupby+join takes over at scale."""
     from ray.data.aggregate import Max
 
     from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    late_us = late_days * 86_400_000_000
 
     def partial_max(batch: pa.Table) -> pa.Table:
         t = pa.table({
@@ -1241,8 +1251,48 @@ def late_order_priority(orders: "ray.data.Dataset",
         return pa.table({"l_orderkey": agg.column("l_orderkey"),
                          "max_ship_us": agg.column("max_ship_us_max")})
 
-    maxship = (lineitem.select_columns(["l_orderkey", "l_shipdate"])
-               .map_batches(partial_max, batch_format="pyarrow")
+    partials_ds = (lineitem.select_columns(["l_orderkey", "l_shipdate"])
+                   .map_batches(partial_max, batch_format="pyarrow"))
+
+    if lineitem.count() <= driver_limit:  # metadata-only on parquet reads
+        import ray
+
+        pm = partials_ds.to_pandas().groupby("l_orderkey")["max_ship_us"] \
+            .max().sort_index()
+        # two sorted arrays + searchsorted beat a broadcast dict: tiny
+        # serialization, zero per-row Python in the lookup
+        max_ref = ray.put((pm.index.to_numpy(dtype=np.int64),
+                           pm.to_numpy(dtype=np.int64)))
+
+        def count_late(batch: pa.Table, _cache={}) -> pa.Table:
+            if "m" not in _cache:
+                _cache["m"] = ray.get(max_ref)
+            mkeys, mvals = _cache["m"]
+            keys = pc.cast(batch.column("o_orderkey"),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+            odate = _us(batch.column("o_orderdate")).to_numpy(
+                zero_copy_only=False)
+            pos = np.searchsorted(mkeys, keys)
+            pos_c = np.clip(pos, 0, len(mkeys) - 1)
+            found = mkeys[pos_c] == keys
+            ship = np.where(found, mvals[pos_c], -(1 << 62))
+            late = ship > odate + late_us
+            df = pd.DataFrame({
+                "o_orderpriority":
+                    batch.column("o_orderpriority").to_pylist(),
+                "late": late})
+            agg = df[df["late"]].groupby("o_orderpriority",
+                                         as_index=False).size() \
+                .rename(columns={"size": "n_orders"})
+            return pa.Table.from_pandas(
+                agg, preserve_index=False).replace_schema_metadata(None)
+
+        return partial_then_merge(
+            orders.select_columns(["o_orderkey", "o_orderdate",
+                                   "o_orderpriority"]),
+            count_late, ["o_orderpriority"], {"n_orders": "sum"})
+
+    maxship = (partials_ds
                .groupby("l_orderkey")
                .aggregate(Max("max_ship_us", alias_name="max_ship_us"))
                .repartition(num_partitions))  # merge schema-less empties
@@ -1252,7 +1302,6 @@ def late_order_priority(orders: "ray.data.Dataset",
     joined = o.join(maxship, join_type="inner",
                     num_partitions=num_partitions,
                     on=("o_orderkey",), right_on=("l_orderkey",))
-    late_us = late_days * 86_400_000_000
 
     def partials(batch: pa.Table) -> pa.Table:
         late = pc.greater(batch.column("max_ship_us"),
@@ -1320,7 +1369,8 @@ def large_volume_customers(customer: "ray.data.Dataset",
                            lineitem: "ray.data.Dataset",
                            min_quantity: float = 250.0,
                            topn: int = 100,
-                           num_partitions: int = 16) -> pd.DataFrame:
+                           num_partitions: int = 16,
+                           driver_limit: int = 5_000_000) -> pd.DataFrame:
     """TPC-H Q18-shaped GROUP BY ... HAVING: orders whose total lineitem
     quantity exceeds ``min_quantity``, joined back to orders and customer,
     top ``topn`` by quantity.
@@ -1334,7 +1384,13 @@ def large_volume_customers(customer: "ray.data.Dataset",
     a second all-to-all — two chained ``Dataset.join`` hash shuffles also
     deadlock under a small-CPU Ray instance, each pool waiting on the
     other's aggregator actors).  Quantity is exact int64 hundredths
-    end-to-end."""
+    end-to-end.
+
+    Size cut-over (same pattern as sessionize): below ``driver_limit``
+    lineitem rows the qty partials reduce on the driver and the winner
+    orderkeys broadcast into a filtered scan of orders — the per-query
+    hash-shuffle aggregator spin-up (~4 s fixed) dominates small inputs.
+    Output-identical; the distributed groupby+join takes over at scale."""
     from ray.data.aggregate import Sum
 
     min_qc = int(round(min_quantity * 100))
@@ -1348,31 +1404,60 @@ def large_volume_customers(customer: "ray.data.Dataset",
         return pa.table({"l_orderkey": agg.column("l_orderkey"),
                          "qty_c": agg.column("qty_c_sum")})
 
-    def having(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater(batch.column("qty_c"),
-                                       pa.scalar(min_qc)))
+    qty_partials = (lineitem.select_columns(["l_orderkey", "l_quantity"])
+                    .map_batches(partial_qty, batch_format="pyarrow"))
 
-    big = (lineitem.select_columns(["l_orderkey", "l_quantity"])
-           .map_batches(partial_qty, batch_format="pyarrow")
-           .groupby("l_orderkey")
-           .aggregate(Sum("qty_c", alias_name="qty_c"))
-           .map_batches(having, batch_format="pyarrow")
-           .repartition(num_partitions))  # merge schema-less empties
-    o = orders.select_columns(
-        ["o_orderkey", "o_custkey", "o_totalprice"]) \
-        .repartition(num_partitions)
-    jo = big.join(o, join_type="inner", num_partitions=num_partitions,
-                  on=("l_orderkey",), right_on=("o_orderkey",))
+    if lineitem.count() <= driver_limit:  # metadata-only on parquet reads
+        import ray
 
-    def local_topk(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        return pa.Table.from_pandas(
-            df.sort_values(["qty_c", "l_orderkey"],
-                           ascending=[False, True], kind="mergesort")
-            .head(topn), preserve_index=False).replace_schema_metadata(None)
+        q = qty_partials.to_pandas().groupby(
+            "l_orderkey", as_index=False)["qty_c"].sum()
+        winners = q[q["qty_c"] > min_qc]
+        keys_ref = ray.put(frozenset(winners["l_orderkey"].astype("int64")))
 
-    parts = jo.map_batches(local_topk,
-                           batch_format="pyarrow").to_pandas()
+        def pick_orders(batch: pa.Table, _cache={}) -> pa.Table:
+            if "keys" not in _cache:
+                _cache["keys"] = np.fromiter(ray.get(keys_ref),
+                                             dtype=np.int64)
+            mask = np.isin(batch.column("o_orderkey").to_numpy(
+                zero_copy_only=False).astype(np.int64), _cache["keys"])
+            return batch.filter(pa.array(mask))
+
+        odf = (orders.select_columns(["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+               .map_batches(pick_orders, batch_format="pyarrow")
+               .to_pandas())
+        parts = winners.rename(columns={"l_orderkey": "_k"}).merge(
+            odf, left_on="_k", right_on="o_orderkey") \
+            .drop(columns=["o_orderkey"]) \
+            .rename(columns={"_k": "l_orderkey"})
+    else:
+        def having(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.greater(batch.column("qty_c"),
+                                           pa.scalar(min_qc)))
+
+        big = (qty_partials
+               .groupby("l_orderkey")
+               .aggregate(Sum("qty_c", alias_name="qty_c"))
+               .map_batches(having, batch_format="pyarrow")
+               .repartition(num_partitions))  # merge schema-less empties
+        o = orders.select_columns(
+            ["o_orderkey", "o_custkey", "o_totalprice"]) \
+            .repartition(num_partitions)
+        jo = big.join(o, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def local_topk(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            return pa.Table.from_pandas(
+                df.sort_values(["qty_c", "l_orderkey"],
+                               ascending=[False, True], kind="mergesort")
+                .head(topn),
+                preserve_index=False).replace_schema_metadata(None)
+
+        parts = jo.map_batches(local_topk,
+                               batch_format="pyarrow").to_pandas()
     if parts.empty:
         return pd.DataFrame({"c_name": [], "c_custkey": [],
                              "o_orderkey": [], "o_totalprice": [],
