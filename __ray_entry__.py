@@ -165,6 +165,15 @@ def _q_revenue_by_priority_skew(sf_dir: str):
                                     _read(sf_dir, "lineitem"))
 
 
+def _q_funnel_counts(sf_dir: str):
+    """Ordered first-occurrence funnel view→click→purchase: per-batch
+    (user, min-ts per step) partials with a sentinel, Min reduce, one
+    vectorized ordering test."""
+    from gruut_ray.pipelines.relational import funnel_counts
+
+    return funnel_counts(_read(sf_dir, "events"))
+
+
 def _q_nation_coverage(sf_dir: str):
     """FULL OUTER join of per-nation customer vs supplier counts (both
     null sides real at small SF); sides pre-aggregate before the join."""
@@ -1108,6 +1117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": _q_revenue_by_priority,
         "revenue_by_priority_skew": _q_revenue_by_priority_skew,
         "returned_item_revenue": _q_returned_item_revenue,
+        "funnel_counts": _q_funnel_counts,
         "nation_coverage": _q_nation_coverage,
         "bucketed_join_revenue": _q_bucketed_join_revenue,
         "late_order_priority": _q_late_order_priority,
@@ -1508,6 +1518,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "funnel_counts": """
+            WITH m AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'view'
+                                THEN epoch_us(ts) END) AS t1,
+                       min(CASE WHEN event_type = 'click'
+                                THEN epoch_us(ts) END) AS t2,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts) END) AS t3
+                FROM events GROUP BY user_id
+            )
+            SELECT CAST(count(*) FILTER (WHERE t1 IS NOT NULL)
+                        AS BIGINT) AS n_s1,
+                   CAST(count(*) FILTER (WHERE t1 IS NOT NULL
+                                           AND t2 > t1)
+                        AS BIGINT) AS n_s2,
+                   CAST(count(*) FILTER (WHERE t1 IS NOT NULL
+                                           AND t2 > t1 AND t3 > t2)
+                        AS BIGINT) AS n_s3
+            FROM m
         """,
         "nation_coverage": """
             WITH c AS (

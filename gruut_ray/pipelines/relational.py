@@ -1623,3 +1623,74 @@ def nation_coverage(customer: "ray.data.Dataset",
 
     out = j.map_batches(finish, batch_format="pyarrow").to_pandas()
     return out.sort_values("nationkey").reset_index(drop=True)
+
+
+_FUNNEL_SENTINEL = 1 << 62  # "never did this step"
+
+
+def funnel_counts(events: "ray.data.Dataset",
+                  steps: typing.Sequence[str] = ("view", "click",
+                                                 "purchase"),
+                  num_partitions: int = 16,
+                  driver_limit: int = 5_000_000) -> pd.DataFrame:
+    """Ordered three-step funnel by FIRST occurrence: users whose first
+    ``steps[0]`` precedes their first ``steps[1]`` precedes their first
+    ``steps[2]`` (strictly increasing event time — the standard product-
+    analytics funnel).  Returns one row (n_s1, n_s2, n_s3).
+
+    Scale shape: each batch combines to (user, min-ts per step) with an
+    int64 "never" sentinel so the distributed reduce is three plain Min
+    aggregates — no NULL-aware combiner needed — then the ordering test
+    collapses per batch to three counters.  Below ``driver_limit`` event
+    rows the per-batch partials reduce on the driver instead (the
+    hash-shuffle aggregator spin-up dominates small inputs);
+    output-identical by construction."""
+    s1, s2, s3 = steps
+
+    def partials(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        ts = _us(batch.column("ts")).to_numpy(zero_copy_only=False)
+        uid = pc.cast(batch.column("user_id"),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"user_id": uid, "et": et, "ts": ts})
+        out = {}
+        for name, step in (("t1", s1), ("t2", s2), ("t3", s3)):
+            m = df[df["et"] == step].groupby("user_id")["ts"].min()
+            out[name] = m
+        merged = pd.DataFrame(out).reindex(
+            sorted(set().union(*[v.index for v in out.values()]))
+        ).fillna(_FUNNEL_SENTINEL).astype("int64")
+        merged.index.name = "user_id"
+        return pa.Table.from_pandas(
+            merged.reset_index(), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    slim = events.select_columns(["user_id", "event_type", "ts"])
+    parts = slim.map_batches(partials, batch_format="pyarrow")
+
+    if events.count() <= driver_limit:  # metadata-only on parquet reads
+        per_user = parts.to_pandas().groupby("user_id")[
+            ["t1", "t2", "t3"]].min()
+    else:
+        from ray.data.aggregate import Min
+
+        agg = (parts.groupby("user_id")
+               .aggregate(Min("t1", alias_name="t1"),
+                          Min("t2", alias_name="t2"),
+                          Min("t3", alias_name="t3"))
+               .repartition(num_partitions))
+        per_user = agg.to_pandas().set_index("user_id")[["t1", "t2", "t3"]]
+        # (per_user is |users| rows — at true scale, push the comparison
+        # below into a map_batches partial instead; kept driver-side here
+        # because the three counters are the only output)
+
+    S = _FUNNEL_SENTINEL
+    t1 = per_user["t1"].to_numpy()
+    t2 = per_user["t2"].to_numpy()
+    t3 = per_user["t3"].to_numpy()
+    did1 = t1 < S
+    did12 = did1 & (t2 < S) & (t2 > t1)
+    did123 = did12 & (t3 < S) & (t3 > t2)
+    return pd.DataFrame({"n_s1": [int(did1.sum())],
+                         "n_s2": [int(did12.sum())],
+                         "n_s3": [int(did123.sum())]})
