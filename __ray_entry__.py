@@ -165,6 +165,15 @@ def _q_revenue_by_priority_skew(sf_dir: str):
                                     _read(sf_dir, "lineitem"))
 
 
+def _q_event_gap_histogram(sf_dir: str):
+    """lag() window family: per-user inter-event gaps bucketed to hours,
+    per-block numpy kernel after keyed repartition (driver cut-over
+    below the row limit)."""
+    from gruut_ray.pipelines.relational import event_gap_histogram
+
+    return event_gap_histogram(_read(sf_dir, "events"))
+
+
 def _q_funnel_counts(sf_dir: str):
     """Ordered first-occurrence funnel view→click→purchase: per-batch
     (user, min-ts per step) partials with a sentinel, Min reduce, one
@@ -1117,6 +1126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": _q_revenue_by_priority,
         "revenue_by_priority_skew": _q_revenue_by_priority_skew,
         "returned_item_revenue": _q_returned_item_revenue,
+        "event_gap_histogram": _q_event_gap_histogram,
         "funnel_counts": _q_funnel_counts,
         "nation_coverage": _q_nation_coverage,
         "bucketed_join_revenue": _q_bucketed_join_revenue,
@@ -1518,6 +1528,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "event_gap_histogram": """
+            WITH lagged AS (
+                SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS gap
+                FROM events
+            )
+            SELECT CAST(gap // 3600000000 AS BIGINT) AS gap_bucket,
+                   count(*) AS n
+            FROM lagged WHERE gap IS NOT NULL
+            GROUP BY gap_bucket ORDER BY gap_bucket
         """,
         "funnel_counts": """
             WITH m AS (

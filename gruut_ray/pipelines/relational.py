@@ -1694,3 +1694,55 @@ def funnel_counts(events: "ray.data.Dataset",
     return pd.DataFrame({"n_s1": [int(did1.sum())],
                          "n_s2": [int(did12.sum())],
                          "n_s3": [int(did123.sum())]})
+
+
+def event_gap_histogram(events: "ray.data.Dataset",
+                        bucket_hours: int = 1,
+                        num_partitions: int = 32,
+                        driver_limit: int = 5_000_000) -> pd.DataFrame:
+    """Inter-event gap distribution — SQL
+    ``epoch_us(ts) − lag(epoch_us(ts)) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id)`` bucketed to hours and counted.  The lag/lead
+    window family done the engine's way: hash-repartition co-locates each
+    user, ONE numpy kernel per block sorts and diffs every user at once
+    (user boundaries masked), and only (bucket, count) partials move.
+
+    All-integer output (floor-div bucketing both engines), so the DuckDB
+    window oracle compares exactly."""
+    bucket_us = bucket_hours * 3_600_000_000
+
+    def block_gaps(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"gap_bucket": np.array([], np.int64),
+                                 "n": np.array([], np.int64)})
+        g = df.sort_values(["user_id", "ts", "event_id"],
+                           kind="mergesort")
+        ts = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        gaps = (ts[1:] - ts[:-1])[same]
+        buckets = np.floor_divide(gaps, bucket_us)
+        vals, counts = np.unique(buckets, return_counts=True)
+        return pd.DataFrame({"gap_bucket": vals.astype(np.int64),
+                             "n": counts.astype(np.int64)})
+
+    slim = events.select_columns(["user_id", "ts", "event_id"])
+    if events.count() <= driver_limit:  # metadata-only on parquet reads
+        out = block_gaps(slim.to_pandas())
+    else:
+        from ray.data.context import ShuffleStrategy
+
+        prev = slim.context.shuffle_strategy
+        slim.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        try:
+            parts = (slim.repartition(num_partitions, keys=["user_id"])
+                     .map_batches(block_gaps, batch_format="pandas",
+                                  batch_size=None)
+                     .to_pandas())
+        finally:
+            slim.context.shuffle_strategy = prev
+        out = parts.groupby("gap_bucket", as_index=False)["n"].sum()
+    out = out.sort_values("gap_bucket").reset_index(drop=True)
+    out["gap_bucket"] = out["gap_bucket"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
