@@ -165,6 +165,14 @@ def _q_revenue_by_priority_skew(sf_dir: str):
                                     _read(sf_dir, "lineitem"))
 
 
+def _q_props_value_stats(sf_dir: str):
+    """Grouped stats over the JSON props.k property via the vectorized
+    (RE2 fast path + json.loads fallback) field extractor."""
+    from gruut_ray.pipelines.relational import props_value_stats
+
+    return props_value_stats(_read(sf_dir, "events"))
+
+
 def _q_event_gap_histogram(sf_dir: str):
     """lag() window family: per-user inter-event gaps bucketed to hours,
     per-block numpy kernel after keyed repartition (driver cut-over
@@ -1126,6 +1134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": _q_revenue_by_priority,
         "revenue_by_priority_skew": _q_revenue_by_priority_skew,
         "returned_item_revenue": _q_returned_item_revenue,
+        "props_value_stats": _q_props_value_stats,
         "event_gap_histogram": _q_event_gap_histogram,
         "funnel_counts": _q_funnel_counts,
         "nation_coverage": _q_nation_coverage,
@@ -1528,6 +1537,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "props_value_stats": """
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS k_sum,
+                   min(CAST(json_extract(props, '$.k') AS BIGINT))
+                       AS k_min,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT))
+                       AS k_max
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "event_gap_histogram": """
             WITH lagged AS (

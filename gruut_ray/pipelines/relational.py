@@ -1746,3 +1746,70 @@ def event_gap_histogram(events: "ray.data.Dataset",
     out["gap_bucket"] = out["gap_bucket"].astype("int64")
     out["n"] = out["n"].astype("int64")
     return out
+
+
+def extract_json_int_field(col: pa.ChunkedArray | pa.Array,
+                           field: str) -> pa.Array:
+    """Vectorized integer-field extraction from a JSON string column:
+    one RE2 pass handles the flat ``"field": <int>`` shape (the common
+    case for event-property blobs); rows the regex misses (nested,
+    quoted, absent) fall back to ``json.loads`` individually, so the
+    fast path never changes semantics.  Returns int64 with nulls for
+    missing/non-integer fields."""
+    import json
+    import re
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    pat = (r'"' + re.escape(field) + r'"\s*:\s*(?P<v>-?[0-9]+)'
+           r'(?P<after>\s*[,}])')
+    hit = pc.extract_regex(col, pattern=pat)
+    # the regex would also match INSIDE a nested object/array, where the
+    # field is not top-level ($.k semantics) — only trust it for flat
+    # one-object rows; everything else goes through json.loads
+    flat = pc.and_(pc.equal(pc.count_substring(col, "{"), 1),
+                   pc.equal(pc.count_substring(col, "["), 0))
+    hit = pc.if_else(pc.fill_null(flat, False), hit,
+                     pa.scalar(None, hit.type))
+    fast = pc.struct_field(hit, [0])
+    need_slow = pc.and_kleene(pc.is_valid(col), pc.is_null(hit))
+    if pc.any(need_slow).as_py():
+        vals = fast.to_pylist()
+        raw = col.to_pylist()
+        for i, slow in enumerate(need_slow.to_pylist()):
+            if slow:
+                try:
+                    v = json.loads(raw[i]).get(field)
+                    vals[i] = str(v) if isinstance(v, int) else None
+                except (ValueError, AttributeError):
+                    vals[i] = None
+        fast = pa.array(vals, type=pa.string())
+    return pc.cast(fast, pa.int64())
+
+
+def props_value_stats(events: "ray.data.Dataset") -> pd.DataFrame:
+    """Grouped stats over a JSON property — per event_type count/sum/
+    min/max of ``props.k`` — exercising the vectorized JSON field
+    extractor inside the standard combiner-before-merge shape (only
+    (event_type, partials) rows ever move)."""
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    def partials(batch: pa.Table) -> pa.Table:
+        k = extract_json_int_field(batch.column("props"), "k")
+        df = pa.table({"event_type": batch.column("event_type"),
+                       "k": k}).to_pandas()
+        agg = df.groupby("event_type", as_index=False).agg(
+            n_events=("k", "size"), k_sum=("k", "sum"),
+            k_min=("k", "min"), k_max=("k", "max"))
+        for c in ("k_sum", "k_min", "k_max"):
+            agg[c] = agg[c].astype("int64")
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    out = partial_then_merge(
+        events.select_columns(["event_type", "props"]), partials,
+        ["event_type"],
+        {"n_events": "sum", "k_sum": "sum", "k_min": "min",
+         "k_max": "max"}, exact_int_cols=["k_sum"])
+    out["k_sum"] = out["k_sum"].astype("int64")
+    return out
