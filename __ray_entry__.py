@@ -165,6 +165,15 @@ def _q_revenue_by_priority_skew(sf_dir: str):
                                     _read(sf_dir, "lineitem"))
 
 
+def _q_promo_revenue_by_type(sf_dir: str):
+    """Q14-shaped promo share: part dimension broadcast once, lineitem
+    batches map partkey→type locally, exact fixed-point revenue."""
+    from gruut_ray.pipelines.relational import promo_revenue_by_type
+
+    return promo_revenue_by_type(_read(sf_dir, "lineitem"),
+                                 _read(sf_dir, "part"))
+
+
 def _q_props_value_stats(sf_dir: str):
     """Grouped stats over the JSON props.k property via the vectorized
     (RE2 fast path + json.loads fallback) field extractor."""
@@ -1134,6 +1143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": _q_revenue_by_priority,
         "revenue_by_priority_skew": _q_revenue_by_priority_skew,
         "returned_item_revenue": _q_returned_item_revenue,
+        "promo_revenue_by_type": _q_promo_revenue_by_type,
         "props_value_stats": _q_props_value_stats,
         "event_gap_histogram": _q_event_gap_histogram,
         "funnel_counts": _q_funnel_counts,
@@ -1537,6 +1547,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "promo_revenue_by_type": """
+            SELECT p_type,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS DOUBLE) / 10000.0 AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_type ORDER BY p_type
         """,
         "props_value_stats": """
             SELECT event_type, count(*) AS n_events,

@@ -1813,3 +1813,58 @@ def props_value_stats(events: "ray.data.Dataset") -> pd.DataFrame:
          "k_max": "max"}, exact_int_cols=["k_sum"])
     out["k_sum"] = out["k_sum"].astype("int64")
     return out
+
+
+def promo_revenue_by_type(lineitem: "ray.data.Dataset",
+                          part: "ray.data.Dataset",
+                          broadcast_limit: int = 5_000_000
+                          ) -> pd.DataFrame:
+    """TPC-H Q14-shaped promo share: per part TYPE, how much discounted
+    revenue came through it.  Dimension-table pattern: the part table
+    (p_partkey → p_type) broadcasts via ``ray.put`` once and each
+    lineitem batch maps partkey→type locally — no shuffle; above
+    ``broadcast_limit`` rows a plan would fall back to the hash join
+    (same cut-over contract as :func:`revenue_by_segment`, left
+    unimplemented here because part grows ~200k rows per TPC-H SF —
+    broadcastable far past this bench's scale; raises if exceeded).
+
+    Revenue stays exact int64 1e-4 dollars (cents × (100−bp)); the
+    float division to dollars happens once on the driver, so the DuckDB
+    oracle compares exactly."""
+    import ray
+
+    if part.count() > broadcast_limit:
+        raise NotImplementedError(
+            "part exceeded broadcast_limit — wire the shuffle-join "
+            "fallback (revenue_by_priority shape) when the dimension "
+            "outgrows worker heaps")
+
+    pd_df = part.select_columns(["p_partkey", "p_type"]).to_pandas()
+    part_ref = ray.put(pd_df)
+
+    def join_type(batch: pa.Table, _cache={}) -> pa.Table:
+        pt = _cache.get(part_ref)
+        if pt is None:
+            _cache.clear()
+            pt = _cache[part_ref] = ray.get(part_ref)
+        revenue = pc.multiply(
+            _cents(batch.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100), _cents(batch.column("l_discount"))))
+        df = pa.table({"l_partkey": batch.column("l_partkey"),
+                       "revenue": revenue}).to_pandas()
+        joined = df.merge(pt, left_on="l_partkey", right_on="p_partkey",
+                          how="inner")
+        agg = joined.groupby("p_type", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("revenue", "size"))
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    partials = lineitem.select_columns(
+        ["l_partkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(join_type, batch_format="pyarrow").to_pandas()
+    grouped = partials.groupby("p_type", as_index=False)
+    out = grouped.agg(n_items=("n_items", "sum"))
+    sums = grouped["revenue"].apply(lambda s: sum(int(x) for x in s))
+    out["revenue"] = (sums["revenue"] / 1e4).astype("float64")
+    out = out[["p_type", "revenue", "n_items"]]
+    return out.sort_values("p_type").reset_index(drop=True)
