@@ -278,10 +278,18 @@ def run_to_parquet(
             rows = kept = 0
             if files:
                 dset = pads.dataset(files)
-                tbl = dset.to_table(columns=["keep"])
+                tbl = dset.to_table(columns=["keep", "n_pii_hits"])
                 rows = tbl.num_rows
                 kept = int(pc.sum(pc.cast(tbl.column("keep"), pa.int64())).as_py() or 0)
+                scrubbed = int(pc.sum(pc.cast(
+                    pc.greater(tbl.column("n_pii_hits"), 0),
+                    pa.int64())).as_py() or 0)
+                pii_hits = int(pc.sum(tbl.column("n_pii_hits")).as_py()
+                               or 0)
+            else:
+                scrubbed = pii_hits = 0
             payload = {"rows": rows, "kept": kept,
+                       "scrubbed": scrubbed, "pii_hits": pii_hits,
                        "rules_version": RULES_VERSION,
                        "lineage_hash": lineage["lineage_hash"]}
             mf.write_partition_manifest(out_dir, p, payload)

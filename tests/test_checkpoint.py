@@ -177,3 +177,12 @@ def test_map_batches_survives_worker_crash(ray_session, tmp_path):
     total = ds.map_batches(udf, batch_format="pyarrow").sum("id")
     assert total == 20_000 * 19_999 // 2
     assert flag.exists()
+
+
+def test_manifest_carries_scrub_counters(cc_run):
+    """North-rule manifests include keep/drop AND scrub counters."""
+    out_dir, stats = cc_run
+    for payload in stats["partitions"].values():
+        assert {"rows", "kept", "scrubbed", "pii_hits"} <= set(payload)
+        assert 0 <= payload["scrubbed"] <= payload["rows"]
+        assert payload["pii_hits"] >= payload["scrubbed"] * 0
