@@ -186,3 +186,22 @@ def test_manifest_carries_scrub_counters(cc_run):
         assert {"rows", "kept", "scrubbed", "pii_hits"} <= set(payload)
         assert 0 <= payload["scrubbed"] <= payload["rows"]
         assert payload["pii_hits"] >= payload["scrubbed"] * 0
+
+
+def test_headline_plan_is_shuffle_free(ray_session):
+    """The quality-filter hot path must stay a pure map pipeline — any
+    AllToAll operator (shuffle/repartition/aggregate/sort/join) creeping
+    into the plan is the single biggest scale regression this repo can
+    have (node-count scaling is governed by scheduling alone only while
+    there is no exchange)."""
+    from gruut_ray.pipelines.quality_filter import quality_filter
+    from gruut_ray.sources.synth import synth_dataset
+
+    ds = quality_filter(synth_dataset(200), html_col="html",
+                        use_ppl=False,
+                        quality_concurrency=(1, 2)).materialize()
+    stats = ds.stats()
+    for marker in ("AllToAll", "Repartition", "Aggregate", "Sort",
+                   "Join("):
+        assert marker not in stats, f"shuffle stage in headline plan: {marker}"
+    assert ds.count() == 200
