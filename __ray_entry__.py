@@ -275,6 +275,15 @@ def _q_top_terms_by_lang(sf_dir: str):
     return top_terms_by_lang(ds, k=5)
 
 
+def _q_sorted_rank_band(sf_dir: str):
+    """Native distributed ds.sort: global ORDER BY rank band
+    (LIMIT 10 OFFSET 100)."""
+    from gruut_ray.pipelines.text_stats import sorted_rank_band
+
+    return sorted_rank_band(
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"]))
+
+
 def _q_distinctive_terms_by_lang(sf_dir: str):
     """TF-IDF-style distinctive terms per lang in exact integer math
     (tf*1e6 // df): one scan emits tf+df partials, groupby reduces,
@@ -1134,6 +1143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_by_lang": _q_top_terms_by_lang,
         "top_bigrams_by_lang": _q_top_bigrams_by_lang,
         "distinctive_terms_by_lang": _q_distinctive_terms_by_lang,
+        "sorted_rank_band": _q_sorted_rank_band,
         "suppliers_by_region": _q_suppliers_by_region,
         "shipping_priority": _q_shipping_priority,
         "part_type_summary": _q_part_type_summary,
@@ -1657,6 +1667,10 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_kept
             FROM documents d JOIN q USING (lang)
             GROUP BY d.lang ORDER BY d.lang
+        """,
+        "sorted_rank_band": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 10 OFFSET 100
         """,
         "distinctive_terms_by_lang": """
             WITH toks AS (

@@ -683,3 +683,24 @@ def quantile_threshold_keep(ds: "ray.data.Dataset", q: float = 0.1,
     out["n_docs"] = out["n_docs"].astype("int64")
     out["n_kept"] = out["n_kept"].astype("int64")
     return out[["lang", "threshold", "n_docs", "n_kept"]]
+
+
+def sorted_rank_band(ds: "ray.data.Dataset", offset: int = 100,
+                     limit: int = 10):
+    """Global-ORDER-BY rank band (SQL ``ORDER BY n_chars DESC, doc_id
+    LIMIT k OFFSET n``) through Ray's native distributed sort — the one
+    operator family the repo's top-k paths deliberately avoid (they
+    per-batch-reduce instead), exercised here on its own: a range-
+    partitioned exchange that at scale moves every block, which is why
+    only rank queries that genuinely need global order should use it.
+    The driver pulls ``offset+limit`` rows (bounded), not the corpus."""
+    import pandas as pd
+
+    ranked = ds.select_columns(["doc_id", "n_chars"]) \
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+    head = ranked.take(offset + limit)
+    rows = head[offset:offset + limit]
+    return pd.DataFrame({
+        "doc_id": [r["doc_id"] for r in rows],
+        "n_chars": [r["n_chars"] for r in rows],
+    })
