@@ -165,6 +165,14 @@ def _q_revenue_by_priority_skew(sf_dir: str):
                                     _read(sf_dir, "lineitem"))
 
 
+def _q_weekly_active_users(sf_dir: str):
+    """COUNT(DISTINCT user) per tumbling 7-day window: distinct
+    (week, user) pair combiner → groupby → per-week count."""
+    from gruut_ray.pipelines.relational import weekly_active_users
+
+    return weekly_active_users(_read(sf_dir, "events"))
+
+
 def _q_promo_revenue_by_type(sf_dir: str):
     """Q14-shaped promo share: part dimension broadcast once, lineitem
     batches map partkey→type locally, exact fixed-point revenue."""
@@ -1153,6 +1161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": _q_revenue_by_priority,
         "revenue_by_priority_skew": _q_revenue_by_priority_skew,
         "returned_item_revenue": _q_returned_item_revenue,
+        "weekly_active_users": _q_weekly_active_users,
         "promo_revenue_by_type": _q_promo_revenue_by_type,
         "props_value_stats": _q_props_value_stats,
         "event_gap_histogram": _q_event_gap_histogram,
@@ -1557,6 +1566,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "weekly_active_users": """
+            SELECT CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week,
+                   count(DISTINCT user_id) AS wau
+            FROM events GROUP BY week ORDER BY week
         """,
         "promo_revenue_by_type": """
             SELECT p_type,

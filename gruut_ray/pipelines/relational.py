@@ -1868,3 +1868,50 @@ def promo_revenue_by_type(lineitem: "ray.data.Dataset",
     out["revenue"] = (sums["revenue"] / 1e4).astype("float64")
     out = out[["p_type", "revenue", "n_items"]]
     return out.sort_values("p_type").reset_index(drop=True)
+
+
+def weekly_active_users(events: "ray.data.Dataset",
+                        num_partitions: int = 8) -> pd.DataFrame:
+    """COUNT(DISTINCT user) per tumbling 7-day window — the two-level
+    distinct shape: batches combine to distinct (week, user) pairs, the
+    distributed groupby collapses duplicates across batches, and the
+    final per-week count is a combiner again.  Only (week, user) pairs
+    ever move, never events."""
+    from ray.data.aggregate import Count
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    week_us = 7 * 86_400_000_000
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        ts = _us(batch.column("ts")).to_numpy(zero_copy_only=False)
+        uid = pc.cast(batch.column("user_id"),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        week = np.floor_divide(ts, week_us)
+        df = pd.DataFrame({"week": week, "user_id": uid}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    pairs = (events.select_columns(["ts", "user_id"])
+             .map_batches(pair_partials, batch_format="pyarrow")
+             .groupby(["week", "user_id"])
+             .aggregate(Count(alias_name="n"))
+             .repartition(num_partitions))
+
+    def week_partials(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({"week": pa.array([], type=pa.int64()),
+                             "wau": pa.array([], type=pa.int64())})
+        df = pa.table({"week": pc.cast(batch.column("week"),
+                                       pa.int64())}).to_pandas()
+        agg = df.groupby("week", as_index=False).size() \
+            .rename(columns={"size": "wau"})
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    out = partial_then_merge(pairs, week_partials, ["week"],
+                             {"wau": "sum"})
+    out["week"] = out["week"].astype("int64")
+    out["wau"] = out["wau"].astype("int64")
+    return out
