@@ -165,6 +165,15 @@ def _q_revenue_by_priority_skew(sf_dir: str):
                                     _read(sf_dir, "lineitem"))
 
 
+def _q_customers_with_orders(sf_dir: str):
+    """RIGHT SEMI join dual of customers_without_orders: matching
+    customer rows collapse to (count, checksum) witnesses."""
+    from gruut_ray.pipelines.relational import customers_with_orders
+
+    return customers_with_orders(_read(sf_dir, "customer"),
+                                 _read(sf_dir, "orders"))
+
+
 def _q_weekly_active_users(sf_dir: str):
     """COUNT(DISTINCT user) per tumbling 7-day window: distinct
     (week, user) pair combiner → groupby → per-week count."""
@@ -1161,6 +1170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": _q_revenue_by_priority,
         "revenue_by_priority_skew": _q_revenue_by_priority_skew,
         "returned_item_revenue": _q_returned_item_revenue,
+        "customers_with_orders": _q_customers_with_orders,
         "weekly_active_users": _q_weekly_active_users,
         "promo_revenue_by_type": _q_promo_revenue_by_type,
         "props_value_stats": _q_props_value_stats,
@@ -1566,6 +1576,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "customers_with_orders": """
+            SELECT count(*) AS n_customers,
+                   CAST(coalesce(sum(c_custkey), 0) AS BIGINT)
+                       AS custkey_sum
+            FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
         """,
         "weekly_active_users": """
             SELECT CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week,

@@ -1915,3 +1915,42 @@ def weekly_active_users(events: "ray.data.Dataset",
     out["week"] = out["week"].astype("int64")
     out["wau"] = out["wau"].astype("int64")
     return out
+
+
+def customers_with_orders(customer: "ray.data.Dataset",
+                          orders: "ray.data.Dataset",
+                          num_partitions: int = 8) -> pd.DataFrame:
+    """Dual of :func:`customers_without_orders` through the RIGHT SEMI
+    join (orders ⋈ customer keeping matching customer rows) — completes
+    the join-type inventory's semi/anti pairs in both directions.  Same
+    scale shape: orders reduce to distinct custkeys per batch before
+    the join, and the result collapses to (count, checksum) witnesses."""
+
+    def distinct_keys(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": pc.unique(batch.column("o_custkey"))})
+
+    keys = (orders.select_columns(["o_custkey"])
+            .map_batches(distinct_keys, batch_format="pyarrow")
+            .repartition(num_partitions))
+    cust = customer.select_columns(["c_custkey"]) \
+        .repartition(num_partitions)
+    semi = keys.join(cust, join_type="right_semi",
+                     num_partitions=num_partitions,
+                     on=("o_custkey",), right_on=("c_custkey",))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey")
+        return pa.table({
+            "n_customers": pa.array([batch.num_rows], type=pa.int64()),
+            "custkey_sum": pa.array(
+                [pc.sum(pc.cast(ck, pa.int64())).as_py() or 0],
+                type=pa.int64()),
+        })
+
+    parts = semi.map_batches(partials, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"n_customers": [0], "custkey_sum": [0]})
+    return pd.DataFrame({
+        "n_customers": [int(parts["n_customers"].sum())],
+        "custkey_sum": [int(parts["custkey_sum"].sum())],
+    })
