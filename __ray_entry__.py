@@ -411,6 +411,22 @@ def _q_knn_top10(sf_dir: str):
         score=lambda d: d["score"].astype("float64").round(6))
 
 
+def _q_knn_quantized_top10(sf_dir: str):
+    """int8-quantized brute-force cosine top-10 (the memory-bound scale
+    path: 4× less corpus traffic).  Approximate through rounding only →
+    rows-only; recall ≥ 0.9 vs the exact float path pinned in
+    tests/test_similarity.py."""
+    import numpy as np
+
+    from gruut_ray.pipelines.similarity import quantized_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = ds.take(1)[0]
+    queries = np.asarray([first["embedding"]], dtype=np.float32)
+    out = quantized_topk(ds, queries, k=10)
+    return out[["vec_id", "score"]].reset_index(drop=True)
+
+
 def _q_ann_lsh_top10(sf_dir: str):
     """Approximate top-k via random-hyperplane bucketing (scale path of
     knn_top10; approximate → rows-only check, recall tested in
@@ -1187,6 +1203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
         "knn_top10": _q_knn_top10,
+        "knn_quantized_top10": _q_knn_quantized_top10,
         "ann_lsh_top10": _q_ann_lsh_top10,
         "ann_ivf_top10": _q_ann_ivf_top10,
         "embedding_dup_pairs": _q_embedding_dup_pairs,

@@ -430,3 +430,79 @@ def semantic_dedup(
                       num_partitions=num_partitions,
                       on=(id_col,), right_on=("keep_id",))
     return joined.map_batches(decode, batch_format="pyarrow")
+
+
+def quantize_embeddings(ds: "ray.data.Dataset",
+                        id_col: str = "vec_id",
+                        emb_col: str = "embedding") -> "ray.data.Dataset":
+    """Symmetric int8 quantization of an embedding column — the memory
+    path for billion-vector search (4× less object-store/network traffic
+    than float32; recall loss is bounded because cosine ranking only
+    needs relative magnitudes).  Each L2-normalized vector is scaled by
+    its own max-|component| to the int8 range; output columns:
+    ``q`` (binary blob of int8) and ``scale`` (float32 per row,
+    value = max-|c| / 127 so dequantize = q * scale)."""
+
+    def quant(batch: pa.Table) -> pa.Table:
+        emb = _normalize(np.asarray(batch.column(emb_col).to_pylist(),
+                                    dtype=np.float32))
+        amax = np.abs(emb).max(axis=1, keepdims=True)
+        amax[amax == 0] = 1.0
+        scale = (amax / 127.0).astype(np.float32)
+        q = np.clip(np.rint(emb / scale), -127, 127).astype(np.int8)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "q": pa.array([row.tobytes() for row in q],
+                          type=pa.binary()),
+            "scale": pa.array(scale.ravel(), type=pa.float32()),
+        })
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def quantized_topk(ds: "ray.data.Dataset", queries: np.ndarray,
+                   k: int = 10, id_col: str = "vec_id",
+                   emb_col: str = "embedding") -> "pd.DataFrame":
+    """Brute-force cosine top-k over the INT8-quantized corpus: quantize
+    → per-batch int32 matmul against the float query matrix (dequantized
+    on the fly by the per-row scale) → same deterministic candidate
+    reduction as :func:`brute_force_topk`.  The ranking is approximate
+    only through the int8 rounding; ``tests/test_similarity.py`` pins
+    recall ≥ 0.9 against the exact float path."""
+    import pandas as pd
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q_ref = ray.put(q)
+    qds = quantize_embeddings(ds, id_col=id_col, emb_col=emb_col)
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        blobs = batch.column("q").to_pylist()
+        dim = len(blobs[0]) if blobs else 0
+        mat = np.frombuffer(b"".join(blobs), dtype=np.int8) \
+            .reshape(len(blobs), dim).astype(np.float32)
+        mat *= np.asarray(batch.column("scale"))[:, None]
+        scores = mat @ qm.T
+        kk = min(k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            order = np.lexsort((ids, -scores[:, qi]))[:kk]
+            out_q.extend([qi] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_s.extend(scores[order, qi].tolist())
+        return pa.table({
+            "query_idx": pa.array(out_q, type=pa.int64()),
+            id_col: pa.array(out_id, type=pa.int64()),
+            "score": pa.array(out_s, type=pa.float32()),
+        })
+
+    parts = qds.map_batches(batch_topk,
+                            batch_format="pyarrow").to_pandas()
+    out = (parts.sort_values(["query_idx", "score", id_col],
+                             ascending=[True, False, True],
+                             kind="mergesort")
+           .groupby("query_idx", as_index=False).head(k)
+           .reset_index(drop=True))
+    return out

@@ -187,3 +187,38 @@ def test_semantic_dedup_partition_invariant(ray_session):
     b = set(semantic_dedup(ds.repartition(7), dim=16, threshold=0.95,
                            n_lists=4).to_pandas()["vec_id"])
     assert a == b
+
+
+def test_quantized_topk_recall_vs_exact(ray_session):
+    """int8 quantization must keep ≥0.9 recall@10 vs the exact float
+    path for every query, and the blob/scale round-trip must bound the
+    per-component error by one quantization step."""
+    import numpy as np
+    import ray
+
+    from gruut_ray.pipelines.similarity import (brute_force_topk,
+                                                quantize_embeddings,
+                                                quantized_topk)
+
+    rng = np.random.default_rng(11)
+    n, d = 600, 32
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    import pyarrow as pa
+    tbl = pa.table({"vec_id": pa.array(range(n), type=pa.int64()),
+                    "embedding": pa.array([list(map(float, r))
+                                           for r in emb])})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    queries = emb[:5]
+    exact = brute_force_topk(ds, queries, k=10)
+    quant = quantized_topk(ds, queries, k=10)
+    for qi in range(5):
+        a = set(exact[exact["query_idx"] == qi]["vec_id"])
+        b = set(quant[quant["query_idx"] == qi]["vec_id"])
+        assert len(a & b) >= 9, f"recall@10 below 0.9 for query {qi}"
+
+    qds = quantize_embeddings(ds).to_pandas().sort_values("vec_id")
+    row = qds.iloc[0]
+    deq = np.frombuffer(row["q"], dtype=np.int8).astype(np.float32) \
+        * row["scale"]
+    normed = emb[0] / np.linalg.norm(emb[0])
+    assert np.abs(deq - normed).max() <= row["scale"] * 0.5 + 1e-6
