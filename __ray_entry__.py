@@ -862,7 +862,7 @@ def _q_cc_end_to_end(sf_dir: str):
 
     n_docs = pq.ParquetFile(
         os.path.join(sf_dir, "documents.parquet")).metadata.num_rows * 2
-    return cc_end_to_end(synth_dataset(n_docs),
+    return cc_end_to_end(synth_dataset(n_docs), n_pages=n_docs,
                          blocked_hosts=[f"site{i}.example"
                                         for i in range(10)])
 

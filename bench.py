@@ -205,6 +205,21 @@ def _q_phonemize():
               batch_size=128).sum("n_phonemes")
 
 
+def _q_cc_end_to_end():
+    """Composed flagship: policy filter → extract → quality → per-host
+    dedup over synth CC pages (2× documents rows)."""
+    import pyarrow.parquet as pq
+
+    from gruut_ray.pipelines.quality_filter import cc_end_to_end
+    from gruut_ray.sources.synth import synth_dataset
+
+    n = pq.ParquetFile(os.path.join(SF_DIR,
+                                    "documents.parquet")).metadata.num_rows
+    cc_end_to_end(synth_dataset(n * 2), n_pages=n * 2,
+                  blocked_hosts=[f"site{i}.example" for i in range(10)],
+                  use_ppl=False)
+
+
 def _q_intra_source_dedup():
     """Per-domain exact dedup: (source, 128-bit hash) combiner →
     distributed groupby → per-source rollup."""
@@ -220,6 +235,7 @@ def _q_top_bigrams():
 
 SECONDARY = {
     "tokens_by_lang": _q_tokens_by_lang,
+    "cc_end_to_end": _q_cc_end_to_end,
     "intra_source_dedup": _q_intra_source_dedup,
     "top_bigrams": _q_top_bigrams,
     "phonemize": _q_phonemize,

@@ -310,6 +310,7 @@ def run_to_parquet(
 def cc_end_to_end(pages: "ray.data.Dataset",
                   blocked_hosts: typing.Sequence[str] = (),
                   blocked_patterns: typing.Sequence[str] = (r"/zh/",),
+                  n_pages: typing.Optional[int] = None,
                   **qf_kwargs) -> "pd.DataFrame":
     """The composed flagship: URL policy filter → html extract (byte-
     identity asserted in-stream) → fused langid/quality/PII scrub →
@@ -339,7 +340,11 @@ def cc_end_to_end(pages: "ray.data.Dataset",
         keep = pa.array([r == "" for r in reasons])
         return batch.filter(keep)
 
-    n_pages = pages.count()
+    # pass n_pages when known (synth/counted input): pages.count() on a
+    # generated chain re-executes it end to end (the whole pipeline ran
+    # 3x before this counter moved in-stream)
+    if n_pages is None:
+        n_pages = pages.count()
     kept_pages = flagged.map_batches(count_and_keep,
                                      batch_format="pyarrow")
 
@@ -373,37 +378,55 @@ def cc_end_to_end(pages: "ray.data.Dataset",
             hh = hashlib.blake2b((t or "").encode(),
                                  digest_size=16).hexdigest()
             rows[(h, hh)] = rows.get((h, hh), 0) + 1
+        # sentinel row (n=0) carries the batch's survivor count so the
+        # policy stage never needs a second execution; final_partials
+        # excludes n==0 rows from the unique/kept accounting
+        hosts_out = [k[0] for k in rows] + [None]
+        hashes_out = [k[1] for k in rows] + ["__seen__"]
+        n_out = list(rows.values()) + [0]
+        kept_out = ([n_kept] + [0] * (len(rows) - 1) if rows else []) + [0]
+        seen_out = [0] * len(rows) + [len(keep)]
         return pa.table({
-            "host": pa.array([k[0] for k in rows], type=pa.string()),
-            "h": pa.array([k[1] for k in rows], type=pa.string()),
-            "n": pa.array(list(rows.values()), type=pa.int64()),
-            "n_kept": pa.array([n_kept] + [0] * (len(rows) - 1)
-                               if rows else [], type=pa.int64()),
+            "host": pa.array(hosts_out, type=pa.string()),
+            "h": pa.array(hashes_out, type=pa.string()),
+            "n": pa.array(n_out, type=pa.int64()),
+            "n_kept": pa.array(kept_out, type=pa.int64()),
+            "n_seen": pa.array(seen_out, type=pa.int64()),
         })
 
     pairs = (scored.map_batches(pair_partials, batch_format="pyarrow")
              .groupby(["host", "h"])
              .aggregate(Sum("n", alias_name="n"),
-                        Sum("n_kept", alias_name="n_kept")))
+                        Sum("n_kept", alias_name="n_kept"),
+                        Sum("n_seen", alias_name="n_seen")))
 
     def final_partials(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
             return pa.table({"g": pa.array([], type=pa.int64()),
                              "n_kept": pa.array([], type=pa.int64()),
-                             "n_unique": pa.array([], type=pa.int64())})
+                             "n_unique": pa.array([], type=pa.int64()),
+                             "n_seen": pa.array([], type=pa.int64())})
+        real = pc.greater(batch.column("n"), 0)  # drop the seen-sentinel
         return pa.table({
             "g": pa.array([0] * 1, type=pa.int64()),
             "n_kept": pa.array(
                 [pc.sum(batch.column("n_kept")).as_py() or 0],
                 type=pa.int64()),
-            "n_unique": pa.array([batch.num_rows], type=pa.int64()),
+            "n_unique": pa.array(
+                [pc.sum(pc.cast(real, pa.int64())).as_py() or 0],
+                type=pa.int64()),
+            "n_seen": pa.array(
+                [pc.sum(batch.column("n_seen")).as_py() or 0],
+                type=pa.int64()),
         })
 
     summary = partial_then_merge(pairs, final_partials, ["g"],
-                                 {"n_kept": "sum", "n_unique": "sum"})
+                                 {"n_kept": "sum", "n_unique": "sum",
+                                  "n_seen": "sum"})
     n_kept = int(summary["n_kept"].sum()) if not summary.empty else 0
     n_unique = int(summary["n_unique"].sum()) if not summary.empty else 0
-    n_after_policy = kept_pages.count()
+    n_after_policy = (int(summary["n_seen"].sum())
+                      if not summary.empty else 0)
     return pd.DataFrame({
         "n_pages": [int(n_pages)],
         "n_blocked": [int(n_pages - n_after_policy)],
