@@ -411,6 +411,15 @@ def _q_knn_top10(sf_dir: str):
         score=lambda d: d["score"].astype("float64").round(6))
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid sums in exact scaled-int math (one
+    numpy scatter per batch; vectors never shuffle)."""
+    from gruut_ray.pipelines.similarity import label_centroids
+
+    return label_centroids(
+        _read(sf_dir, "embeddings", columns=["label", "embedding"]))
+
+
 def _q_knn_quantized_top10(sf_dir: str):
     """int8-quantized brute-force cosine top-10 (the memory-bound scale
     path: 4× less corpus traffic).  Approximate through rounding only →
@@ -1203,6 +1212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
         "knn_top10": _q_knn_top10,
+        "label_centroids": _q_label_centroids,
         "knn_quantized_top10": _q_knn_quantized_top10,
         "ann_lsh_top10": _q_ann_lsh_top10,
         "ann_ivf_top10": _q_ann_ivf_top10,
@@ -1593,6 +1603,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "label_centroids": """
+            WITH u AS (
+                SELECT label,
+                       unnest(embedding) AS x,
+                       unnest(generate_series(1, len(embedding))) AS dim
+                FROM embeddings
+            )
+            SELECT label, dim,
+                   -- CAST to DOUBLE first: FLOAT * INT stays float32 in
+                   -- SQL, which rounds differently than the engine's
+                   -- float64 kernel on values near .5 ulps
+                   CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS BIGINT) AS sum_scaled,
+                   count(*) AS n
+            FROM u GROUP BY label, dim ORDER BY label, dim
         """,
         "customers_with_orders": """
             SELECT count(*) AS n_customers,

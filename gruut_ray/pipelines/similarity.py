@@ -506,3 +506,52 @@ def quantized_topk(ds: "ray.data.Dataset", queries: np.ndarray,
            .groupby("query_idx", as_index=False).head(k)
            .reset_index(drop=True))
     return out
+
+
+def label_centroids(ds: "ray.data.Dataset", label_col: str = "label",
+                    emb_col: str = "embedding",
+                    scale: int = 1_000_000) -> "pd.DataFrame":
+    """Per-label embedding centroid sums — the grouped reduce over a
+    vector column that class-prototype / cluster-quality jobs need.
+    Components are scaled to int64 (``round(x * scale)``) before any
+    summation, so the result is order-independent and the SQL oracle
+    (unnest + group by dim) compares bit-for-bit; the float centroid is
+    ``sum_scaled / (n * scale)`` on the consumer side.
+
+    Scale shape: each batch reduces to (labels-in-batch × dim) rows via
+    one numpy ``add.at`` scatter — vectors never shuffle, only the
+    (label, dim, sum, n) partials."""
+    import pandas as pd
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    def partials(batch: pa.Table) -> pa.Table:
+        emb = np.asarray(batch.column(emb_col).to_pylist(),
+                         dtype=np.float64)
+        y = emb * scale
+        # round HALF AWAY FROM ZERO to match SQL round() — np.rint is
+        # half-to-even and disagrees on exact .5 fractions (float32
+        # components hit them often)
+        scaled = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+        labels = np.asarray(batch.column(label_col).to_pylist(),
+                            dtype=np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), scaled.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, scaled)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        n_lab, dim = sums.shape
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim), type=pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1), n_lab),
+                            type=pa.int64()),
+            "sum_scaled": pa.array(sums.ravel(), type=pa.int64()),
+            "n": pa.array(np.repeat(counts, dim), type=pa.int64()),
+        })
+
+    out = partial_then_merge(
+        ds.select_columns([label_col, emb_col]), partials,
+        ["label", "dim"], {"sum_scaled": "sum", "n": "sum"},
+        exact_int_cols=["sum_scaled"])
+    out["sum_scaled"] = out["sum_scaled"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out[["label", "dim", "sum_scaled", "n"]]
