@@ -420,6 +420,15 @@ def _q_label_centroids(sf_dir: str):
         _read(sf_dir, "embeddings", columns=["label", "embedding"]))
 
 
+def _q_nearest_centroid_confusion(sf_dir: str):
+    """Nearest-centroid classification confusion counts over the labeled
+    embeddings: exact centroids broadcast, one matmul per batch."""
+    from gruut_ray.pipelines.similarity import nearest_centroid_confusion
+
+    return nearest_centroid_confusion(
+        _read(sf_dir, "embeddings", columns=["label", "embedding"]))
+
+
 def _q_knn_quantized_top10(sf_dir: str):
     """int8-quantized brute-force cosine top-10 (the memory-bound scale
     path: 4× less corpus traffic).  Approximate through rounding only →
@@ -1213,6 +1222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "knn_top10": _q_knn_top10,
         "label_centroids": _q_label_centroids,
+        "nearest_centroid_confusion": _q_nearest_centroid_confusion,
         "knn_quantized_top10": _q_knn_quantized_top10,
         "ann_lsh_top10": _q_ann_lsh_top10,
         "ann_ivf_top10": _q_ann_ivf_top10,
@@ -1619,6 +1629,37 @@ def oracle_sql() -> dict[str, str]:
                                  AS BIGINT)) AS BIGINT) AS sum_scaled,
                    count(*) AS n
             FROM u GROUP BY label, dim ORDER BY label, dim
+        """,
+        "nearest_centroid_confusion": """
+            WITH u AS (
+                SELECT label, unnest(embedding) AS x,
+                       unnest(generate_series(1, len(embedding))) AS dim
+                FROM embeddings
+            ), cent AS (
+                SELECT label AS clabel, dim,
+                       CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                     AS BIGINT)) AS DOUBLE)
+                           / (count(*) * 1000000.0) AS c
+                FROM u GROUP BY clabel, dim
+            ), ev AS (
+                SELECT vec_id, label, unnest(embedding) AS x,
+                       unnest(generate_series(1, len(embedding))) AS dim
+                FROM embeddings
+            ), dist AS (
+                SELECT ev.vec_id, ev.label, cent.clabel,
+                       sum((CAST(ev.x AS DOUBLE) - cent.c)
+                           * (CAST(ev.x AS DOUBLE) - cent.c)) AS d
+                FROM ev JOIN cent USING (dim)
+                GROUP BY ev.vec_id, ev.label, cent.clabel
+            ), best AS (
+                SELECT vec_id, label, clabel AS assigned,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, clabel) AS rk
+                FROM dist
+            )
+            SELECT label, assigned, count(*) AS n
+            FROM best WHERE rk = 1
+            GROUP BY label, assigned ORDER BY label, assigned
         """,
         "customers_with_orders": """
             SELECT count(*) AS n_customers,

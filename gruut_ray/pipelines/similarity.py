@@ -555,3 +555,58 @@ def label_centroids(ds: "ray.data.Dataset", label_col: str = "label",
     out["sum_scaled"] = out["sum_scaled"].astype("int64")
     out["n"] = out["n"].astype("int64")
     return out[["label", "dim", "sum_scaled", "n"]]
+
+
+def nearest_centroid_confusion(ds: "ray.data.Dataset",
+                               label_col: str = "label",
+                               emb_col: str = "embedding",
+                               ) -> "pd.DataFrame":
+    """Nearest-centroid classification confusion counts — the cheap
+    cluster-quality / leakage check over a labeled embedding table:
+    pass 1 computes exact per-label centroids (:func:`label_centroids`),
+    pass 2 broadcasts the small (labels × dim) centroid matrix and
+    assigns every vector to its nearest centroid by squared L2 with one
+    matmul per batch.  Returns (label, assigned, n) counts (ints —
+    exact given non-tied distances, which hold for separated clusters;
+    the SQL oracle replays the same two passes)."""
+    import pandas as pd
+    import ray
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    cent = label_centroids(ds, label_col=label_col, emb_col=emb_col)
+    dim = int(cent["dim"].max())
+    labels = np.sort(cent["label"].unique())
+    mat = np.zeros((len(labels), dim), dtype=np.float64)
+    lab_index = {int(l): i for i, l in enumerate(labels)}
+    for lab, g in cent.groupby("label"):
+        g = g.sort_values("dim")
+        mat[lab_index[int(lab)]] = (g["sum_scaled"].to_numpy(np.float64)
+                                    / (g["n"].to_numpy(np.float64) * 1e6))
+    cent_ref = ray.put((labels.astype(np.int64), mat))
+
+    def assign(batch: pa.Table, _cache={}) -> pa.Table:
+        if "c" not in _cache:
+            _cache["c"] = ray.get(cent_ref)
+        labs, cm = _cache["c"]
+        emb = np.asarray(batch.column(emb_col).to_pylist(),
+                         dtype=np.float64)
+        # squared L2 via the matmul identity ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²
+        # (‖x‖² is constant per row, so argmin needs only −2x·c + ‖c‖²)
+        scores = -2.0 * (emb @ cm.T) + (cm * cm).sum(axis=1)[None, :]
+        assigned = labs[np.argmin(scores, axis=1)]
+        true = np.asarray(batch.column(label_col).to_pylist(),
+                          dtype=np.int64)
+        df = pd.DataFrame({"label": true, "assigned": assigned})
+        agg = df.groupby(["label", "assigned"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    out = partial_then_merge(
+        ds.select_columns([label_col, emb_col]), assign,
+        ["label", "assigned"], {"n": "sum"})
+    out["label"] = out["label"].astype("int64")
+    out["assigned"] = out["assigned"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
