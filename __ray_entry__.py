@@ -420,6 +420,23 @@ def _q_label_centroids(sf_dir: str):
         _read(sf_dir, "embeddings", columns=["label", "embedding"]))
 
 
+def _q_kmeans_convergence(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings (broadcast
+    centroids, scatter partials, driver recompute): per-iteration
+    inertia, non-increasing by construction.  Iterative/model-driven →
+    rows-only; the monotonicity + cluster-recovery invariants are pinned
+    in tests/test_similarity.py."""
+    import pandas as pd
+
+    from gruut_ray.pipelines.similarity import kmeans_fit
+
+    _, hist = kmeans_fit(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        k=10, iters=6)
+    return pd.DataFrame({"iteration": range(len(hist)),
+                         "inertia": [round(h, 4) for h in hist]})
+
+
 def _q_nearest_centroid_confusion(sf_dir: str):
     """Nearest-centroid classification confusion counts over the labeled
     embeddings: exact centroids broadcast, one matmul per batch."""
@@ -1223,6 +1240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top10": _q_knn_top10,
         "label_centroids": _q_label_centroids,
         "nearest_centroid_confusion": _q_nearest_centroid_confusion,
+        "kmeans_convergence": _q_kmeans_convergence,
         "knn_quantized_top10": _q_knn_quantized_top10,
         "ann_lsh_top10": _q_ann_lsh_top10,
         "ann_ivf_top10": _q_ann_ivf_top10,

@@ -610,3 +610,102 @@ def nearest_centroid_confusion(ds: "ray.data.Dataset",
     out["assigned"] = out["assigned"].astype("int64")
     out["n"] = out["n"].astype("int64")
     return out
+
+
+def kmeans_fit(ds: "ray.data.Dataset", k: int = 10, iters: int = 5,
+               emb_col: str = "embedding", id_col: str = "vec_id",
+               seed: int = 29) -> typing.Tuple[np.ndarray, typing.List[float]]:
+    """Distributed Lloyd's k-means — the iterative-dataflow pattern: each
+    round broadcasts the (k × dim) centroid matrix via ``ray.put``, one
+    matmul per batch assigns vectors, and per-batch scatter partials
+    (cluster sums + counts + inertia) reduce to the next centroids on the
+    driver.  Per round the exchange is (batches × k × 1) partial rows —
+    vectors never move; rounds are plain Python, so convergence-based
+    early exit is free.
+
+    Init is the k lowest ``md5(id)`` rows (deterministic across runs and
+    partitionings, same rule as stratified_sample).  Returns
+    ``(centroids, inertia_history)``; inertia is exactly the sum of
+    squared distances of every vector to its assigned centroid, computed
+    in the SAME pass as the assignment (no extra scan)."""
+    import hashlib
+
+    import pandas as pd
+    import ray
+
+    # --- deterministic farthest-point init over a bounded hash-sample:
+    # the k lowest-md5 rows alone can all fall in one true cluster (a
+    # local optimum Lloyd's never escapes), so pull a candidate pool and
+    # greedily pick spread-out seeds — still fully deterministic ---
+    pool = max(8 * k, 64)
+
+    def init_partials(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        hs = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        order = np.argsort(np.asarray(hs))[:pool]
+        emb = np.asarray(batch.column(emb_col).to_pylist(),
+                         dtype=np.float64)
+        return pa.table({
+            "h": pa.array([hs[i] for i in order], type=pa.string()),
+            "v": pa.array([emb[i].tobytes() for i in order],
+                          type=pa.binary()),
+        })
+
+    cand = ds.select_columns([id_col, emb_col]) \
+        .map_batches(init_partials, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("h").head(pool)
+    cvecs = np.stack([np.frombuffer(b, dtype=np.float64)
+                      for b in cand["v"]])
+    chosen = [0]  # lowest hash
+    while len(chosen) < min(k, len(cvecs)):
+        d = np.min(
+            ((cvecs[:, None, :] - cvecs[chosen][None, :, :]) ** 2)
+            .sum(axis=2), axis=1)
+        d[chosen] = -1.0
+        chosen.append(int(np.argmax(d)))
+    cent = cvecs[chosen]
+    dim = cent.shape[1]
+
+    history: typing.List[float] = []
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def step(batch: pa.Table, _cache={}) -> pa.Table:
+            c = _cache.get(cent_ref)
+            if c is None:
+                _cache.clear()
+                c = _cache[cent_ref] = ray.get(cent_ref)
+            emb = np.asarray(batch.column(emb_col).to_pylist(),
+                             dtype=np.float64)
+            d = (-2.0 * (emb @ c.T)
+                 + (c * c).sum(axis=1)[None, :])
+            a = np.argmin(d, axis=1)
+            inert = float((emb * emb).sum()
+                          + d[np.arange(len(a)), a].sum())
+            sums = np.zeros((k, emb.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, emb)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(k), type=pa.int64()),
+                "vsum": pa.array([row.tobytes() for row in sums],
+                                 type=pa.binary()),
+                "n": pa.array(counts, type=pa.int64()),
+                "inertia": pa.array(
+                    [inert] + [0.0] * (k - 1), type=pa.float64()),
+            })
+
+        parts = ds.select_columns([emb_col]) \
+            .map_batches(step, batch_format="pyarrow").to_pandas()
+        history.append(float(parts["inertia"].sum()))
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for cl, blob, n in zip(parts["cluster"], parts["vsum"],
+                               parts["n"]):
+            sums[cl] += np.frombuffer(blob, dtype=np.float64)
+            counts[cl] += n
+        nonzero = counts > 0
+        cent = np.where(nonzero[:, None],
+                        sums / np.maximum(counts, 1)[:, None], cent)
+        if len(history) >= 2 and history[-1] >= history[-2] - 1e-9:
+            break  # converged (inertia is non-increasing under Lloyd's)
+    return cent, history

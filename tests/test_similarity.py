@@ -222,3 +222,34 @@ def test_quantized_topk_recall_vs_exact(ray_session):
         * row["scale"]
     normed = emb[0] / np.linalg.norm(emb[0])
     assert np.abs(deq - normed).max() <= row["scale"] * 0.5 + 1e-6
+
+
+def test_kmeans_inertia_monotone_and_recovers_labels(ray_session):
+    """Lloyd's invariant: inertia non-increasing per round; on separated
+    synthetic clusters the fitted centroids recover the true structure
+    (each true cluster maps to a distinct fitted centroid)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from gruut_ray.pipelines.similarity import kmeans_fit
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(4, 16)) * 10.0
+    rows, labels = [], []
+    for i in range(400):
+        c = i % 4
+        rows.append((centers[c] + rng.normal(size=16) * 0.2).tolist())
+        labels.append(c)
+    tbl = pa.table({"vec_id": pa.array(range(400), type=pa.int64()),
+                    "embedding": pa.array(rows)})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    cent, hist = kmeans_fit(ds, k=4, iters=8)
+    assert all(hist[i + 1] <= hist[i] + 1e-6 for i in range(len(hist) - 1))
+    # every true center has a fitted centroid within a fraction of the
+    # inter-center distance, and they are distinct
+    assign = [int(np.argmin(((cent - c) ** 2).sum(axis=1)))
+              for c in centers]
+    assert len(set(assign)) == 4
+    for c, a in zip(centers, assign):
+        assert np.linalg.norm(cent[a] - c) < 1.0
