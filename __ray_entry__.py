@@ -1201,7 +1201,14 @@ def _q_sessionize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordering contract (VERDICT r03 #1): the driver verifies only the
+    # FIRST 50 entries, so every oracle-gated query (an entry in
+    # oracle_sql()) is listed before every rows-only one.  Slots 1-50 are
+    # all oracled; slots 51-60 hold the remaining oracled queries (covered
+    # by `python -m gruut_ray.tools.gate_check`); rows-only entries come
+    # last.  tests/test_jobs.py pins this invariant.
     return {
+        # --- oracled, driver window (1-50) -------------------------------
         "doc_count_by_lang": _q_doc_count_by_lang,
         "tokens_by_lang": _q_tokens_by_lang,
         "bpe_tokens_by_source": _q_bpe_tokens_by_source,
@@ -1240,35 +1247,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top10": _q_knn_top10,
         "label_centroids": _q_label_centroids,
         "nearest_centroid_confusion": _q_nearest_centroid_confusion,
-        "kmeans_convergence": _q_kmeans_convergence,
-        "knn_quantized_top10": _q_knn_quantized_top10,
-        "ann_lsh_top10": _q_ann_lsh_top10,
-        "ann_ivf_top10": _q_ann_ivf_top10,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
-        "semantic_dedup_count": _q_semantic_dedup_count,
         "normalize_spoken_tokens": _q_normalize_spoken_tokens,
-        "phonemize_documents": _q_phonemize_documents,
-        "cc_quality_filter": _q_cc_quality_filter,
-        "quality_filter_documents": _q_quality_filter_documents,
-        "minhash_dedup_count": _q_minhash_dedup_count,
-        "simhash_signatures": _q_simhash_signatures,
-        "winnow_sketches": _q_winnow_sketches,
+        "sessionize": _q_sessionize,
+        "asof_attribution": _q_asof_attribution,
+        "daily_active_users": _q_daily_active_users,
+        "user_retention": _q_user_retention,
+        "intra_source_dedup": _q_intra_source_dedup,
+        "dup_chain_components": _q_dup_chain_components,
+        "mixture_sample": _q_mixture_sample,
+        "line_dedup_stats": _q_line_dedup_stats,
+        "contamination_overlap": _q_contamination_overlap,
+        "value_quantiles_approx": _q_value_quantiles_approx,
+        # --- oracled, past the driver window (gate_check covers these) ---
         "repetition_stats": _q_repetition_stats,
         "quality_signals": _q_quality_signals,
         "longest_doc_per_lang": _q_longest_doc_per_lang,
         "top3_docs_per_lang": _q_top3_docs_per_lang,
         "lang_source_rollup": _q_lang_source_rollup,
         "user_rolling_window": _q_user_rolling_window,
-        "value_quantiles_approx": _q_value_quantiles_approx,
         "stratified_sample": _q_stratified_sample,
         "length_quantiles_by_lang": _q_length_quantiles,
         "quantile_threshold_keep": _q_quantile_threshold_keep,
-        "dup_chain_components": _q_dup_chain_components,
-        "line_dedup_stats": _q_line_dedup_stats,
+        "source_prior_flags": _q_source_prior_flags,
+        # --- rows-only (no SQL oracle; invariants pinned in tests/) ------
+        "kmeans_convergence": _q_kmeans_convergence,
+        "knn_quantized_top10": _q_knn_quantized_top10,
+        "ann_lsh_top10": _q_ann_lsh_top10,
+        "ann_ivf_top10": _q_ann_ivf_top10,
+        "semantic_dedup_count": _q_semantic_dedup_count,
+        "phonemize_documents": _q_phonemize_documents,
+        "cc_quality_filter": _q_cc_quality_filter,
+        "quality_filter_documents": _q_quality_filter_documents,
+        "minhash_dedup_count": _q_minhash_dedup_count,
+        "simhash_signatures": _q_simhash_signatures,
+        "winnow_sketches": _q_winnow_sketches,
         "incremental_dedup": _q_incremental_dedup,
         "dsir_select": _q_dsir_select,
         "cms_term_estimates": _q_cms_term_estimates,
-        "mixture_sample": _q_mixture_sample,
         "pack_sequences": _q_pack_sequences,
         "webdataset_export": _q_webdataset_export,
         "substring_dup_pairs": _q_substring_dup_pairs,
@@ -1276,15 +1292,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": _q_host_stats,
         "cc_end_to_end": _q_cc_end_to_end,
         "url_policy_filter": _q_url_policy_filter,
-        "source_prior_flags": _q_source_prior_flags,
-        "intra_source_dedup": _q_intra_source_dedup,
-        "contamination_overlap": _q_contamination_overlap,
-        "daily_active_users": _q_daily_active_users,
         "approx_daily_active_users": _q_approx_daily_active_users,
         "heavy_hitter_terms": _q_heavy_hitter_terms,
-        "user_retention": _q_user_retention,
-        "sessionize": _q_sessionize,
-        "asof_attribution": _q_asof_attribution,
     }
 
 
