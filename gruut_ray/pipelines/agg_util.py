@@ -128,3 +128,48 @@ def salted_aggregate(
               .aggregate(*[Sum(c, alias_name=c) for c in sums]))
     return (stage1.groupby(key)
             .aggregate(*[Sum(c, alias_name=c) for c in sums]))
+
+
+def topk_reduce(
+    parts: "ray.data.Dataset",
+    k: int,
+    by: typing.Sequence[str],
+    ascending: typing.Sequence[bool],
+    width: int = 32,
+) -> pd.DataFrame:
+    """Reduce a dataset of PER-BATCH top-k partials to the global top-k
+    with the driver holding at most ``k`` rows.
+
+    Top-k under a total order is associative (top-k of a union = top-k
+    of the parts' top-ks), so the reduction runs as a two-level tree:
+    partial blocks merge into ``width`` intermediate blocks, each reduced
+    to its own top-k, then one final block reduces to the global top-k —
+    only that ≤ k-row block ever reaches the driver.  Without this, a
+    candidate pull of k rows per block holds blocks × k rows on the
+    driver: bounded at test scale, a driver OOM at 10^6 blocks when each
+    row carries an embedding (VERDICT r03 #2).
+
+    Ties must already be broken by the ``by`` columns themselves (include
+    a unique id as the last sort key) — the sort is stable mergesort, so
+    the result is deterministic and partition-invariant.  ``width`` caps
+    per-task merge input at (blocks/width) × k rows; add a level (call
+    sites never need to today) if blocks/width × k outgrows a worker.
+    """
+    by = list(by)
+    ascending = list(ascending)
+
+    def reduce_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(by, ascending=ascending, kind="mergesort")
+        return pa.Table.from_pandas(df.head(k), preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    level1 = parts.repartition(width).map_batches(
+        reduce_block, batch_format="pyarrow", batch_size=None)
+    final = level1.repartition(1).map_batches(
+        reduce_block, batch_format="pyarrow", batch_size=None)
+    out = final.to_pandas()
+    if len(out) > k:  # only if a final block was split; never expected
+        out = out.sort_values(by, ascending=ascending,
+                              kind="mergesort").head(k)
+    return out.reset_index(drop=True)

@@ -140,11 +140,13 @@ def dsir_select(
             "_key": pa.array(key[order]),
         })
 
-    cands = (corpus.map_batches(score, batch_format="pyarrow")
-             .to_pandas())
-    picked = (cands.sort_values(["_key", id_col],
-                                ascending=[False, True])
-              .head(n_select)
+    from gruut_ray.pipelines.agg_util import topk_reduce
+
+    # distributed top-n_select reduce: the driver receives ≤ n_select
+    # candidate rows regardless of block count (VERDICT r03 #2)
+    parts = corpus.map_batches(score, batch_format="pyarrow")
+    picked = (topk_reduce(parts, n_select, by=["_key", id_col],
+                          ascending=[False, True])
               .drop(columns=["_key"])
               .sort_values(id_col)
               .reset_index(drop=True))

@@ -651,9 +651,13 @@ def kmeans_fit(ds: "ray.data.Dataset", k: int = 10, iters: int = 5,
                           type=pa.binary()),
         })
 
-    cand = ds.select_columns([id_col, emb_col]) \
-        .map_batches(init_partials, batch_format="pyarrow").to_pandas()
-    cand = cand.sort_values("h").head(pool)
+    from gruut_ray.pipelines.agg_util import topk_reduce
+
+    # distributed bottom-pool reduce: the driver receives ≤ pool rows no
+    # matter how many blocks emitted partials (VERDICT r03 #2)
+    parts = ds.select_columns([id_col, emb_col]) \
+        .map_batches(init_partials, batch_format="pyarrow")
+    cand = topk_reduce(parts, pool, by=["h"], ascending=[True])
     cvecs = np.stack([np.frombuffer(b, dtype=np.float64)
                       for b in cand["v"]])
     chosen = [0]  # lowest hash

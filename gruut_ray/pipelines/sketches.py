@@ -382,8 +382,9 @@ def bottomk_sample_quantiles(
     hash-checks what is normally an unverifiable approximation.
     Standard bottom-k theory gives rank error O(n/sqrt(k)).
 
-    Scale shape: each batch emits its own bottom-k (k rows max), the
-    driver keeps the global bottom-k of blocks × k candidate rows;
+    Scale shape: each batch emits its own bottom-k (k rows max), a
+    two-level distributed reduce (``topk_reduce``) hands the driver only
+    the global bottom-k;
     quantiles use the ``quantile_disc`` convention (value at 0-based
     rank ``ceil(q·k) − 1``) in exact rational arithmetic."""
     import math
@@ -400,9 +401,13 @@ def bottomk_sample_quantiles(
                 pa.array(order, type=pa.int64())),
         })
 
-    cands = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    sample = (cands.sort_values(["h", id_col], kind="mergesort")
-              .head(k)[val_col].to_numpy())
+    from gruut_ray.pipelines.agg_util import topk_reduce
+
+    # distributed bottom-k reduce: ≤ k rows reach the driver regardless
+    # of block count (same hardening as kmeans init, VERDICT r03 #2)
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    sample = topk_reduce(parts, k, by=["h", id_col],
+                         ascending=[True, True])[val_col].to_numpy()
     vals = np.sort(sample)
     n = len(vals)
     row = {"n_sample": n}
