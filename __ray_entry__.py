@@ -137,21 +137,28 @@ def _q_top10_longest(sf_dir: str):
 def _q_pricing_summary(sf_dir: str):
     from gruut_ray.pipelines.relational import pricing_summary
 
-    return pricing_summary(_read(sf_dir, "lineitem"))
+    return pricing_summary(_read(sf_dir, "lineitem",
+                              columns=["l_quantity", "l_extendedprice",
+                                       "l_discount", "l_tax",
+                                       "l_returnflag", "l_linestatus",
+                                       "l_shipdate"]))
 
 
 def _q_revenue_by_segment(sf_dir: str):
     from gruut_ray.pipelines.relational import revenue_by_segment
 
-    return revenue_by_segment(_read(sf_dir, "orders"),
-                              _read(sf_dir, "customer"))
+    return revenue_by_segment(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]))
 
 
 def _q_revenue_by_priority(sf_dir: str):
     from gruut_ray.pipelines.relational import revenue_by_priority
 
-    return revenue_by_priority(_read(sf_dir, "orders"),
-                               _read(sf_dir, "lineitem"))
+    return revenue_by_priority(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]),
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_extendedprice", "l_discount"]))
 
 
 def _q_revenue_by_priority_skew(sf_dir: str):
@@ -161,8 +168,10 @@ def _q_revenue_by_priority_skew(sf_dir: str):
     exercises at sf0.01).  Identical SQL oracle."""
     from gruut_ray.pipelines.relational import revenue_by_priority_skew
 
-    return revenue_by_priority_skew(_read(sf_dir, "orders"),
-                                    _read(sf_dir, "lineitem"))
+    return revenue_by_priority_skew(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]),
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_extendedprice", "l_discount"]))
 
 
 def _q_customers_with_orders(sf_dir: str):
@@ -170,8 +179,9 @@ def _q_customers_with_orders(sf_dir: str):
     customer rows collapse to (count, checksum) witnesses."""
     from gruut_ray.pipelines.relational import customers_with_orders
 
-    return customers_with_orders(_read(sf_dir, "customer"),
-                                 _read(sf_dir, "orders"))
+    return customers_with_orders(
+        _read(sf_dir, "customer", columns=["c_custkey"]),
+        _read(sf_dir, "orders", columns=["o_custkey"]))
 
 
 def _q_weekly_active_users(sf_dir: str):
@@ -179,7 +189,8 @@ def _q_weekly_active_users(sf_dir: str):
     (week, user) pair combiner → groupby → per-week count."""
     from gruut_ray.pipelines.relational import weekly_active_users
 
-    return weekly_active_users(_read(sf_dir, "events"))
+    return weekly_active_users(
+        _read(sf_dir, "events", columns=["ts", "user_id"]))
 
 
 def _q_promo_revenue_by_type(sf_dir: str):
@@ -187,8 +198,10 @@ def _q_promo_revenue_by_type(sf_dir: str):
     batches map partkey→type locally, exact fixed-point revenue."""
     from gruut_ray.pipelines.relational import promo_revenue_by_type
 
-    return promo_revenue_by_type(_read(sf_dir, "lineitem"),
-                                 _read(sf_dir, "part"))
+    return promo_revenue_by_type(
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "part", columns=["p_partkey", "p_type"]))
 
 
 def _q_props_value_stats(sf_dir: str):
@@ -196,7 +209,8 @@ def _q_props_value_stats(sf_dir: str):
     (RE2 fast path + json.loads fallback) field extractor."""
     from gruut_ray.pipelines.relational import props_value_stats
 
-    return props_value_stats(_read(sf_dir, "events"))
+    return props_value_stats(
+        _read(sf_dir, "events", columns=["event_type", "props"]))
 
 
 def _q_event_gap_histogram(sf_dir: str):
@@ -205,7 +219,8 @@ def _q_event_gap_histogram(sf_dir: str):
     below the row limit)."""
     from gruut_ray.pipelines.relational import event_gap_histogram
 
-    return event_gap_histogram(_read(sf_dir, "events"))
+    return event_gap_histogram(
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]))
 
 
 def _q_funnel_counts(sf_dir: str):
@@ -214,7 +229,9 @@ def _q_funnel_counts(sf_dir: str):
     vectorized ordering test."""
     from gruut_ray.pipelines.relational import funnel_counts
 
-    return funnel_counts(_read(sf_dir, "events"))
+    return funnel_counts(
+        _read(sf_dir, "events",
+              columns=["ts", "user_id", "event_type"]))
 
 
 def _q_nation_coverage(sf_dir: str):
@@ -222,8 +239,9 @@ def _q_nation_coverage(sf_dir: str):
     null sides real at small SF); sides pre-aggregate before the join."""
     from gruut_ray.pipelines.relational import nation_coverage
 
-    return nation_coverage(_read(sf_dir, "customer"),
-                           _read(sf_dir, "supplier"))
+    return nation_coverage(
+        _read(sf_dir, "customer", columns=["c_nationkey"]),
+        _read(sf_dir, "supplier", columns=["s_nationkey"]))
 
 
 def _q_bucketed_join_revenue(sf_dir: str):
@@ -235,8 +253,10 @@ def _q_bucketed_join_revenue(sf_dir: str):
     from gruut_ray.pipelines.relational import bucketed_join_revenue
 
     scratch = tempfile.mkdtemp(prefix="bucketed_join_", dir="/tmp")
-    return bucketed_join_revenue(_read(sf_dir, "orders"),
-                                 _read(sf_dir, "lineitem"),
+    return bucketed_join_revenue(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]),
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_extendedprice", "l_discount"]),
                                  scratch_dir=scratch)
 
 
@@ -245,8 +265,10 @@ def _q_late_order_priority(sf_dir: str):
     with a lineitem shipped >60 days after the order date, per priority."""
     from gruut_ray.pipelines.relational import late_order_priority
 
-    return late_order_priority(_read(sf_dir, "orders"),
-                               _read(sf_dir, "lineitem"))
+    return late_order_priority(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]))
 
 
 def _q_ship_delay_priority(sf_dir: str):
@@ -254,8 +276,10 @@ def _q_ship_delay_priority(sf_dir: str):
     high- vs low-priority lines (large×large join, per-batch combiner)."""
     from gruut_ray.pipelines.relational import ship_delay_priority
 
-    return ship_delay_priority(_read(sf_dir, "orders"),
-                               _read(sf_dir, "lineitem"))
+    return ship_delay_priority(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]))
 
 
 def _q_large_volume_customers(sf_dir: str):
@@ -263,9 +287,11 @@ def _q_large_volume_customers(sf_dir: str):
     orders + customer, top 100 by quantity via per-batch top-k partials."""
     from gruut_ray.pipelines.relational import large_volume_customers
 
-    return large_volume_customers(_read(sf_dir, "customer"),
-                                  _read(sf_dir, "orders"),
-                                  _read(sf_dir, "lineitem"))
+    return large_volume_customers(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_totalprice"]),
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]))
 
 
 def _q_returned_item_revenue(sf_dir: str):
@@ -273,16 +299,21 @@ def _q_returned_item_revenue(sf_dir: str):
     (filtered fact → shuffle join → custkey partials → dimension merge)."""
     from gruut_ray.pipelines.relational import returned_item_revenue
 
-    return returned_item_revenue(_read(sf_dir, "customer"),
-                                 _read(sf_dir, "orders"),
-                                 _read(sf_dir, "lineitem"),
-                                 _read(sf_dir, "nation"))
+    return returned_item_revenue(
+        _read(sf_dir, "customer",
+              columns=["c_custkey", "c_name", "c_nationkey"]),
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_extendedprice", "l_discount",
+                       "l_returnflag"]),
+        _read(sf_dir, "nation"))
 
 
 def _q_events_hourly(sf_dir: str):
     from gruut_ray.pipelines.relational import events_hourly_window
 
-    return events_hourly_window(_read(sf_dir, "events"))
+    return events_hourly_window(
+        _read(sf_dir, "events", columns=["ts", "event_type", "value"]))
 
 
 def _q_top_terms_by_lang(sf_dir: str):
@@ -323,9 +354,11 @@ def _q_top_bigrams_by_lang(sf_dir: str):
 def _q_suppliers_by_region(sf_dir: str):
     from gruut_ray.pipelines.relational import suppliers_by_region
 
-    return suppliers_by_region(_read(sf_dir, "supplier"),
-                               _read(sf_dir, "nation"),
-                               _read(sf_dir, "region"))
+    return suppliers_by_region(
+        _read(sf_dir, "supplier",
+              columns=["s_suppkey", "s_nationkey", "s_acctbal"]),
+        _read(sf_dir, "nation"),
+        _read(sf_dir, "region"))
 
 
 def _q_shipping_priority(sf_dir: str):
@@ -394,7 +427,8 @@ def _q_audit_sample(sf_dir: str):
 def _q_events_sliding(sf_dir: str):
     from gruut_ray.pipelines.relational import events_sliding_window
 
-    return events_sliding_window(_read(sf_dir, "events"))
+    return events_sliding_window(
+        _read(sf_dir, "events", columns=["ts", "event_type", "value"]))
 
 
 def _q_knn_top10(sf_dir: str):
@@ -638,7 +672,9 @@ def _q_cc_quality_filter(sf_dir: str):
 def _q_asof_attribution(sf_dir: str):
     from gruut_ray.pipelines.relational import asof_last_event
 
-    return asof_last_event(_read(sf_dir, "events"))
+    return asof_last_event(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "event_type"]))
 
 
 def _q_phonemize_documents(sf_dir: str):
@@ -1184,7 +1220,9 @@ def _q_user_rolling_window(sf_dir: str):
     vectorized after a user_id hash repartition."""
     from gruut_ray.pipelines.relational import user_rolling_window
 
-    return user_rolling_window(_read(sf_dir, "events"), window=10)
+    return user_rolling_window(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "value"]), window=10)
 
 
 def _q_sessionize(sf_dir: str):
@@ -1192,7 +1230,7 @@ def _q_sessionize(sf_dir: str):
 
     from gruut_ray.pipelines.relational import sessionize
 
-    out = sessionize(_read(sf_dir, "events"))
+    out = sessionize(_read(sf_dir, "events", columns=["ts", "user_id"]))
     agg = (out.groupby("user_id", as_index=False)
            .agg(n_sessions=("n_events", "size"),
                 n_events=("n_events", "sum"))

@@ -150,14 +150,19 @@ def _q_knn():
 
 def _q_pricing_summary():
     from gruut_ray.pipelines.relational import pricing_summary
-    pricing_summary(_read("lineitem"))
+    pricing_summary(_read("lineitem",
+                          ["l_quantity", "l_extendedprice", "l_discount",
+                           "l_tax", "l_returnflag", "l_linestatus",
+                           "l_shipdate"]))
 
 
 def _q_skew_join():
     """orders ⋈ lineitem via the skew-aware join (MG hot-key sketch,
     broadcast hot side, shuffle cold side) + exact rollup."""
     from gruut_ray.pipelines.relational import revenue_by_priority_skew
-    revenue_by_priority_skew(_read("orders"), _read("lineitem"))
+    revenue_by_priority_skew(
+        _read("orders", ["o_orderkey", "o_orderpriority"]),
+        _read("lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]))
 
 
 def _q_semantic_dedup():
@@ -169,12 +174,13 @@ def _q_semantic_dedup():
 
 def _q_rolling_window():
     from gruut_ray.pipelines.relational import user_rolling_window
-    user_rolling_window(_read("events"), window=10)
+    user_rolling_window(
+        _read("events", ["event_id", "ts", "user_id", "value"]), window=10)
 
 
 def _q_sessionize():
     from gruut_ray.pipelines.relational import sessionize
-    sessionize(_read("events"))
+    sessionize(_read("events", ["ts", "user_id"]))
 
 
 def _q_normalize():
@@ -233,6 +239,23 @@ def _q_top_bigrams():
     top_bigrams_by_lang(_read("documents", ["lang", "text"]), k=5)
 
 
+def _q_centroid_analytics():
+    """Embedding-analytics family (VERDICT r03 #8): per-label centroid
+    sums + nearest-centroid confusion counts — exact scaled-int math,
+    broadcast centroids, one matmul/scatter per batch."""
+    from gruut_ray.pipelines.similarity import (label_centroids,
+                                                nearest_centroid_confusion)
+    label_centroids(_read("embeddings", ["label", "embedding"]))
+    nearest_centroid_confusion(_read("embeddings", ["label", "embedding"]))
+
+
+def _q_kmeans():
+    """Distributed Lloyd's k-means: broadcast centroids, scatter
+    partials, distributed bottom-pool seeding (topk_reduce)."""
+    from gruut_ray.pipelines.similarity import kmeans_fit
+    kmeans_fit(_read("embeddings", ["vec_id", "embedding"]), k=10, iters=4)
+
+
 SECONDARY = {
     "tokens_by_lang": _q_tokens_by_lang,
     "cc_end_to_end": _q_cc_end_to_end,
@@ -245,6 +268,8 @@ SECONDARY = {
     "pricing_summary": _q_pricing_summary,
     "skew_join_revenue": _q_skew_join,
     "semantic_dedup": _q_semantic_dedup,
+    "centroid_analytics": _q_centroid_analytics,
+    "kmeans": _q_kmeans,
     "rolling_window": _q_rolling_window,
     "sessionize": _q_sessionize,
     "normalize_spoken": _q_normalize,
