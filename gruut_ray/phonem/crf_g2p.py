@@ -196,3 +196,53 @@ class CrfG2P:
             self._cache.clear()
         self._cache[word] = result = tuple(phonemes)
         return result
+
+
+def write_crf1d(path: str, labels: typing.Sequence[str],
+                attrs: typing.Sequence[str],
+                state: typing.Sequence[typing.Tuple[int, int, float]],
+                trans: typing.Sequence[typing.Tuple[int, int, float]],
+                ) -> None:
+    """Emit a CRFsuite crf1d model file (public format, Naoaki Okazaki's
+    crfsuite crf1d_model.c / cqdb.c): header + FEAT chunk + label/attr
+    CQDB string tables with backward arrays — exactly the sections
+    :func:`load_crf1d` reads.  Used by the POS pack trainer
+    (``gruut_ray.tools.train_pos_crf``) and the synthetic-model tests.
+
+    ``state``: ``[(attr_id, label_id, weight)]``;
+    ``trans``: ``[(src_label_id, dst_label_id, weight)]``.
+    """
+    recs = [(0, a, l, w) for a, l, w in state] \
+        + [(1, s, d, w) for s, d, w in trans]
+    feat_body = b"".join(struct.pack("<IIId", *r) for r in recs)
+    feat_chunk = struct.pack("<4sII", b"FEAT", 12 + len(feat_body),
+                             len(recs)) + feat_body
+
+    def cqdb(strings: typing.Sequence[str]) -> bytes:
+        header_size = struct.calcsize("<4sIIIII")
+        body = b""
+        offs = []
+        cur = header_size
+        for i, s in enumerate(strings):
+            offs.append(cur)
+            kb = s.encode() + b"\0"
+            rec = struct.pack("<II", i, len(kb)) + kb
+            body += rec
+            cur += len(rec)
+        bwd = cur
+        body += struct.pack(f"<{len(strings)}I", *offs)
+        return struct.pack("<4sIIIII", b"CQDB", header_size + len(body),
+                           0, 0, len(strings), bwd) + body
+
+    labels_chunk = cqdb(labels)
+    attrs_chunk = cqdb(attrs)
+    hdr_size = _HEADER.size
+    off_feat = hdr_size
+    off_labels = off_feat + len(feat_chunk)
+    off_attrs = off_labels + len(labels_chunk)
+    data = _HEADER.pack(
+        b"lCRF", 0, b"FOMC", 100, len(recs),
+        len(labels), len(attrs), off_feat, off_labels, off_attrs, 0, 0)
+    data += feat_chunk + labels_chunk + attrs_chunk
+    with open(path, "wb") as f:
+        f.write(data)

@@ -20,6 +20,8 @@ handled by Ray block scheduling.
 
 from __future__ import annotations
 
+import os
+import sys
 import typing
 
 import pyarrow as pa
@@ -136,6 +138,7 @@ class PhonemizeStage:
         self._pack_lex_done: typing.Set[str] = set()
         self._pack_g2p_done: typing.Set[str] = set()
         self._pack_pos_done: typing.Set[str] = set()
+        self._builtin_pos_tried: typing.Set[str] = set()
         self._pack_failures: typing.Dict[str, int] = {}
 
     def _ensure_lang(self, short: str) -> None:
@@ -223,9 +226,26 @@ class PhonemizeStage:
                  ) -> typing.Optional[typing.List[str]]:
         """POS tags for a sentence's spoken words: the pack's CRF tagger
         when one loaded for the language (reference pos.py semantics),
-        else the en heuristic, else None (no tagging)."""
+        else the committed builtin CRF (en — trained from the in-repo
+        CoNLL-U corpus by gruut_ray.tools.train_pos_crf), else the en
+        heuristic, else None (no tagging)."""
         self._ensure_lang(short)  # idempotent; SSML sentences may switch
         tagger = self.pos_taggers.get(short)
+        if tagger is None and short not in self._builtin_pos_tried:
+            # builtin model: loaded once per actor, same CrfPos reader
+            # path a real pack's pos/model.crf takes
+            self._builtin_pos_tried.add(short)
+            path = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "phonem", "models",
+                f"pos_{short}.crf")
+            if os.path.exists(path):
+                try:
+                    from gruut_ray.phonem.pos import CrfPos
+
+                    tagger = self.pos_taggers[short] = CrfPos.load(path)
+                except Exception as exc:  # noqa: BLE001
+                    print(f"gruut_ray: failed loading builtin {short} "
+                          f"POS model ({exc!r})", file=sys.stderr)
         if tagger is not None:
             return list(tagger(texts))
         if short == "en":
