@@ -377,11 +377,17 @@ def cc_end_to_end(pages: "ray.data.Dataset",
             n_kept += 1
             hh = hashlib.blake2b((t or "").encode(),
                                  digest_size=16).hexdigest()
-            rows[(h, hh)] = rows.get((h, hh), 0) + 1
+            # coalesce None → "": Ray's sort-based aggregate partitions
+            # blocks by sorting the key columns, and a None among
+            # strings breaks the boundary search (TypeError) — hit only
+            # once block counts grow enough to sample both (sf1 gate)
+            rows[(h or "", hh)] = rows.get((h or "", hh), 0) + 1
         # sentinel row (n=0) carries the batch's survivor count so the
         # policy stage never needs a second execution; final_partials
-        # excludes n==0 rows from the unique/kept accounting
-        hosts_out = [k[0] for k in rows] + [None]
+        # excludes n==0 rows from the unique/kept accounting.  The
+        # sentinel host is "" (NOT None — see above); it cannot collide
+        # with a real pair because no blake2b hex digest is "__seen__"
+        hosts_out = [k[0] for k in rows] + [""]
         hashes_out = [k[1] for k in rows] + ["__seen__"]
         n_out = list(rows.values()) + [0]
         kept_out = ([n_kept] + [0] * (len(rows) - 1) if rows else []) + [0]
