@@ -62,10 +62,13 @@ def quality_filter(
     spin-up, actors when per-actor state is huge or must pin resources.
     """
     if html_col is not None:
+        # per-block batches for the html stage: blocks are byte-bounded
+        # (dynamic block splitting), a row-count batch_size is not —
+        # multi-MB html rows would coalesce into GB batches (SURVEY §4)
         ds = ds.map_batches(
             lambda b: extract_batch(b, html_col=html_col, out_col=text_col),
             batch_format="pyarrow",
-            batch_size=batch_size,
+            batch_size=None,
         )
     if not fused:
         ds = ds.map_batches(
@@ -358,9 +361,16 @@ def cc_end_to_end(pages: "ray.data.Dataset",
             "text", pa.array(extracted, type=pa.large_string()))
         return batch.append_column("extract_ok", pa.array(ok, pa.bool_()))
 
+    # batch_size=None: one batch per incoming BLOCK.  Blocks are byte-
+    # bounded by Ray's dynamic block splitting (target_max_block_size),
+    # so the extract task's working set stays bounded even when single
+    # html rows are multi-MB (SURVEY §4 "wide rows") — a fixed row-count
+    # batch_size would coalesce blocks into row_count × row_bytes
+    # batches (256 × 10 MB = 2.5 GB per task).  tests/test_extract_synth
+    # pins the wide-row path.
     extracted = kept_pages.map_batches(check_extract,
                                        batch_format="pyarrow",
-                                       batch_size=256)
+                                       batch_size=None)
     scored = quality_filter(extracted, text_col="text", **qf_kwargs)
 
     def pair_partials(batch: pa.Table) -> pa.Table:

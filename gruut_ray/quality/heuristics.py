@@ -9,8 +9,11 @@ by the Ray pipeline stages AND the single-threaded oracle
 distributed plumbing (batching, actor routing, shuffles), not two
 divergent rule implementations.
 
-Rule spec v2 — changing ANY constant here is a breaking change to the
-reference labels; bump ``RULES_VERSION``.  v2: the stats normalizer runs
+Rule spec v3 — changing ANY constant here is a breaking change to the
+reference labels; bump ``RULES_VERSION``.  v3 adds the ``max_chars``
+too-long cut (checked before the tokenizing stats pass — multi-MB
+pathological pages drop in O(scrub) instead of ~10 s/MB of normalizer
+time; no doc in the test corpora is affected).  v2: the stats normalizer runs
 with number/date/currency/time verbalization DISABLED — the filter counts
 the tokens a document actually contains, not their spoken expansion
 ("1999" is one token, not three), and skips the transform passes that
@@ -26,7 +29,7 @@ from gruut_ray.nlp.normalize import NormalizeOptions, process_document
 from gruut_ray.profiles import get_compiled, get_profile
 from gruut_ray.quality.pii import scrub_text, toxicity_count
 
-RULES_VERSION = "v2"
+RULES_VERSION = "v3"
 
 # tokenize/split/break passes only — no verbalization (see v2 note above)
 STATS_NORMALIZE_OPTS = NormalizeOptions(
@@ -42,6 +45,12 @@ class QualityThresholds:
     min_chars: int = 50
     min_tokens: int = 10
     max_tokens: int = 50_000
+    # hard length cut, checked BEFORE the tokenizing stats pass: a
+    # multi-MB doc would spend ~10 s/MB in the normalizer only to be
+    # dropped by max_tokens anyway (CCNet-style pathological-page cut;
+    # 1M chars is ~5× the max_tokens bound at normal word lengths, so
+    # nothing this rule drops could ever be kept)
+    max_chars: int = 1_000_000
     min_mean_word_len: float = 2.0
     max_mean_word_len: float = 14.0
     max_symbol_ratio: float = 0.30
@@ -117,6 +126,8 @@ def apply_rules(stats: DocStats, lang: str, lang_score: float = 1.0,
                 th: QualityThresholds = DEFAULT_THRESHOLDS,
                 ) -> typing.Tuple[bool, str]:
     """First failing rule wins; returns (keep, drop_reason)."""
+    if stats.n_chars > th.max_chars:
+        return False, "too_long"
     if stats.n_chars < th.min_chars:
         return False, "too_short"
     if stats.n_tokens < th.min_tokens:
@@ -157,6 +168,36 @@ def score_document(
     """Full per-document quality record: stats + PII scrub + verdict.
     The single source of truth for both the oracle and the Ray stages."""
     scrubbed, n_pii = scrub_text(text)
+    if len(scrubbed) > th.max_chars:
+        # too_long short-circuit: skip the tokenizing stats pass (the
+        # expensive part) for pathological pages; scrub/toxicity above
+        # are linear and already done, cheap whitespace counts fill the
+        # stat columns.  Any normal-content doc this long fails
+        # max_tokens / word_length anyway; the cut itself is the rule
+        # (CCNet-style), applied identically by the oracle since
+        # score_document is the single scoring entry point.
+        stats = DocStats(
+            n_chars=len(scrubbed), n_tokens=len(scrubbed.split()),
+            n_sents=0, mean_word_len=0.0, symbol_ratio=0.0,
+            digit_ratio=0.0, unique_token_ratio=0.0,
+            stopword_density=-1.0, n_pii_hits=n_pii,
+            n_toxic=toxicity_count(scrubbed))
+        return {
+            "keep": False,
+            "drop_reason": "too_long",
+            "scrubbed_text": scrubbed,
+            "n_chars": stats.n_chars,
+            "n_tokens": stats.n_tokens,
+            "n_sents": stats.n_sents,
+            "mean_word_len": stats.mean_word_len,
+            "symbol_ratio": stats.symbol_ratio,
+            "digit_ratio": stats.digit_ratio,
+            "unique_token_ratio": stats.unique_token_ratio,
+            "stopword_density": stats.stopword_density,
+            "ppl": 0.0,
+            "n_pii_hits": stats.n_pii_hits,
+            "n_toxic": stats.n_toxic,
+        }
     stats = doc_stats(scrubbed, lang)
     stats.n_pii_hits = n_pii
     stats.n_toxic = toxicity_count(scrubbed)
