@@ -1238,6 +1238,73 @@ def _q_sessionize(sf_dir: str):
     return agg
 
 
+def _q_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape: correlated avg-quantity subquery as a broadcast
+    aggregate + exact-integer re-scan (qty_c·5·n < sum_qty_c)."""
+    from gruut_ray.pipelines.relational import small_quantity_revenue
+
+    return small_quantity_revenue(
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_quantity", "l_extendedprice"]),
+        _read(sf_dir, "part", columns=["p_partkey", "p_brand"]))
+
+
+def _q_disjunctive_brand_revenue(sf_dir: str):
+    """TPC-H Q19 shape: OR-of-conjunctions predicate collapsed to a
+    broadcast partkey→bracket map + one vectorized lineitem scan."""
+    from gruut_ray.pipelines.relational import disjunctive_brand_revenue
+
+    return disjunctive_brand_revenue(
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_quantity", "l_extendedprice",
+                       "l_discount"]),
+        _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]))
+
+
+def _q_idle_customer_balance(sf_dir: str):
+    """TPC-H Q22 shape: global positive-balance average broadcast as two
+    scalars, exact-integer comparison, LEFT ANTI join vs the ≥5-order
+    custkey set (count combiner → groupby)."""
+    from gruut_ray.pipelines.relational import idle_customer_balance
+
+    return idle_customer_balance(
+        _read(sf_dir, "customer",
+              columns=["c_custkey", "c_nationkey", "c_acctbal"]),
+        _read(sf_dir, "orders", columns=["o_custkey"]))
+
+
+def _q_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape: cross-nation shipped-revenue flow per (supplier
+    nation, customer nation, ship year) — supplier map broadcast,
+    customer⋈orders and lineitem⋈oc shuffles."""
+    from gruut_ray.pipelines.relational import volume_shipping
+
+    return volume_shipping(
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                       "l_discount", "l_shipdate"]),
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation"))
+
+
+def _q_product_profit(sf_dir: str):
+    """TPC-H Q9 shape (p_retailprice as unit cost): per-nation-and-year
+    profit for one part type; part + supplier broadcast, one shuffle."""
+    from gruut_ray.pipelines.relational import product_profit
+
+    return product_profit(
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_partkey", "l_suppkey",
+                       "l_quantity", "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]),
+        _read(sf_dir, "part",
+              columns=["p_partkey", "p_type", "p_retailprice"]),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract (VERDICT r03 #1): the driver verifies only the
     # FIRST 50 entries, so every oracle-gated query (an entry in
@@ -1308,6 +1375,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles_by_lang": _q_length_quantiles,
         "quantile_threshold_keep": _q_quantile_threshold_keep,
         "source_prior_flags": _q_source_prior_flags,
+        "small_quantity_revenue": _q_small_quantity_revenue,
+        "disjunctive_brand_revenue": _q_disjunctive_brand_revenue,
+        "idle_customer_balance": _q_idle_customer_balance,
+        "volume_shipping": _q_volume_shipping,
+        "product_profit": _q_product_profit,
         # --- rows-only (no SQL oracle; invariants pinned in tests/) ------
         "kmeans_convergence": _q_kmeans_convergence,
         "knn_quantized_top10": _q_knn_quantized_top10,
@@ -1342,6 +1414,107 @@ def oracle_sql() -> dict[str, str]:
     return {
         "value_quantiles_approx": bottomk_quantiles_oracle_sql(
             "value", "event_id", "events", k=1000),
+        "small_quantity_revenue": """
+            WITH cand AS (
+                SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'
+            ), stats AS (
+                SELECT l_partkey,
+                       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                            AS BIGINT) AS sum_qty_c,
+                       count(*) AS n
+                FROM lineitem JOIN cand ON l_partkey = p_partkey
+                GROUP BY l_partkey
+            )
+            SELECT count(*) AS n_lines,
+                   CAST(coalesce(sum(CAST(round(l_extendedprice * 100)
+                                          AS BIGINT)), 0) AS BIGINT)
+                       AS sum_extprice_c
+            FROM lineitem JOIN stats USING (l_partkey)
+            WHERE CAST(round(l_quantity * 100) AS BIGINT) * 5 * n
+                  < sum_qty_c
+        """,
+        "disjunctive_brand_revenue": """
+            SELECT count(*) AS n_items,
+                   CAST(coalesce(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))),
+                       0) AS BIGINT) AS revenue_c4
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND CAST(round(l_quantity * 100) AS BIGINT)
+                       BETWEEN 100 AND 3000)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                   AND CAST(round(l_quantity * 100) AS BIGINT)
+                       BETWEEN 1000 AND 5000)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                   AND CAST(round(l_quantity * 100) AS BIGINT)
+                       BETWEEN 2000 AND 6000)
+        """,
+        "volume_shipping": """
+            SELECT s_nat.n_name AS supp_nation,
+                   c_nat.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_c4,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation s_nat ON s_nationkey = s_nat.n_nationkey
+            JOIN nation c_nat ON c_nationkey = c_nat.n_nationkey
+            WHERE s_nat.n_name IN ('NATION_0', 'NATION_1')
+              AND c_nat.n_name IN ('NATION_0', 'NATION_1')
+              AND s_nat.n_name <> c_nat.n_name
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "product_profit": """
+            SELECT n_name,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))
+                            - CAST(round(p_retailprice * 100) AS BIGINT)
+                            * CAST(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS profit_c4,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_type = 'PROMO'
+            GROUP BY n_name, o_year
+            ORDER BY n_name, o_year
+        """,
+        "idle_customer_balance": """
+            WITH grp AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+                FROM customer WHERE c_nationkey IN (0, 1, 2, 3)
+            ), avg_pos AS (
+                SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c,
+                       count(*) AS n
+                FROM grp WHERE bal_c > 0
+            )
+            , busy AS (
+                SELECT o_custkey FROM orders
+                GROUP BY o_custkey HAVING count(*) >= 5
+            )
+            SELECT c_nationkey,
+                   count(*) AS n_customers,
+                   CAST(sum(bal_c) AS BIGINT) AS acctbal_c_sum
+            FROM grp, avg_pos
+            WHERE bal_c * n > sum_c
+              AND NOT EXISTS (SELECT 1 FROM busy b
+                              WHERE b.o_custkey = grp.c_custkey)
+            GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
         # CAST(sum(int) AS BIGINT): DuckDB sums integers into HUGEINT, which
         # pandas renders float64 — the engine's int64 would hash-mismatch on
         # representation alone (CORRECTNESS r01).

@@ -1954,3 +1954,495 @@ def customers_with_orders(customer: "ray.data.Dataset",
         "n_customers": [int(parts["n_customers"].sum())],
         "custkey_sum": [int(parts["custkey_sum"].sum())],
     })
+
+
+def small_quantity_revenue(lineitem: "ray.data.Dataset",
+                           part: "ray.data.Dataset",
+                           brand: str = "Brand#1",
+                           ) -> pd.DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of their part's average quantity, for one brand.
+
+    Scale shape — the correlated-average subquery becomes a broadcast
+    aggregate + re-scan (two passes, zero shuffles): pass 1 reduces
+    lineitem to (partkey, sum_qty, n) partials for the brand's partkeys
+    (a tiny broadcast set); the per-part averages broadcast back via
+    ``ray.put``; pass 2 filters map-side with the EXACT integer
+    predicate ``qty_c × 5 × n < sum_qty_c`` (⇔ qty < 0.2·avg, no float
+    division on either side) and sums revenue.  The avg map is bounded
+    by the brand's part count (≤ |part| / ~25 brands), far under
+    broadcast limits at any TPC-H scale."""
+    import ray
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    pf = part.map_batches(
+        lambda b: b.filter(pc.equal(b.column("p_brand"),
+                                    pa.scalar(brand)))
+        .select(["p_partkey"]),
+        batch_format="pyarrow").to_pandas()
+    keys = pa.array(sorted(pf["p_partkey"].astype("int64")),
+                    type=pa.int64())
+
+    def qty_partials(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch.column("l_partkey"),
+                                      value_set=keys))
+        tbl = pa.table({
+            "l_partkey": batch.column("l_partkey"),
+            "sum_qty_c": _cents(batch.column("l_quantity")),
+        }).to_pandas()
+        agg = tbl.groupby("l_partkey", as_index=False).agg(
+            sum_qty_c=("sum_qty_c", "sum"), n=("sum_qty_c", "size"))
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    li = lineitem.select_columns(
+        ["l_partkey", "l_quantity", "l_extendedprice"])
+    stats = partial_then_merge(li, qty_partials, ["l_partkey"],
+                               {"sum_qty_c": "sum", "n": "sum"})
+    # broadcast as sorted arrays: np.searchsorted lookups beat a dict
+    # probe per batch (memory note: broadcast sorted-array + searchsorted)
+    stats = stats.sort_values("l_partkey")
+    avg_ref = ray.put((stats["l_partkey"].to_numpy(dtype=np.int64),
+                       stats["sum_qty_c"].to_numpy(dtype=np.int64),
+                       stats["n"].to_numpy(dtype=np.int64)))
+
+    def pick(batch: pa.Table, _cache={}) -> pa.Table:
+        m = _cache.get(avg_ref)
+        if m is None:
+            _cache.clear()
+            m = _cache[avg_ref] = ray.get(avg_ref)
+        keys, sums, ns = m
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        qty = _cents(batch.column("l_quantity")) \
+            .to_numpy(zero_copy_only=False)
+        base = _cents(batch.column("l_extendedprice")) \
+            .to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, pk)
+        pos_c = np.minimum(pos, len(keys) - 1) if len(keys) else pos
+        hit = (len(keys) > 0) & (keys[pos_c] == pk) if len(keys) \
+            else np.zeros(len(pk), dtype=bool)
+        # exact integer predicate: qty < 0.2·avg ⇔ qty_c·5·n < sum_qty_c
+        ok = hit & (qty * 5 * ns[pos_c] < sums[pos_c])
+        return pa.table({
+            "n_lines": pa.array([int(ok.sum())], type=pa.int64()),
+            "sum_extprice_c": pa.array([int(base[ok].sum())],
+                                       type=pa.int64()),
+        })
+
+    parts = li.map_batches(pick, batch_format="pyarrow").to_pandas()
+    # Python-int merge: exact past int64 at extreme scale (same
+    # discipline as partial_then_merge's exact_int_cols)
+    return pd.DataFrame({
+        "n_lines": [int(parts["n_lines"].sum()) if len(parts) else 0],
+        "sum_extprice_c": [sum(int(x) for x in parts["sum_extprice_c"])],
+    })
+
+
+def disjunctive_brand_revenue(lineitem: "ray.data.Dataset",
+                              part: "ray.data.Dataset") -> pd.DataFrame:
+    """TPC-H Q19 shape (adapted to this schema: no container column):
+    revenue under an OR of per-brand (size-range AND quantity-range)
+    conjunctions.
+
+    Scale shape: the part-side disjuncts evaluate VECTORIZED once over
+    the part table, collapsing to a partkey → bracket-id map broadcast
+    via ``ray.put``; each lineitem batch then applies its bracket's
+    quantity range map-side.  The whole disjunction costs one broadcast
+    and one scan — no join, no shuffle."""
+    import ray
+
+    # (brand, size_lo, size_hi, qty_lo_c, qty_hi_c)
+    brackets = [("Brand#1", 1, 15, 100, 3000),
+                ("Brand#2", 10, 30, 1000, 5000),
+                ("Brand#3", 20, 50, 2000, 6000)]
+
+    def part_map(batch: pa.Table) -> pa.Table:
+        brand = batch.column("p_brand")
+        size = batch.column("p_size")
+        bid = np.full(batch.num_rows, -1, dtype=np.int64)
+        for i, (b, lo, hi, _, _) in enumerate(brackets):
+            mask = pc.and_(pc.equal(brand, pa.scalar(b)),
+                           pc.and_(pc.greater_equal(size, pa.scalar(lo)),
+                                   pc.less_equal(size, pa.scalar(hi))))
+            bid[mask.to_numpy(zero_copy_only=False)] = i
+        keep = bid >= 0
+        return pa.table({
+            "p_partkey": batch.column("p_partkey").filter(
+                pa.array(keep)),
+            "bracket": pa.array(bid[keep], type=pa.int64()),
+        })
+
+    pm = part.select_columns(["p_partkey", "p_brand", "p_size"]) \
+        .map_batches(part_map, batch_format="pyarrow").to_pandas()
+    pm = pm.sort_values("p_partkey")
+    qty_lo = np.asarray([b[3] for b in brackets], dtype=np.int64)
+    qty_hi = np.asarray([b[4] for b in brackets], dtype=np.int64)
+    map_ref = ray.put((pm["p_partkey"].to_numpy(dtype=np.int64),
+                       pm["bracket"].to_numpy(dtype=np.int64)))
+
+    def pick(batch: pa.Table, _cache={}) -> pa.Table:
+        m = _cache.get(map_ref)
+        if m is None:
+            _cache.clear()
+            m = _cache[map_ref] = ray.get(map_ref)
+        keys, bid = m
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        qty = _cents(batch.column("l_quantity")) \
+            .to_numpy(zero_copy_only=False)
+        rev = pc.multiply(
+            _cents(batch.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100),
+                        _cents(batch.column("l_discount")))) \
+            .to_numpy(zero_copy_only=False)
+        if len(keys):
+            pos = np.searchsorted(keys, pk)
+            pos_c = np.minimum(pos, len(keys) - 1)
+            hit = keys[pos_c] == pk
+            b = bid[pos_c]
+            ok = hit & (qty >= qty_lo[b]) & (qty <= qty_hi[b])
+        else:
+            ok = np.zeros(len(pk), dtype=bool)
+        return pa.table({
+            "n_items": pa.array([int(ok.sum())], type=pa.int64()),
+            "revenue_c4": pa.array([int(rev[ok].sum())],
+                                   type=pa.int64()),
+        })
+
+    parts = lineitem.select_columns(
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]) \
+        .map_batches(pick, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "n_items": [int(parts["n_items"].sum()) if len(parts) else 0],
+        "revenue_c4": [sum(int(x) for x in parts["revenue_c4"])],
+    })
+
+
+def idle_customer_balance(customer: "ray.data.Dataset",
+                          orders: "ray.data.Dataset",
+                          nationkeys: typing.Sequence[int] = (0, 1, 2, 3),
+                          max_orders: int = 5,
+                          num_partitions: int = 8) -> pd.DataFrame:
+    """TPC-H Q22 shape (adapted: nationkey set instead of phone country
+    codes, and "fewer than ``max_orders`` orders" instead of "no orders"
+    — every synthetic customer has at least one): customers from the
+    given nations with an account balance above the positive-balance
+    average of the group and below-threshold engagement; per-nation
+    count and exact balance sum.
+
+    Scale shape: pass 1 is a GLOBAL scalar aggregate (sum, count of
+    positive balances) — two int64s broadcast by value; pass 2 filters
+    customers with the EXACT integer predicate ``acctbal_c × n >
+    sum_c`` and LEFT-ANTI-joins the set of custkeys holding ≥
+    ``max_orders`` orders (per-batch count combiner → custkey groupby —
+    build side bounded by |customers| regardless of order count)."""
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    nk = pa.array(sorted(int(k) for k in nationkeys), type=pa.int64())
+
+    def bal_partials(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch.column("c_nationkey"),
+                                      value_set=nk))
+        bal = _cents(batch.column("c_acctbal"))
+        pos = pc.greater(bal, pa.scalar(0))
+        bal_pos = bal.filter(pos)
+        return pa.table({
+            "g": pa.array([0], type=pa.int64()),
+            "sum_c": pa.array([pc.sum(bal_pos).as_py() or 0],
+                              type=pa.int64()),
+            "n": pa.array([len(bal_pos)], type=pa.int64()),
+        })
+
+    cust_cols = customer.select_columns(
+        ["c_custkey", "c_nationkey", "c_acctbal"])
+    g = partial_then_merge(cust_cols, bal_partials, ["g"],
+                           {"sum_c": "sum", "n": "sum"})
+    sum_c, n = (int(g["sum_c"][0]), int(g["n"][0])) if len(g) else (0, 0)
+    if n == 0:
+        return pd.DataFrame(columns=["c_nationkey", "n_customers",
+                                     "acctbal_c_sum"])
+
+    def rich(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch.column("c_nationkey"),
+                                      value_set=nk))
+        bal = _cents(batch.column("c_acctbal"))
+        keep = pc.greater(pc.multiply(bal, pa.scalar(n)),
+                          pa.scalar(sum_c))
+        batch = batch.append_column("acctbal_c", bal)
+        return batch.filter(keep)
+
+    cand = (cust_cols.map_batches(rich, batch_format="pyarrow")
+            .repartition(num_partitions))
+    if cand.count() == 0:
+        return pd.DataFrame(columns=["c_nationkey", "n_customers",
+                                     "acctbal_c_sum"])
+
+    from ray.data.aggregate import Sum
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        keys, counts = np.unique(
+            batch.column("o_custkey").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"o_custkey": pa.array(keys, type=pa.int64()),
+                         "n_orders": pa.array(counts, type=pa.int64())})
+
+    busy = (orders.select_columns(["o_custkey"])
+            .map_batches(count_partials, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .aggregate(Sum("n_orders", alias_name="n_orders"))
+            .map_batches(
+                lambda b: b.filter(pc.greater_equal(
+                    b.column("n_orders"),
+                    pa.scalar(max_orders))).select(["o_custkey"]),
+                batch_format="pyarrow")
+            .repartition(num_partitions))
+    anti = cand.join(busy, join_type="left_anti",
+                     num_partitions=num_partitions,
+                     on=("c_custkey",), right_on=("o_custkey",))
+
+    def out_partials(batch: pa.Table) -> pa.Table:
+        tbl = pa.table({
+            "c_nationkey": batch.column("c_nationkey"),
+            "acctbal_c_sum": batch.column("acctbal_c"),
+        }).to_pandas()
+        agg = tbl.groupby("c_nationkey", as_index=False).agg(
+            n_customers=("acctbal_c_sum", "size"),
+            acctbal_c_sum=("acctbal_c_sum", "sum"))
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    out = partial_then_merge(anti, out_partials, ["c_nationkey"],
+                             {"n_customers": "sum",
+                              "acctbal_c_sum": "sum"},
+                             exact_int_cols=["acctbal_c_sum"])
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    out["n_customers"] = out["n_customers"].astype("int64")
+    out["acctbal_c_sum"] = out["acctbal_c_sum"].astype("int64")
+    return out
+
+
+def volume_shipping(lineitem: "ray.data.Dataset",
+                    orders: "ray.data.Dataset",
+                    customer: "ray.data.Dataset",
+                    supplier: "ray.data.Dataset",
+                    nation: "ray.data.Dataset",
+                    nation_a: str = "NATION_0",
+                    nation_b: str = "NATION_1",
+                    date_lo: str = "1996-01-01",
+                    date_hi: str = "1998-01-01",
+                    num_partitions: int = 16) -> pd.DataFrame:
+    """TPC-H Q7 shape: shipped-revenue flow between two nations per
+    (supplier nation, customer nation, ship year).
+
+    Scale shape (same two-shuffle skeleton as :func:`regional_revenue`):
+    nation collapses driver-side to a two-key dict; the supplier side
+    becomes a suppkey→nationkey broadcast map; nation-filtered customer
+    shuffle-joins orders on custkey, ship-date-filtered lineitem
+    shuffle-joins that on orderkey; the cross-nation predicate
+    (supp_nation ≠ cust_nation, both in the pair) evaluates map-side
+    against the broadcast, and only (supp_nation, cust_nation, year)
+    partial sums leave the final scan.  Exact fixed-point revenue."""
+    import ray
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    nat = nation.to_pandas()
+    nat = nat[nat["n_name"].isin([nation_a, nation_b])]
+    names = dict(zip(nat["n_nationkey"].astype("int64"), nat["n_name"]))
+    nation_keys = pa.array(sorted(names), type=pa.int64())
+
+    supp = supplier.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("s_nationkey"),
+                                    value_set=nation_keys))
+        .select(["s_suppkey", "s_nationkey"]),
+        batch_format="pyarrow").to_pandas().sort_values("s_suppkey")
+    supp_ref = ray.put((supp["s_suppkey"].to_numpy(dtype=np.int64),
+                        supp["s_nationkey"].to_numpy(dtype=np.int64)))
+
+    c = (customer.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("c_nationkey"),
+                                    value_set=nation_keys))
+        .select(["c_custkey", "c_nationkey"]),
+        batch_format="pyarrow")
+        .repartition(num_partitions))
+    o = (orders.select_columns(["o_orderkey", "o_custkey"])
+         .repartition(num_partitions))
+    if c.count() == 0:
+        return pd.DataFrame(columns=["supp_nation", "cust_nation",
+                                     "l_year", "revenue_c4", "n_items"])
+    oc = (o.join(c, join_type="inner", num_partitions=num_partitions,
+                 on=("o_custkey",), right_on=("c_custkey",))
+          .select_columns(["o_orderkey", "c_nationkey"])
+          .repartition(num_partitions)
+          .materialize())  # single live hash-join plan (see regional_revenue)
+
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+    li = (lineitem.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b.column("l_shipdate"), lo),
+            pc.less(b.column("l_shipdate"), hi)))
+        .select(["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"]),
+        batch_format="pyarrow")
+        .repartition(num_partitions))
+    full = li.join(oc, join_type="inner", num_partitions=num_partitions,
+                   on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partials(batch: pa.Table, _cache={}) -> pa.Table:
+        m = _cache.get(supp_ref)
+        if m is None:
+            _cache.clear()
+            m = _cache[supp_ref] = ray.get(supp_ref)
+        keys, nats = m
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        cn = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            hit = np.zeros(len(sk), dtype=bool)
+            sn = np.zeros(len(sk), dtype=np.int64)
+        else:
+            pos = np.minimum(np.searchsorted(keys, sk), len(keys) - 1)
+            hit = keys[pos] == sk
+            sn = nats[pos]
+        cross = hit & (sn != cn)  # both nations in-pair by construction
+        if not cross.any():
+            return pa.table({
+                "supp_nat": pa.array([], type=pa.int64()),
+                "cust_nat": pa.array([], type=pa.int64()),
+                "l_year": pa.array([], type=pa.int64()),
+                "revenue_c4": pa.array([], type=pa.int64()),
+                "n_items": pa.array([], type=pa.int64())})
+        rev = pc.multiply(
+            _cents(batch.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100),
+                        _cents(batch.column("l_discount")))) \
+            .to_numpy(zero_copy_only=False)
+        year = batch.column("l_shipdate").to_pandas().dt.year.to_numpy()
+        df = pd.DataFrame({
+            "supp_nat": sn[cross], "cust_nat": cn[cross],
+            "l_year": year[cross].astype(np.int64),
+            "revenue_c4": rev[cross], "n_items": 1})
+        agg = df.groupby(["supp_nat", "cust_nat", "l_year"],
+                         as_index=False).agg(
+            revenue_c4=("revenue_c4", "sum"), n_items=("n_items", "sum"))
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    out = partial_then_merge(full, partials,
+                             ["supp_nat", "cust_nat", "l_year"],
+                             {"revenue_c4": "sum", "n_items": "sum"},
+                             exact_int_cols=["revenue_c4"])
+    if out.empty:
+        return pd.DataFrame(columns=["supp_nation", "cust_nation",
+                                     "l_year", "revenue_c4", "n_items"])
+    out["supp_nation"] = out["supp_nat"].map(names)
+    out["cust_nation"] = out["cust_nat"].map(names)
+    out["l_year"] = out["l_year"].astype("int64")
+    out["n_items"] = out["n_items"].astype("int64")
+    out["revenue_c4"] = [int(x) for x in out["revenue_c4"]]
+    return (out[["supp_nation", "cust_nation", "l_year", "revenue_c4",
+                 "n_items"]]
+            .sort_values(["supp_nation", "cust_nation", "l_year"])
+            .reset_index(drop=True))
+
+
+def product_profit(lineitem: "ray.data.Dataset",
+                   orders: "ray.data.Dataset",
+                   part: "ray.data.Dataset",
+                   supplier: "ray.data.Dataset",
+                   nation: "ray.data.Dataset",
+                   type_filter: str = "PROMO",
+                   num_partitions: int = 16,
+                   broadcast_limit: int = 5_000_000) -> pd.DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table — p_retailprice is the
+    unit cost): profit per supplier nation and order year for parts of
+    one type, profit = extprice·(1−disc) − retailprice·quantity, exact
+    1e-4-dollar integers end to end.
+
+    Scale shape: part collapses to a (partkey → retail_c) broadcast map
+    (filtered to the type: ~1/6 of part) and supplier to a (suppkey →
+    nationkey) broadcast map; the ONLY shuffle is lineitem ⋈ orders on
+    orderkey for the order year.  Both maps raise past
+    ``broadcast_limit`` rather than silently ballooning worker heaps
+    (swap to shuffle joins at that point — revenue_by_priority shape)."""
+    import ray
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    pm = part.map_batches(
+        lambda b: b.filter(pc.equal(b.column("p_type"),
+                                    pa.scalar(type_filter)))
+        .select(["p_partkey", "p_retailprice"]),
+        batch_format="pyarrow").to_pandas().sort_values("p_partkey")
+    sm = supplier.select_columns(["s_suppkey", "s_nationkey"]) \
+        .to_pandas().sort_values("s_suppkey")
+    if len(pm) > broadcast_limit or len(sm) > broadcast_limit:
+        raise NotImplementedError(
+            "dimension exceeded broadcast_limit — wire the shuffle-join "
+            "fallback (revenue_by_priority shape)")
+    part_ref = ray.put((pm["p_partkey"].to_numpy(dtype=np.int64),
+                        np.rint(pm["p_retailprice"].to_numpy() * 100)
+                        .astype(np.int64)))
+    supp_ref = ray.put((sm["s_suppkey"].to_numpy(dtype=np.int64),
+                        sm["s_nationkey"].to_numpy(dtype=np.int64)))
+
+    li = (lineitem.select_columns(
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+         "l_extendedprice", "l_discount"])
+        .repartition(num_partitions))
+    o = (orders.select_columns(["o_orderkey", "o_orderdate"])
+         .repartition(num_partitions))
+    full = li.join(o, join_type="inner", num_partitions=num_partitions,
+                   on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partials(batch: pa.Table, _cache={}) -> pa.Table:
+        m = _cache.get(part_ref)
+        if m is None:
+            _cache.clear()
+            m = _cache[part_ref] = (ray.get(part_ref), ray.get(supp_ref))
+        (pkeys, retail), (skeys, nats) = m
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(pkeys, pk),
+                         max(len(pkeys) - 1, 0))
+        hit = (pkeys[pos] == pk) if len(pkeys) else \
+            np.zeros(len(pk), dtype=bool)
+        if not hit.any():
+            return pa.table({
+                "s_nationkey": pa.array([], type=pa.int64()),
+                "o_year": pa.array([], type=pa.int64()),
+                "profit_c4": pa.array([], type=pa.int64()),
+                "n_items": pa.array([], type=pa.int64())})
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        spos = np.minimum(np.searchsorted(skeys, sk), len(skeys) - 1)
+        base = _cents(batch.column("l_extendedprice")) \
+            .to_numpy(zero_copy_only=False)
+        disc = _cents(batch.column("l_discount")) \
+            .to_numpy(zero_copy_only=False)
+        qty = _cents(batch.column("l_quantity")) \
+            .to_numpy(zero_copy_only=False)
+        year = batch.column("o_orderdate").to_pandas().dt.year.to_numpy()
+        profit = base * (100 - disc) - retail[pos] * qty
+        df = pd.DataFrame({
+            "s_nationkey": nats[spos][hit],
+            "o_year": year[hit].astype(np.int64),
+            "profit_c4": profit[hit],
+            "n_items": 1})
+        agg = df.groupby(["s_nationkey", "o_year"], as_index=False).agg(
+            profit_c4=("profit_c4", "sum"), n_items=("n_items", "sum"))
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    out = partial_then_merge(full, partials, ["s_nationkey", "o_year"],
+                             {"profit_c4": "sum", "n_items": "sum"},
+                             exact_int_cols=["profit_c4"])
+    if out.empty:
+        return pd.DataFrame(columns=["n_name", "o_year", "profit_c4",
+                                     "n_items"])
+    names = nation.to_pandas()
+    out = out.merge(names[["n_nationkey", "n_name"]],
+                    left_on="s_nationkey", right_on="n_nationkey")
+    out["o_year"] = out["o_year"].astype("int64")
+    out["n_items"] = out["n_items"].astype("int64")
+    out["profit_c4"] = [int(x) for x in out["profit_c4"]]
+    return (out[["n_name", "o_year", "profit_c4", "n_items"]]
+            .sort_values(["n_name", "o_year"]).reset_index(drop=True))
