@@ -1318,6 +1318,30 @@ def _q_bpe_vocab_summary(sf_dir: str):
         num_merges=200)
 
 
+def _q_top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15 shape: revenue view + global max with ties — combiner
+    partials, supplier-bounded groupby, broadcast-key name fetch."""
+    from gruut_ray.pipelines.relational import top_supplier_revenue
+
+    return top_supplier_revenue(
+        _read(sf_dir, "lineitem",
+              columns=["l_suppkey", "l_extendedprice", "l_discount",
+                       "l_shipdate"]),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]))
+
+
+def _q_sole_late_supplier(sf_dir: str):
+    """TPC-H Q21 shape (ship-delay adaptation): per-order grouped
+    multi-row predicate (exactly one late supplier among ≥2), keyed
+    repartition + per-block kernel above the driver cut-over."""
+    from gruut_ray.pipelines.relational import sole_late_supplier
+
+    return sole_late_supplier(
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_suppkey", "l_shipdate"]),
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract (VERDICT r03 #1): the driver verifies only the
     # FIRST 50 entries, so every oracle-gated query (an entry in
@@ -1393,6 +1417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_customer_balance": _q_idle_customer_balance,
         "volume_shipping": _q_volume_shipping,
         "product_profit": _q_product_profit,
+        "top_supplier_revenue": _q_top_supplier_revenue,
+        "sole_late_supplier": _q_sole_late_supplier,
         # --- rows-only (no SQL oracle; invariants pinned in tests/) ------
         "kmeans_convergence": _q_kmeans_convergence,
         "knn_quantized_top10": _q_knn_quantized_top10,
@@ -1463,6 +1489,47 @@ def oracle_sql() -> dict[str, str]:
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
                    AND CAST(round(l_quantity * 100) AS BIGINT)
                        BETWEEN 2000 AND 6000)
+        """,
+        "top_supplier_revenue": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100)
+                                     AS BIGINT)
+                                * (100 - CAST(round(l_discount * 100)
+                                              AS BIGINT))) AS BIGINT)
+                           AS total_revenue_c4
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue_c4
+            FROM supplier JOIN rev ON s_suppkey = l_suppkey
+            WHERE total_revenue_c4 = (SELECT max(total_revenue_c4)
+                                      FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "sole_late_supplier": """
+            WITH j AS (
+                SELECT l_orderkey AS ok, l_suppkey AS sk,
+                       CASE WHEN l_shipdate > o_orderdate
+                                 + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ), per AS (
+                SELECT ok,
+                       count(DISTINCT sk) AS n_supp,
+                       count(DISTINCT CASE WHEN late = 1 THEN sk END)
+                           AS n_late_supp,
+                       max(CASE WHEN late = 1 THEN sk END) AS late_sk
+                FROM j GROUP BY ok
+            )
+            SELECT late_sk AS s_suppkey,
+                   count(*) AS n_waiting_orders
+            FROM per WHERE n_supp >= 2 AND n_late_supp = 1
+            GROUP BY late_sk
+            ORDER BY n_waiting_orders DESC, s_suppkey
+            LIMIT 10
         """,
         "volume_shipping": """
             SELECT s_nat.n_name AS supp_nation,

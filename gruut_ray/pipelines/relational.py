@@ -2446,3 +2446,143 @@ def product_profit(lineitem: "ray.data.Dataset",
     out["profit_c4"] = [int(x) for x in out["profit_c4"]]
     return (out[["n_name", "o_year", "profit_c4", "n_items"]]
             .sort_values(["n_name", "o_year"]).reset_index(drop=True))
+
+
+def top_supplier_revenue(lineitem: "ray.data.Dataset",
+                         supplier: "ray.data.Dataset",
+                         date_lo: str = "1996-01-01",
+                         date_hi: str = "1996-04-01") -> pd.DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum shipped revenue in
+    one quarter (the revenue "view" + global max, ties included).
+
+    Scale shape: one filtered lineitem scan emits (suppkey, revenue)
+    combiner partials; the groupby-sum table is bounded by |supplier|
+    (partial_then_merge shrinks distributedly past its driver limit);
+    the global max and tie filter run on that reduced table; winner
+    names come from a broadcast-key filtered supplier scan (the winner
+    set is ~1 row)."""
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+
+    def rev_partials(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.greater_equal(batch.column("l_shipdate"), lo),
+            pc.less(batch.column("l_shipdate"), hi)))
+        rev = pc.multiply(
+            _cents(batch.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100),
+                        _cents(batch.column("l_discount"))))
+        tbl = pa.table({"l_suppkey": batch.column("l_suppkey"),
+                        "total_revenue_c4": rev}).to_pandas()
+        agg = tbl.groupby("l_suppkey", as_index=False).agg(
+            total_revenue_c4=("total_revenue_c4", "sum"))
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    li = lineitem.select_columns(
+        ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    rev = partial_then_merge(li, rev_partials, ["l_suppkey"],
+                             {"total_revenue_c4": "sum"},
+                             exact_int_cols=["total_revenue_c4"])
+    if rev.empty:
+        return pd.DataFrame(columns=["s_suppkey", "s_name",
+                                     "total_revenue_c4"])
+    best = max(int(x) for x in rev["total_revenue_c4"])
+    winners = rev[[int(x) == best for x in rev["total_revenue_c4"]]]
+    keys = pa.array(sorted(winners["l_suppkey"].astype("int64")),
+                    type=pa.int64())
+    names = supplier.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("s_suppkey"),
+                                    value_set=keys))
+        .select(["s_suppkey", "s_name"]),
+        batch_format="pyarrow").to_pandas()
+    out = names.merge(winners.rename(columns={"l_suppkey": "s_suppkey"}),
+                      on="s_suppkey")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["total_revenue_c4"] = [int(x) for x in out["total_revenue_c4"]]
+    return (out[["s_suppkey", "s_name", "total_revenue_c4"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+def sole_late_supplier(lineitem: "ray.data.Dataset",
+                       orders: "ray.data.Dataset",
+                       late_days: int = 60, k: int = 10,
+                       num_partitions: int = 16,
+                       driver_limit: int = 5_000_000) -> pd.DataFrame:
+    """TPC-H Q21 shape (adapted to this schema: ship-delay vs order
+    date replaces commit/receipt dates): count, per supplier, the
+    multi-supplier orders where that supplier was the ONLY late one —
+    the grouped multi-row predicate family (EXISTS + NOT EXISTS over
+    sibling rows).  Top-k by count.
+
+    Scale shape: lineitem shuffle-joins orders on orderkey (the join
+    already co-locates keys); a keyed repartition then guarantees each
+    orderkey sits in one block (join output blocks can split), and a
+    single pandas kernel per block evaluates the per-order predicate
+    for every order at once.  Only (suppkey, n) partials leave the
+    blocks; below ``driver_limit`` joined rows the whole analysis runs
+    driver-side (same cut-over contract as event_gap_histogram, both
+    paths output-identical)."""
+
+    li = lineitem.select_columns(["l_orderkey", "l_suppkey",
+                                  "l_shipdate"]) \
+        .repartition(num_partitions)
+    o = orders.select_columns(["o_orderkey", "o_orderdate"]) \
+        .repartition(num_partitions)
+    joined = li.join(o, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"s_suppkey": np.array([], np.int64),
+                                 "n": np.array([], np.int64)})
+        ship = df["l_shipdate"].astype("int64").to_numpy()
+        od = df["o_orderdate"].astype("int64").to_numpy()
+        late = ship > od + late_us
+        g = pd.DataFrame({"ok": df["l_orderkey"].to_numpy(),
+                          "sk": df["l_suppkey"].to_numpy(),
+                          "late": late})
+        per = g.groupby("ok").agg(
+            n_supp=("sk", "nunique"),
+            n_late_rows=("late", "sum"))
+        lg = g[g["late"]].groupby("ok").agg(
+            n_late_supp=("sk", "nunique"), late_sk=("sk", "max"))
+        per = per.join(lg, how="left")
+        sole = per[(per["n_supp"] >= 2) & (per["n_late_supp"] == 1)]
+        out = (sole.groupby("late_sk").size()
+               .rename("n").reset_index()
+               .rename(columns={"late_sk": "s_suppkey"}))
+        out["s_suppkey"] = out["s_suppkey"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    if lineitem.count() <= driver_limit:
+        parts = block_counts(joined.to_pandas())
+    else:
+        from ray.data.context import ShuffleStrategy
+
+        prev = joined.context.shuffle_strategy
+        joined.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        try:
+            parts = (joined.repartition(num_partitions,
+                                        keys=["l_orderkey"])
+                     .map_batches(block_counts, batch_format="pandas",
+                                  batch_size=None)
+                     .to_pandas())
+        finally:
+            joined.context.shuffle_strategy = prev
+        if not parts.empty:
+            parts = parts.groupby("s_suppkey", as_index=False)["n"].sum()
+    if parts.empty:
+        return pd.DataFrame(columns=["s_suppkey", "n_waiting_orders"])
+    out = parts.rename(columns={"n": "n_waiting_orders"})
+    out = out.sort_values(["n_waiting_orders", "s_suppkey"],
+                          ascending=[False, True]).head(k)
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["n_waiting_orders"] = out["n_waiting_orders"].astype("int64")
+    return out.reset_index(drop=True)

@@ -152,3 +152,25 @@ def test_rolling_window_driver_vs_distributed_paths(ray_session):
     drv = user_rolling_window(events, window=5)
     dist = user_rolling_window(events, window=5, driver_limit=0)
     pd.testing.assert_frame_equal(drv, dist)
+
+
+def test_sole_late_supplier_dual_path_identity(ray_session):
+    """The Q21-shaped grouped predicate must be output-identical on the
+    driver path and the distributed keyed-repartition path (cut-over
+    contract, same as event_gap_histogram)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from gruut_ray.pipelines.relational import sole_late_supplier
+
+    sf = "/root/testdata/sf0.001"
+    li = ray.data.read_parquet(
+        f"{sf}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+        schema=None)
+    o = ray.data.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+    drv = sole_late_supplier(li, o)
+    dist = sole_late_supplier(li, o, driver_limit=0)
+    pd.testing.assert_frame_equal(drv, dist)
