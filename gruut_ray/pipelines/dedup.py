@@ -1010,3 +1010,95 @@ def dup_chain_components(ds: "ray.data.Dataset", id_col: str = "doc_id",
         "label_sum": [int(parts["label_sum"].sum())],
         "n_nodes": [int(parts["n_nodes"].sum())],
     })
+
+
+def ngram_jaccard_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        prefix_tokens: int = 5,
+                        num_partitions: int = 16,
+                        driver_limit: int = 5_000_000) -> pd.DataFrame:
+    """Exact word-``n``-gram Jaccard for candidate near-dup pairs — the
+    ground-truth verifier of the MinHash estimate, restricted (like any
+    real pipeline restricts exact verification) to candidates sharing a
+    cheap blocking key: the lowered ``prefix_tokens``-word prefix.
+    Returns (id_a, id_b, n_inter, n_union, jaccard_ppm) per pair with
+    jaccard_ppm = |∩|·10⁶ // |∪| — exact integers, so the full
+    approximate-family claim ("MinHash bands estimate THIS quantity")
+    gets a driver-hash-checkable SQL witness.
+
+    Scale shape: docs keyed-repartition by prefix hash so each blocking
+    group lands in one block; a pandas kernel computes every in-group
+    pair's gram-set intersection (groups are near-dup families — small
+    by construction; a hot group is a pathological mirror-farm and
+    surfaces in the group-size stats of host_stats/intra_source_dedup
+    first).  Below ``driver_limit`` rows the same kernel runs once on
+    the driver (cut-over contract as dup_chain_components)."""
+    import hashlib
+
+    def to_keyed(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        keys = [" ".join((t or "").strip().lower().split()[:prefix_tokens])
+                for t in texts]
+        hashes = [hashlib.blake2b(k.encode(), digest_size=16).hexdigest()
+                  for k in keys]
+        return pa.table({
+            "h": pa.array(hashes, type=pa.string()),
+            "id": pc.cast(batch.column(id_col), pa.int64()),
+            "text": batch.column(text_col),
+        })
+
+    def grams_of(text: str) -> set:
+        toks = (text or "").strip().lower().split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "id_a": np.array([], np.int64),
+            "id_b": np.array([], np.int64),
+            "n_inter": np.array([], np.int64),
+            "n_union": np.array([], np.int64),
+            "jaccard_ppm": np.array([], np.int64)})
+        if len(df) < 2:
+            return empty
+        rows = []
+        g = df.sort_values(["h", "id"], kind="mergesort")
+        for _, grp in g.groupby("h", sort=False):
+            if len(grp) < 2:
+                continue
+            ids = grp["id"].to_numpy()
+            gram_sets = [grams_of(t) for t in grp["text"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    inter = len(gram_sets[i] & gram_sets[j])
+                    union = len(gram_sets[i] | gram_sets[j])
+                    if union == 0:
+                        continue
+                    rows.append((int(ids[i]), int(ids[j]), inter, union,
+                                 inter * 1_000_000 // union))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "n_inter",
+                                           "n_union", "jaccard_ppm"])
+
+    keyed = ds.select_columns([id_col, text_col]) \
+        .map_batches(to_keyed, batch_format="pyarrow")
+    if ds.count() <= driver_limit:  # metadata-only on parquet reads
+        out = block_pairs(keyed.to_pandas())
+    else:
+        from ray.data.context import ShuffleStrategy
+
+        prev = keyed.context.shuffle_strategy
+        keyed.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        try:
+            out = (keyed.repartition(num_partitions, keys=["h"])
+                   .map_batches(block_pairs, batch_format="pandas",
+                                batch_size=None)
+                   .to_pandas())
+        finally:
+            keyed.context.shuffle_strategy = prev
+    if out.empty:
+        return pd.DataFrame(columns=["id_a", "id_b", "n_inter",
+                                     "n_union", "jaccard_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

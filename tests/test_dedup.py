@@ -422,3 +422,20 @@ def test_connected_components_single_edge(ray_session):
     labels = connected_components(
         ray.data.from_arrow(edges).materialize()).to_pandas()
     assert dict(zip(labels["node"], labels["label"])) == {7: 3, 3: 3}
+
+
+def test_ngram_jaccard_pairs_dual_path_identity(ray_session):
+    """Driver path and keyed-repartition path must be output-identical
+    (cut-over contract)."""
+    import pandas as pd
+    import ray.data
+
+    from gruut_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"])
+    drv = ngram_jaccard_pairs(ds)
+    dist = ngram_jaccard_pairs(ds, driver_limit=0)
+    pd.testing.assert_frame_equal(drv, dist)
+    assert len(drv) > 0  # blocking key must yield real candidates
