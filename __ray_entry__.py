@@ -1352,6 +1352,36 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
         _read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def _q_langs_per_source(sf_dir: str):
+    """Grouped ORDERED string aggregation (string_agg ... ORDER BY):
+    distinct (source, lang) pairs combine per batch, the tiny pair
+    table merges on the driver, strings join in sorted order — the
+    ordered-aggregate family with an exact SQL witness."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        agg = batch.to_pandas().groupby(["source", "lang"],
+                                        as_index=False).size() \
+            .rename(columns={"size": "n_docs"})
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    pairs = partial_then_merge(ds, pair_partials, ["source", "lang"],
+                               {"n_docs": "sum"})
+    out = (pairs.sort_values(["source", "lang"])
+           .groupby("source", as_index=False)
+           .agg(langs=("lang", lambda s: ",".join(s)),
+                n_langs=("lang", "size"),
+                n_docs=("n_docs", "sum")))
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract (VERDICT r03 #1): the driver verifies only the
     # FIRST 50 entries, so every oracle-gated query (an entry in
@@ -1430,6 +1460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_revenue": _q_top_supplier_revenue,
         "sole_late_supplier": _q_sole_late_supplier,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "langs_per_source": _q_langs_per_source,
         # --- rows-only (no SQL oracle; invariants pinned in tests/) ------
         "kmeans_convergence": _q_kmeans_convergence,
         "knn_quantized_top10": _q_knn_quantized_top10,
@@ -1500,6 +1531,13 @@ def oracle_sql() -> dict[str, str]:
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
                    AND CAST(round(l_quantity * 100) AS BIGINT)
                        BETWEEN 2000 AND 6000)
+        """,
+        "langs_per_source": """
+            SELECT source,
+                   string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+                   count(DISTINCT lang) AS n_langs,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source ORDER BY source
         """,
         "ngram_jaccard_pairs": """
             WITH docs AS (
