@@ -1382,6 +1382,41 @@ def _q_langs_per_source(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def _q_cumulative_new_users(sf_dir: str):
+    """Cumulative-window family: per-day first-seen user counts and the
+    running total (count(*) OVER (ORDER BY day)).  First-seen day
+    reduces via per-batch (user, min-day) partials + Min groupby; the
+    cumsum runs on the tiny per-day table."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    us_day = 86_400_000_000
+
+    def first_partials(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        day = pc.multiply(pc.divide(ts, us_day), us_day)
+        df = pa.table({"user_id": batch.column("user_id"),
+                       "day": day}).to_pandas()
+        agg = df.groupby("user_id", as_index=False)["day"].min()
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    first = partial_then_merge(ds, first_partials, ["user_id"],
+                               {"day": "min"})
+    per_day = (first.groupby("day", as_index=False).size()
+               .rename(columns={"size": "n_new"})
+               .sort_values("day").reset_index(drop=True))
+    per_day["n_cum"] = per_day["n_new"].cumsum().astype("int64")
+    per_day["n_new"] = per_day["n_new"].astype("int64")
+    per_day["day"] = pd.to_datetime(per_day["day"], unit="us") \
+        .astype("datetime64[us]")
+    return per_day
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract (VERDICT r03 #1): the driver verifies only the
     # FIRST 50 entries, so every oracle-gated query (an entry in
@@ -1461,6 +1496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sole_late_supplier": _q_sole_late_supplier,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "langs_per_source": _q_langs_per_source,
+        "cumulative_new_users": _q_cumulative_new_users,
         # --- rows-only (no SQL oracle; invariants pinned in tests/) ------
         "kmeans_convergence": _q_kmeans_convergence,
         "knn_quantized_top10": _q_knn_quantized_top10,
@@ -1531,6 +1567,18 @@ def oracle_sql() -> dict[str, str]:
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
                    AND CAST(round(l_quantity * 100) AS BIGINT)
                        BETWEEN 2000 AND 6000)
+        """,
+        "cumulative_new_users": """
+            WITH first AS (
+                SELECT user_id,
+                       min(to_timestamp(floor(epoch(ts) / 86400)
+                                        * 86400)::TIMESTAMP) AS day
+                FROM events GROUP BY user_id
+            )
+            SELECT day, count(*) AS n_new,
+                   CAST(sum(count(*)) OVER (ORDER BY day) AS BIGINT)
+                       AS n_cum
+            FROM first GROUP BY day ORDER BY day
         """,
         "langs_per_source": """
             SELECT source,
