@@ -2075,6 +2075,9 @@ def disjunctive_brand_revenue(lineitem: "ray.data.Dataset",
 
     pm = part.select_columns(["p_partkey", "p_brand", "p_size"]) \
         .map_batches(part_map, batch_format="pyarrow").to_pandas()
+    if pm.empty:  # all blocks filtered empty -> schema-less frame
+        pm = pd.DataFrame({"p_partkey": np.array([], np.int64),
+                           "bracket": np.array([], np.int64)})
     pm = pm.sort_values("p_partkey")
     qty_lo = np.asarray([b[3] for b in brackets], dtype=np.int64)
     qty_hi = np.asarray([b[4] for b in brackets], dtype=np.int64)
@@ -2255,7 +2258,11 @@ def volume_shipping(lineitem: "ray.data.Dataset",
         lambda b: b.filter(pc.is_in(b.column("s_nationkey"),
                                     value_set=nation_keys))
         .select(["s_suppkey", "s_nationkey"]),
-        batch_format="pyarrow").to_pandas().sort_values("s_suppkey")
+        batch_format="pyarrow").to_pandas()
+    if supp.empty:  # all blocks filtered empty -> schema-less frame
+        supp = pd.DataFrame({"s_suppkey": np.array([], np.int64),
+                             "s_nationkey": np.array([], np.int64)})
+    supp = supp.sort_values("s_suppkey")
     supp_ref = ray.put((supp["s_suppkey"].to_numpy(dtype=np.int64),
                         supp["s_nationkey"].to_numpy(dtype=np.int64)))
 
@@ -2373,7 +2380,11 @@ def product_profit(lineitem: "ray.data.Dataset",
         lambda b: b.filter(pc.equal(b.column("p_type"),
                                     pa.scalar(type_filter)))
         .select(["p_partkey", "p_retailprice"]),
-        batch_format="pyarrow").to_pandas().sort_values("p_partkey")
+        batch_format="pyarrow").to_pandas()
+    if pm.empty:  # all blocks filtered empty -> schema-less frame
+        pm = pd.DataFrame({"p_partkey": np.array([], np.int64),
+                           "p_retailprice": np.array([], np.float64)})
+    pm = pm.sort_values("p_partkey")
     sm = supplier.select_columns(["s_suppkey", "s_nationkey"]) \
         .to_pandas().sort_values("s_suppkey")
     if len(pm) > broadcast_limit or len(sm) > broadcast_limit:
@@ -2498,6 +2509,9 @@ def top_supplier_revenue(lineitem: "ray.data.Dataset",
                                     value_set=keys))
         .select(["s_suppkey", "s_name"]),
         batch_format="pyarrow").to_pandas()
+    if names.empty:  # winner keys absent from supplier (or empty blocks)
+        names = pd.DataFrame({"s_suppkey": np.array([], np.int64),
+                              "s_name": np.array([], object)})
     out = names.merge(winners.rename(columns={"l_suppkey": "s_suppkey"}),
                       on="s_suppkey")
     out["s_suppkey"] = out["s_suppkey"].astype("int64")
