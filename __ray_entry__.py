@@ -1417,6 +1417,94 @@ def _q_cumulative_new_users(sf_dir: str):
     return per_day
 
 
+def _q_pivot_lang_source(sf_dir: str):
+    """PIVOT family: doc counts per lang with one column per source
+    src0..src4 (+rest) — conditional aggregation inside the combiner,
+    wide result assembled from the tiny partials."""
+    import pyarrow as pa
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    srcs = [f"src{i}" for i in range(5)]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        for c in srcs:
+            df[c] = (df["source"] == c).astype("int64")
+        df["rest"] = (~df["source"].isin(srcs)).astype("int64")
+        agg = df.groupby("lang", as_index=False)[srcs + ["rest"]].sum()
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    return partial_then_merge(ds, partials, ["lang"],
+                              {c: "sum" for c in srcs + ["rest"]})
+
+
+def _q_viewer_buyer_overlap(sf_dir: str):
+    """Set-op family (INTERSECT / EXCEPT counts): users who viewed,
+    who purchased, and the overlap — per-batch distinct (user, flag)
+    combiner, one tiny groupby, driver set arithmetic."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["event_type"].isin(["view", "purchase"])]
+        pairs = df.drop_duplicates()
+        pairs["viewed"] = (pairs["event_type"] == "view").astype("int64")
+        pairs["bought"] = (pairs["event_type"] == "purchase") \
+            .astype("int64")
+        agg = pairs.groupby("user_id", as_index=False)[
+            ["viewed", "bought"]].max()
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    per_user = partial_then_merge(ds, partials, ["user_id"],
+                                  {"viewed": "max", "bought": "max"})
+    v = per_user["viewed"] > 0
+    b = per_user["bought"] > 0
+    return pd.DataFrame({
+        "n_viewers": [int(v.sum())],
+        "n_buyers": [int(b.sum())],
+        "n_both": [int((v & b).sum())],
+        "n_view_only": [int((v & ~b).sum())],
+    })
+
+
+def _q_phonemize_espeak(sf_dir: str):
+    """eSpeak phoneme-variant surface (reference model_prefix): the
+    same phonemize stage over the packs' espeak lexicons.  Rows-only
+    (model-driven); espeak-variant goldens live in
+    tests/test_phonem_packs.py."""
+    from gruut_ray.stages.phonemize import phonemize
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = phonemize(ds, concurrency=(1, 4), batch_size=128,
+                    espeak=True).select_columns(
+        ["doc_id", "n_words", "n_phonemes", "n_oov"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_quality_filter_routed(sf_dir: str):
+    """Lang-routed quality filter (explicit (lang, salt) routing with
+    skew salting for hot languages — the north rule's language-keyed
+    shuffle path).  Rows-only; output-identity with the unrouted
+    pipeline is pinned in tests/test_properties.py."""
+    from gruut_ray.pipelines.quality_filter import quality_filter_routed
+
+    ds = _read(sf_dir, "documents")
+    out = quality_filter_routed(ds, text_col="text", use_ppl=True)
+    return out.select_columns([
+        "doc_id", "lang_id", "keep", "drop_reason", "n_tokens",
+        "n_pii_hits",
+    ]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract (VERDICT r03 #1): the driver verifies only the
     # FIRST 50 entries, so every oracle-gated query (an entry in
@@ -1497,6 +1585,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "langs_per_source": _q_langs_per_source,
         "cumulative_new_users": _q_cumulative_new_users,
+        "pivot_lang_source": _q_pivot_lang_source,
+        "viewer_buyer_overlap": _q_viewer_buyer_overlap,
         # --- rows-only (no SQL oracle; invariants pinned in tests/) ------
         "kmeans_convergence": _q_kmeans_convergence,
         "knn_quantized_top10": _q_knn_quantized_top10,
@@ -1522,6 +1612,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_daily_active_users": _q_approx_daily_active_users,
         "heavy_hitter_terms": _q_heavy_hitter_terms,
         "bpe_vocab_summary": _q_bpe_vocab_summary,
+        "phonemize_espeak": _q_phonemize_espeak,
+        "quality_filter_routed": _q_quality_filter_routed,
     }
 
 
@@ -1567,6 +1659,41 @@ def oracle_sql() -> dict[str, str]:
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
                    AND CAST(round(l_quantity * 100) AS BIGINT)
                        BETWEEN 2000 AND 6000)
+        """,
+        "pivot_lang_source": """
+            SELECT lang,
+                   CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS src0,
+                   CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS src1,
+                   CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS src2,
+                   CAST(sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS src3,
+                   CAST(sum(CASE WHEN source = 'src4' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS src4,
+                   CAST(sum(CASE WHEN source NOT IN
+                                 ('src0','src1','src2','src3','src4')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS rest
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "viewer_buyer_overlap": """
+            WITH per_user AS (
+                SELECT user_id,
+                       max(CASE WHEN event_type = 'view'
+                            THEN 1 ELSE 0 END) AS viewed,
+                       max(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS bought
+                FROM events
+                WHERE event_type IN ('view', 'purchase')
+                GROUP BY user_id
+            )
+            SELECT CAST(sum(viewed) AS BIGINT) AS n_viewers,
+                   CAST(sum(bought) AS BIGINT) AS n_buyers,
+                   CAST(sum(viewed * bought) AS BIGINT) AS n_both,
+                   CAST(sum(viewed * (1 - bought)) AS BIGINT)
+                       AS n_view_only
+            FROM per_user
         """,
         "cumulative_new_users": """
             WITH first AS (
