@@ -1505,6 +1505,27 @@ def _q_quality_filter_routed(sf_dir: str):
     ]).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_index_lookup_top10(sf_dir: str):
+    """Inverted-index build (partitioned parquet postings, term-bucket
+    keyed shuffle) + bucket-pruned lookup: top-10 docs for a fixed term
+    query by exact integer TF-IDF (tf × (N·10⁶ // df))."""
+    import shutil
+    import tempfile
+
+    from gruut_ray.pipelines.index import build_inverted_index, index_lookup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    d = tempfile.mkdtemp(prefix="gruut_ray_idx_", dir="/tmp")
+    try:
+        manifest = build_inverted_index(ds, d, num_buckets=16)
+        out = index_lookup(d, ["data", "fast", "join"],
+                           num_docs=manifest["num_docs"],
+                           num_buckets=16, k=10)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract (VERDICT r03 #1): the driver verifies only the
     # FIRST 50 entries, so every oracle-gated query (an entry in
@@ -1587,6 +1608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_new_users": _q_cumulative_new_users,
         "pivot_lang_source": _q_pivot_lang_source,
         "viewer_buyer_overlap": _q_viewer_buyer_overlap,
+        "index_lookup_top10": _q_index_lookup_top10,
         # --- rows-only (no SQL oracle; invariants pinned in tests/) ------
         "kmeans_convergence": _q_kmeans_convergence,
         "knn_quantized_top10": _q_knn_quantized_top10,
@@ -1659,6 +1681,28 @@ def oracle_sql() -> dict[str, str]:
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
                    AND CAST(round(l_quantity * 100) AS BIGINT)
                        BETWEEN 2000 AND 6000)
+        """,
+        "index_lookup_top10": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM words GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), ndocs AS (SELECT count(*) AS n FROM documents)
+            SELECT t.doc_id,
+                   CAST(sum(t.tf * (n.n * 1000000 // d.df)) AS BIGINT)
+                       AS score_ppm
+            FROM tf t JOIN df d USING (term), ndocs n
+            WHERE t.term IN ('data', 'fast', 'join')
+            GROUP BY t.doc_id
+            ORDER BY score_ppm DESC, t.doc_id
+            LIMIT 10
         """,
         "pivot_lang_source": """
             SELECT lang,
