@@ -133,15 +133,22 @@ BOILERPLATE_NAV = "<nav><a href=\"/\">Home</a><a href=\"/about\">About</a></nav>
 BOILERPLATE_FOOTER = "<footer>© 2024 Example Site</footer>"
 
 
-def build_html(text: str, title: str) -> bytes:
-    """Deterministic HTML wrapper; ``extract_text`` inverts it exactly."""
+def build_html(text: str, title: str,
+               links: typing.Sequence[str] = ()) -> bytes:
+    """Deterministic HTML wrapper; ``extract_text`` inverts it exactly.
+    ``links`` render as nav anchors OUTSIDE <main>, so the extracted
+    text is unaffected (extract_links reads them, extract_text never
+    sees them)."""
     paragraphs = text.split("\n\n")
     body = "".join(f"<p>{html_mod.escape(par)}</p>" for par in paragraphs)
+    nav_links = "".join(f"<a href=\"{html_mod.escape(u)}\">ref</a>"
+                        for u in links)
     doc = (
         "<html><head><meta charset=\"utf-8\"/><title>"
         + html_mod.escape(title)
         + "</title></head><body>"
         + BOILERPLATE_NAV
+        + (f"<nav class=\"refs\">{nav_links}</nav>" if nav_links else "")
         + "<main>" + body + "</main>"
         + BOILERPLATE_FOOTER
         + "</body></html>"
@@ -170,7 +177,16 @@ def make_batch_for_ids(ids: typing.Sequence[int],
         urls[k] = f"https://site{site}.example/{short}/{i:010d}"
         ts[k] = np.datetime64(_BASE_TS, "us") + np.timedelta64(
             _h(i, 3, seed) % (365 * 24 * 3600), "s")
-        htmls[k] = build_html(text, title=f"Page {i}")
+        # deterministic cross-host outlinks with a quadratic popularity
+        # skew (low site numbers collect most inlinks) — gives the link
+        # graph a non-uniform PageRank to measure
+        links = []
+        for j in range(3):
+            t = _h(i, 50 + j, seed) % 1000
+            target = (t * t) // 1000
+            if target != site:
+                links.append(f"https://site{target}.example/")
+        htmls[k] = build_html(text, title=f"Page {i}", links=links)
         texts[k] = text
         langs[k] = short
     return {"url": urls, "warc_ts": ts, "html": htmls, "text": texts,

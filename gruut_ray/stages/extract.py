@@ -52,3 +52,18 @@ def extract_batch(batch: pa.Table,
     if drop_html:
         batch = batch.drop_columns([html_col])
     return batch
+
+
+_HREF_RE = re.compile(rb"<a\s[^>]*href=\"([^\"]+)\"", re.IGNORECASE)
+
+
+def extract_links(html: bytes) -> typing.List[str]:
+    """Absolute http(s) hrefs from anywhere in the page (nav included —
+    the link graph wants exactly the boilerplate links extract_text
+    drops)."""
+    out = []
+    for m in _HREF_RE.findall(html):
+        u = html_mod.unescape(m.decode("utf-8", errors="replace"))
+        if u.startswith("http://") or u.startswith("https://"):
+            out.append(u)
+    return out

@@ -1,0 +1,63 @@
+"""Host-graph PageRank (pipelines/graphrank.py)."""
+
+import numpy as np
+import pandas as pd
+
+from gruut_ray.pipelines.graphrank import (_host_of, host_link_edges,
+                                           host_pagerank,
+                                           pagerank_from_edges)
+
+
+def test_host_of():
+    assert _host_of("https://A.Example:8080/x") == "a.example"
+    assert _host_of("http://u@b.example/p") == "b.example"
+    assert _host_of("garbage") == ""
+
+
+def test_pagerank_known_graph():
+    # triangle a->b, b->c, c->a : symmetric, rank = 1/3 each
+    edges = pd.DataFrame({"src": ["a", "b", "c"],
+                          "dst": ["b", "c", "a"], "n": [1, 1, 1]})
+    r = pagerank_from_edges(edges, iters=100)
+    assert np.allclose(r["rank"], 1 / 3, atol=1e-9)
+    # hub: everyone links to z -> z dominates
+    edges = pd.DataFrame({"src": ["a", "b", "c"],
+                          "dst": ["z", "z", "z"], "n": [1, 1, 1]})
+    r = pagerank_from_edges(edges, iters=100).set_index("host")["rank"]
+    assert r["z"] > r["a"] and abs(r.sum() - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_mass_conserved():
+    # b has no outlinks: its mass must redistribute, ranks still sum to 1
+    edges = pd.DataFrame({"src": ["a"], "dst": ["b"], "n": [3]})
+    r = pagerank_from_edges(edges, iters=80)
+    assert abs(r["rank"].sum() - 1.0) < 1e-9
+    assert r.set_index("host")["rank"]["b"] > 0.5
+
+
+def test_host_pagerank_over_synth_pages(ray_session):
+    from gruut_ray.sources.synth import synth_dataset
+
+    pages = synth_dataset(2000)
+    edges = host_link_edges(pages)
+    assert len(edges) > 100  # cross-host links exist
+    assert (edges["src"] != edges["dst"]).all()
+
+    out = host_pagerank(pages, iters=15, top_k=10)
+    assert len(out) == 10
+    # quadratic target skew: low-numbered sites collect the inlinks
+    top_sites = [int(h.replace("site", "").replace(".example", ""))
+                 for h in out["host"]]
+    assert np.median(top_sites) < 100, top_sites
+    assert (out["rank_ppm"].to_numpy()[:-1]
+            >= out["rank_ppm"].to_numpy()[1:]).all()
+
+
+def test_distributed_path_matches_driver_path(ray_session):
+    from gruut_ray.sources.synth import synth_dataset
+
+    pages = synth_dataset(800)
+    drv = host_pagerank(pages, iters=10, top_k=15)
+    dist = host_pagerank(pages, iters=10, top_k=15,
+                         driver_edge_limit=0)
+    pd.testing.assert_frame_equal(drv, dist)
