@@ -1544,6 +1544,35 @@ def _q_host_pagerank(sf_dir: str):
     return host_pagerank(synth_dataset(n_docs), iters=15, top_k=20)
 
 
+def _q_forecast_revenue_change(sf_dir: str):
+    """TPC-H Q6 shape: one scan, combiner partials, no shuffle."""
+    from gruut_ray.pipelines.relational import forecast_revenue_change
+
+    return forecast_revenue_change(
+        _read(sf_dir, "lineitem",
+              columns=["l_shipdate", "l_discount", "l_quantity",
+                       "l_extendedprice"]))
+
+
+def _q_market_share(sf_dir: str):
+    """TPC-H Q8 shape: target nation's regional market share per order
+    year — numerator and denominator as exact integers out of one
+    scan (Q5/Q7 join skeleton + supplier/part broadcasts)."""
+    from gruut_ray.pipelines.relational import market_share
+
+    return market_share(
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_suppkey", "l_partkey",
+                       "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation"),
+        _read(sf_dir, "region"),
+        part=_read(sf_dir, "part", columns=["p_partkey", "p_type"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract (VERDICT r03 #1): the driver verifies only the
     # FIRST 50 entries, so every oracle-gated query (an entry in
@@ -1627,6 +1656,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_lang_source": _q_pivot_lang_source,
         "viewer_buyer_overlap": _q_viewer_buyer_overlap,
         "index_lookup_top10": _q_index_lookup_top10,
+        "forecast_revenue_change": _q_forecast_revenue_change,
+        "market_share": _q_market_share,
         # --- rows-only (no SQL oracle; invariants pinned in tests/) ------
         "kmeans_convergence": _q_kmeans_convergence,
         "knn_quantized_top10": _q_knn_quantized_top10,
@@ -1700,6 +1731,42 @@ def oracle_sql() -> dict[str, str]:
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
                    AND CAST(round(l_quantity * 100) AS BIGINT)
                        BETWEEN 2000 AND 6000)
+        """,
+        "forecast_revenue_change": """
+            SELECT CAST(coalesce(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_discount * 100) AS BIGINT)), 0)
+                       AS BIGINT) AS revenue_c4,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND CAST(round(l_quantity * 100) AS BIGINT) < 2400
+        """,
+        "market_share": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CASE WHEN sn.n_name = 'NATION_0'
+                            THEN CAST(round(l_extendedprice * 100)
+                                      AS BIGINT)
+                                 * (100 - CAST(round(l_discount * 100)
+                                               AS BIGINT))
+                            ELSE 0 END) AS BIGINT) AS nation_revenue_c4,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS total_revenue_c4,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region   ON cn.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN part     ON l_partkey = p_partkey
+            WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+            GROUP BY o_year ORDER BY o_year
         """,
         "index_lookup_top10": """
             WITH words AS (

@@ -2600,3 +2600,176 @@ def sole_late_supplier(lineitem: "ray.data.Dataset",
     out["s_suppkey"] = out["s_suppkey"].astype("int64")
     out["n_waiting_orders"] = out["n_waiting_orders"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def forecast_revenue_change(lineitem: "ray.data.Dataset",
+                            date_lo: str = "1996-01-01",
+                            date_hi: str = "1997-01-01",
+                            disc_lo_bp: int = 5, disc_hi_bp: int = 7,
+                            max_qty_c: int = 2400) -> pd.DataFrame:
+    """TPC-H Q6 shape: pure filter + scalar aggregate — the
+    simplest-possible plan (one scan, combiner partials, no shuffle,
+    no join).  revenue = Σ extprice·discount over the date/discount/
+    quantity window, exact 1e-4-dollar integers."""
+
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.greater_equal(batch.column("l_shipdate"), lo),
+            pc.less(batch.column("l_shipdate"), hi)))
+        disc = _cents(batch.column("l_discount"))
+        qty = _cents(batch.column("l_quantity"))
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(disc, pa.scalar(disc_lo_bp)),
+                    pc.less_equal(disc, pa.scalar(disc_hi_bp))),
+            pc.less(qty, pa.scalar(max_qty_c)))
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return pa.table({"revenue_c4": pa.array([], pa.int64()),
+                             "n_items": pa.array([], pa.int64())})
+        rev = pc.multiply(_cents(batch.column("l_extendedprice")),
+                          _cents(batch.column("l_discount")))
+        return pa.table({
+            "revenue_c4": pa.array([pc.sum(rev).as_py() or 0],
+                                   type=pa.int64()),
+            "n_items": pa.array([batch.num_rows], type=pa.int64()),
+        })
+
+    parts = lineitem.select_columns(
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]) \
+        .map_batches(partials, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "revenue_c4": [sum(int(x) for x in parts["revenue_c4"])
+                       if len(parts) else 0],
+        "n_items": [int(parts["n_items"].sum()) if len(parts) else 0],
+    })
+
+
+def market_share(lineitem: "ray.data.Dataset",
+                 orders: "ray.data.Dataset",
+                 customer: "ray.data.Dataset",
+                 supplier: "ray.data.Dataset",
+                 nation: "ray.data.Dataset",
+                 region: "ray.data.Dataset",
+                 target_nation: str = "NATION_0",
+                 region_name: str = "ASIA",
+                 part: typing.Optional["ray.data.Dataset"] = None,
+                 part_type: str = "PROMO",
+                 num_partitions: int = 16) -> pd.DataFrame:
+    """TPC-H Q8 shape: the target nation's share of a region's market
+    per order year, reported as EXACT integer numerator/denominator
+    (nation_revenue_c4, total_revenue_c4) so the oracle hash-matches
+    without float-ratio noise.
+
+    Scale shape (Q5/Q7 skeleton): region⋈nation collapse driver-side,
+    supplier → suppkey→nationkey broadcast, optional part-type filter
+    → partkey set broadcast, region-filtered customer⋈orders then
+    lineitem⋈oc shuffles; per (year) partials carry both the total and
+    the target nation's slice out of the same scan."""
+    import ray
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    rk = region.to_pandas()
+    rkeys = set(rk.loc[rk["r_name"] == region_name, "r_regionkey"])
+    nat = nation.to_pandas()
+    in_region = nat[nat["n_regionkey"].isin(rkeys)]
+    region_nation_keys = pa.array(
+        sorted(in_region["n_nationkey"].astype("int64")), type=pa.int64())
+    target_keys = set(nat.loc[nat["n_name"] == target_nation,
+                              "n_nationkey"].astype("int64"))
+
+    sm = supplier.select_columns(["s_suppkey", "s_nationkey"]) \
+        .to_pandas().sort_values("s_suppkey")
+    supp_ref = ray.put((sm["s_suppkey"].to_numpy(dtype=np.int64),
+                        sm["s_nationkey"].to_numpy(dtype=np.int64)))
+
+    part_keys_ref = None
+    if part is not None:
+        pf = part.map_batches(
+            lambda b: b.filter(pc.equal(b.column("p_type"),
+                                        pa.scalar(part_type)))
+            .select(["p_partkey"]), batch_format="pyarrow").to_pandas()
+        pk = np.sort(pf["p_partkey"].to_numpy(dtype=np.int64)) \
+            if not pf.empty else np.array([], dtype=np.int64)
+        part_keys_ref = ray.put(pk)
+
+    c = (customer.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("c_nationkey"),
+                                    value_set=region_nation_keys))
+        .select(["c_custkey"]), batch_format="pyarrow")
+        .repartition(num_partitions))
+    o = (orders.select_columns(["o_orderkey", "o_custkey",
+                                "o_orderdate"])
+         .repartition(num_partitions))
+    if c.count() == 0:
+        return pd.DataFrame(columns=["o_year", "nation_revenue_c4",
+                                     "total_revenue_c4", "n_items"])
+    oc = (o.join(c, join_type="inner", num_partitions=num_partitions,
+                 on=("o_custkey",), right_on=("c_custkey",))
+          .select_columns(["o_orderkey", "o_orderdate"])
+          .repartition(num_partitions)
+          .materialize())
+    li_cols = ["l_orderkey", "l_suppkey", "l_extendedprice",
+               "l_discount"] + (["l_partkey"] if part is not None else [])
+    li = lineitem.select_columns(li_cols).repartition(num_partitions)
+    full = li.join(oc, join_type="inner", num_partitions=num_partitions,
+                   on=("l_orderkey",), right_on=("o_orderkey",))
+
+    tset = np.array(sorted(target_keys), dtype=np.int64)
+
+    def partials(batch: pa.Table, _cache={}) -> pa.Table:
+        m = _cache.get(supp_ref)
+        if m is None:
+            _cache.clear()
+            pk = ray.get(part_keys_ref) if part_keys_ref else None
+            m = _cache[supp_ref] = (ray.get(supp_ref), pk)
+        (skeys, snats), pk = m
+        mask = np.ones(batch.num_rows, dtype=bool)
+        if pk is not None:
+            lpk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(pk, lpk),
+                             max(len(pk) - 1, 0))
+            mask &= (pk[pos] == lpk) if len(pk) else False
+        if not mask.any():
+            return pa.table({"o_year": pa.array([], pa.int64()),
+                             "nation_revenue_c4": pa.array([], pa.int64()),
+                             "total_revenue_c4": pa.array([], pa.int64()),
+                             "n_items": pa.array([], pa.int64())})
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        spos = np.minimum(np.searchsorted(skeys, sk), len(skeys) - 1)
+        snat = snats[spos]
+        rev = pc.multiply(
+            _cents(batch.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100),
+                        _cents(batch.column("l_discount")))) \
+            .to_numpy(zero_copy_only=False)
+        year = batch.column("o_orderdate").to_pandas().dt.year.to_numpy()
+        is_target = np.isin(snat, tset)
+        df = pd.DataFrame({
+            "o_year": year[mask].astype(np.int64),
+            "nation_revenue_c4": np.where(is_target, rev, 0)[mask],
+            "total_revenue_c4": rev[mask],
+            "n_items": 1})
+        agg = df.groupby("o_year", as_index=False).sum()
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    out = partial_then_merge(full, partials, ["o_year"],
+                             {"nation_revenue_c4": "sum",
+                              "total_revenue_c4": "sum",
+                              "n_items": "sum"},
+                             exact_int_cols=["nation_revenue_c4",
+                                             "total_revenue_c4"])
+    if out.empty:
+        return pd.DataFrame(columns=["o_year", "nation_revenue_c4",
+                                     "total_revenue_c4", "n_items"])
+    out["o_year"] = out["o_year"].astype("int64")
+    out["n_items"] = out["n_items"].astype("int64")
+    out["nation_revenue_c4"] = [int(x) for x in out["nation_revenue_c4"]]
+    out["total_revenue_c4"] = [int(x) for x in out["total_revenue_c4"]]
+    return (out[["o_year", "nation_revenue_c4", "total_revenue_c4",
+                 "n_items"]]
+            .sort_values("o_year").reset_index(drop=True))
