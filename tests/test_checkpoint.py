@@ -205,3 +205,92 @@ def test_headline_plan_is_shuffle_free(ray_session):
                    "Join("):
         assert marker not in stats, f"shuffle stage in headline plan: {marker}"
     assert ds.count() == 200
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (state/compaction.py)
+# ---------------------------------------------------------------------------
+
+def test_compaction_merges_small_partitions(tmp_path, ray_session):
+    import glob
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gruut_ray.state import manifest as mf
+    from gruut_ray.state.compaction import compact_output
+
+    out_dir = str(tmp_path / "out")
+    # 3 partitions, each written as several small files
+    for part in range(3):
+        pdir = mf.partition_dir(out_dir, part)
+        os.makedirs(pdir)
+        for f in range(4):
+            pq.write_table(pa.table({
+                "doc_id": pa.array(range(f * 10, f * 10 + 10),
+                                   type=pa.int64()),
+                "part": pa.array([part] * 10, type=pa.int64()),
+            }), os.path.join(pdir, f"file-{f}.parquet"))
+        mf.write_partition_manifest(out_dir, part,
+                                    {"rows": 40, "lineage_hash": "x"})
+
+    before = sorted(duckdb.sql(
+        f"SELECT doc_id, part FROM '{out_dir}/*/*.parquet'").fetchall())
+    res = compact_output(out_dir, target_bytes=10 * 2 ** 20)
+    assert res["partitions_compacted"] == 3
+    assert res["files_removed"] == 9
+    assert res["rows"] == 120
+
+    # every partition is now exactly one file; data identical
+    for part in range(3):
+        files = glob.glob(os.path.join(mf.partition_dir(out_dir, part),
+                                       "*.parquet"))
+        assert len(files) == 1
+    after = sorted(duckdb.sql(
+        f"SELECT doc_id, part FROM '{out_dir}/*/*.parquet'").fetchall())
+    assert after == before
+
+    # manifests survive with lineage intact + a compaction record
+    done = mf.completed_partitions(out_dir)
+    assert set(done) == {0, 1, 2}
+    for payload in done.values():
+        assert payload["lineage_hash"] == "x"
+        assert payload["compaction"][0]["files_before"] == 4
+
+    # idempotent: second pass finds nothing to do
+    res2 = compact_output(out_dir, target_bytes=10 * 2 ** 20)
+    assert res2["partitions_compacted"] == 0
+
+
+def test_compaction_skips_large_and_single_file_partitions(tmp_path,
+                                                           ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gruut_ray.state import manifest as mf
+    from gruut_ray.state.compaction import compact_output
+
+    out_dir = str(tmp_path / "out")
+    pdir = mf.partition_dir(out_dir, 0)
+    os.makedirs(pdir)
+    pq.write_table(pa.table({"x": list(range(5))}),
+                   os.path.join(pdir, "only.parquet"))
+    mf.write_partition_manifest(out_dir, 0, {"rows": 5})
+    res = compact_output(out_dir, target_bytes=1)  # even tiny target
+    assert res["partitions_compacted"] == 0
+
+
+def test_compaction_after_real_run(cc_run, ray_session):
+    """Compacting a real run_to_parquet output keeps resume green."""
+    import duckdb
+
+    from gruut_ray.state.compaction import compact_output
+
+    out_dir, stats = cc_run
+    n_before = duckdb.sql(
+        f"SELECT count(*) FROM '{out_dir}/*/*.parquet'").fetchone()[0]
+    compact_output(out_dir, target_bytes=256 * 2 ** 20)
+    n_after = duckdb.sql(
+        f"SELECT count(*) FROM '{out_dir}/*/*.parquet'").fetchone()[0]
+    assert n_after == n_before
