@@ -1573,6 +1573,55 @@ def _q_market_share(sf_dir: str):
         part=_read(sf_dir, "part", columns=["p_partkey", "p_type"]))
 
 
+def _q_sorted_export_events(sf_dir: str):
+    """Sorted range-partitioned export of events by integer value-cents:
+    boundary sample → keyed range shuffle → per-range sorted files +
+    boundary manifest.  The returned rank-weighted checksum
+    (Σ rank·(value_c mod 1000) over the concatenated range files) is a
+    witness of the GLOBAL sort order, replayed by a row_number() oracle."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from gruut_ray.sources.sorted_export import sorted_export
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("value"), pa.scalar(100.0))), pa.int64())
+        return pa.table({"event_id": batch.column("event_id"),
+                         "value_c": cents})
+
+    ds = ds.map_batches(add_cents, batch_format="pyarrow")
+    out = tempfile.mkdtemp(prefix="gruut_ray_sorted_", dir="/tmp")
+    try:
+        manifest = sorted_export(ds, out, col="value_c",
+                                 id_col="event_id", num_ranges=8)
+        rank = 0
+        checksum = 0
+        prev = None
+        for f in sorted(glob.glob(out + "/range-*.parquet")):
+            vals = pq.read_table(f).column("value_c").to_numpy()
+            if len(vals) and prev is not None:
+                assert vals[0] >= prev, "range files out of order"
+            if len(vals):
+                prev = vals[-1]
+            r = rank + 1 + __import__("numpy").arange(len(vals))
+            # abs() before mod: Python and SQL disagree on negative mod
+            checksum += int((r * (abs(vals) % 1000)).sum())
+            rank += len(vals)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return pd.DataFrame({"n_rows": [manifest["num_rows"]],
+                         "order_checksum": [checksum]})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract (VERDICT r03 #1): the driver verifies only the
     # FIRST 50 entries, so every oracle-gated query (an entry in
@@ -1658,6 +1707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_lookup_top10": _q_index_lookup_top10,
         "forecast_revenue_change": _q_forecast_revenue_change,
         "market_share": _q_market_share,
+        "sorted_export_events": _q_sorted_export_events,
         # --- rows-only (no SQL oracle; invariants pinned in tests/) ------
         "kmeans_convergence": _q_kmeans_convergence,
         "knn_quantized_top10": _q_knn_quantized_top10,
@@ -1731,6 +1781,22 @@ def oracle_sql() -> dict[str, str]:
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
                    AND CAST(round(l_quantity * 100) AS BIGINT)
                        BETWEEN 2000 AND 6000)
+        """,
+        "sorted_export_events": """
+            WITH c AS (
+                SELECT event_id,
+                       CAST(round(value * 100) AS BIGINT) AS value_c
+                FROM events
+            ), ranked AS (
+                SELECT value_c,
+                       row_number() OVER (ORDER BY value_c, event_id)
+                           AS rn
+                FROM c
+            )
+            SELECT count(*) AS n_rows,
+                   CAST(sum(rn * (abs(value_c) % 1000)) AS BIGINT)
+                       AS order_checksum
+            FROM ranked
         """,
         "forecast_revenue_change": """
             SELECT CAST(coalesce(sum(
