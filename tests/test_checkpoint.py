@@ -294,3 +294,31 @@ def test_compaction_after_real_run(cc_run, ray_session):
     n_after = duckdb.sql(
         f"SELECT count(*) FROM '{out_dir}/*/*.parquet'").fetchone()[0]
     assert n_after == n_before
+
+
+def test_cc_end_to_end_has_exactly_one_shuffle(ray_session):
+    """The composed CC pipeline's only exchange must stay the final
+    (host, hash) dedup groupby — policy, extract, and scrub are all
+    map stages.  A second AllToAll in the plan is a scale regression.
+    cc_end_to_end consumes its datasets internally, so the structural
+    check rebuilds its pre-groupby chain (policy → extract → scrub)
+    and asserts that prefix is a pure map pipeline."""
+    from gruut_ray.pipelines.quality_filter import (cc_end_to_end,
+                                                    quality_filter)
+    from gruut_ray.pipelines.webstats import url_policy_filter
+    from gruut_ray.sources.synth import synth_dataset
+
+    out = cc_end_to_end(synth_dataset(300), n_pages=300, use_ppl=False,
+                        quality_concurrency=(1, 2))
+    assert int(out["n_pages"].iloc[0]) == 300
+
+    chain = quality_filter(
+        url_policy_filter(synth_dataset(200),
+                          blocked_hosts=["site1.example"]),
+        text_col="text", use_ppl=False,
+        quality_concurrency=(1, 2)).materialize()
+    stats = chain.stats()
+    for marker in ("AllToAll", "Repartition", "Aggregate", "Sort",
+                   "Join("):
+        assert marker not in stats, \
+            f"shuffle stage before the final dedup groupby: {marker}"
