@@ -385,3 +385,41 @@ def phonemize(ds, *, text_col: str = "text", lang_col: str = "lang",
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def phonemize_routed(ds, *, text_col: str = "text",
+                     lang_col: str = "lang", num_salts: int = 8,
+                     **stage_kwargs):
+    """Language-ROUTED phonemize: documents hash-shuffle to
+    ``(lang, salt)`` groups before the stage runs, so each worker's
+    lazily-loaded pack set stays one-or-few languages instead of
+    eventually all of them (the memory bound that matters when packs
+    are multi-GB; same routing contract as
+    ``quality_filter_routed``, salting bounds en-skew).  Output rows
+    are identical to :func:`phonemize` — only the physical plan
+    differs (asserted in tests/test_phonem.py)."""
+    import numpy as np
+
+    def add_route(batch: pa.Table) -> pa.Table:
+        h = np.arange(batch.num_rows, dtype=np.uint64)
+        h = (h + np.uint64(0x9E3779B97F4A7C15)) \
+            * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(31)
+        salts = (h % np.uint64(num_salts)).astype(np.int32)
+        return batch.append_column("_salt",
+                                   pa.array(salts, type=pa.int32()))
+
+    _cache: typing.Dict[str, PhonemizeStage] = {}
+
+    def phonemize_group(group: pa.Table) -> pa.Table:
+        stage = _cache.get("stage")
+        if stage is None:  # once per worker process, not per group
+            stage = _cache["stage"] = PhonemizeStage(
+                text_col=text_col, lang_col=lang_col, **stage_kwargs)
+        return stage(group)
+
+    routed = ds.map_batches(add_route, batch_format="pyarrow")
+    out = routed.groupby([lang_col, "_salt"]).map_groups(
+        phonemize_group, batch_format="pyarrow")
+    return out.map_batches(lambda b: b.drop_columns(["_salt"]),
+                           batch_format="pyarrow")

@@ -448,3 +448,25 @@ def test_homograph_pronunciations_role_driven():
         ["l", "ɛ", "d"]
     assert phonemes_of("She will lead the group.", "lead") == \
         ["l", "i", "d"]
+
+
+def test_phonemize_routed_matches_unrouted(ray_session):
+    """Lang-routed phonemize must be output-identical to the per-row
+    path — only the physical plan (lang,salt shuffle) differs."""
+    import ray.data
+
+    from gruut_ray.stages.phonemize import phonemize, phonemize_routed
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang"])
+    cols = ["doc_id", "n_words", "n_phonemes", "n_oov"]
+    a = (phonemize(ds, concurrency=(1, 2), batch_size=64)
+         .select_columns(cols).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (phonemize_routed(ds, num_salts=4)
+         .select_columns(cols).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
