@@ -1622,6 +1622,24 @@ def _q_sorted_export_events(sf_dir: str):
                          "order_checksum": [checksum]})
 
 
+def _q_pq_topk(sf_dir: str):
+    """Product-quantization ANN (Jégou 2011): distributed codebook
+    training (kmeans scatter shape, m subspaces per scan), per-batch
+    ADC scoring over the broadcast distance table, exact re-rank of
+    the shortlist — the billion-vector memory path (m bytes/vector).
+    Approximate → rows-only; recall ≥0.9 vs exact is pinned in
+    tests/test_similarity.py."""
+    import numpy as np
+
+    from gruut_ray.pipelines.similarity import pq_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = ds.take(1)[0]
+    out = pq_topk(ds, np.asarray([first["embedding"]], dtype=np.float32),
+                  dim=len(first["embedding"]), m=16, k_codebook=16, k=10)
+    return out.assign(score=lambda d: d["score"].round(6))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract (VERDICT r03 #1): the driver verifies only the
     # FIRST 50 entries, so every oracle-gated query (an entry in
@@ -1736,6 +1754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phonemize_espeak": _q_phonemize_espeak,
         "quality_filter_routed": _q_quality_filter_routed,
         "host_pagerank": _q_host_pagerank,
+        "pq_topk": _q_pq_topk,
     }
 
 

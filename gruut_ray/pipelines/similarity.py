@@ -713,3 +713,199 @@ def kmeans_fit(ds: "ray.data.Dataset", k: int = 10, iters: int = 5,
         if len(history) >= 2 and history[-1] >= history[-2] - 1e-9:
             break  # converged (inertia is non-increasing under Lloyd's)
     return cent, history
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product quantization for
+# nearest neighbor search") — the standard billion-vector memory path:
+# m per-subspace codebooks of k centroids compress each vector to m
+# bytes; queries scan codes with an asymmetric distance table (ADC).
+# ---------------------------------------------------------------------------
+
+def pq_train(ds: "ray.data.Dataset", dim: int, m: int = 8, k: int = 16,
+             iters: int = 6, emb_col: str = "embedding",
+             id_col: str = "vec_id", seed: int = 29,
+             normalize: bool = True) -> np.ndarray:
+    """Train the (m, k, dim/m) PQ codebooks with distributed Lloyd's:
+    every iteration broadcasts ALL m codebooks and one pass over the
+    vectors emits per-(subspace, centroid) partial sums — the kmeans_fit
+    scatter shape, m subspaces amortized into the same scan.  Init is
+    the deterministic bottom-(k)-by-md5 sample per subspace (same rule
+    as kmeans_fit, shared across subspaces)."""
+    import hashlib
+
+    import ray
+
+    from gruut_ray.pipelines.agg_util import topk_reduce
+
+    assert dim % m == 0, (dim, m)
+    sub = dim // m
+
+    pool = max(4 * k, 64)
+
+    def init_partials(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        hs = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        order = np.argsort(np.asarray(hs))[:pool]
+        emb = np.asarray(batch.column(emb_col).to_pylist(),
+                         dtype=np.float64)
+        if normalize:  # unit vectors: L2-ADC ranks like cosine
+            emb = _normalize(emb)
+        return pa.table({
+            "h": pa.array([hs[i] for i in order], type=pa.string()),
+            "v": pa.array([emb[i].tobytes() for i in order],
+                          type=pa.binary()),
+        })
+
+    parts = ds.select_columns([id_col, emb_col]) \
+        .map_batches(init_partials, batch_format="pyarrow")
+    cand = topk_reduce(parts, pool, by=["h"], ascending=[True])
+    cvecs = np.stack([np.frombuffer(b, dtype=np.float64)
+                      for b in cand["v"]])
+    # farthest-point seeding per subspace over the shared sample
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for j in range(m):
+        sv = cvecs[:, j * sub:(j + 1) * sub]
+        chosen = [0]
+        while len(chosen) < min(k, len(sv)):
+            d = np.min(((sv[:, None, :] - sv[chosen][None, :, :]) ** 2)
+                       .sum(axis=2), axis=1)
+            d[chosen] = -1.0
+            chosen.append(int(np.argmax(d)))
+        rows = sv[chosen]
+        if len(rows) < k:  # tiny corpus: pad deterministically
+            rows = np.vstack([rows] * (k // len(rows) + 1))[:k]
+        books[j] = rows
+
+    for _ in range(iters):
+        books_ref = ray.put(books)
+
+        def step(batch: pa.Table, _cache={}) -> pa.Table:
+            c = _cache.get(books_ref)
+            if c is None:
+                _cache.clear()
+                c = _cache[books_ref] = ray.get(books_ref)
+            emb = np.asarray(batch.column(emb_col).to_pylist(),
+                             dtype=np.float64)
+            if normalize:
+                emb = _normalize(emb)
+            rows = []
+            for j in range(m):
+                sv = emb[:, j * sub:(j + 1) * sub]
+                d = (-2.0 * (sv @ c[j].T)
+                     + (c[j] * c[j]).sum(axis=1)[None, :])
+                a = np.argmin(d, axis=1)
+                sums = np.zeros((k, sub), dtype=np.float64)
+                np.add.at(sums, a, sv)
+                counts = np.bincount(a, minlength=k).astype(np.int64)
+                for ci in range(k):
+                    rows.append((j, ci, sums[ci].tobytes(),
+                                 int(counts[ci])))
+            return pa.table({
+                "subspace": pa.array([r[0] for r in rows], pa.int64()),
+                "cluster": pa.array([r[1] for r in rows], pa.int64()),
+                "vsum": pa.array([r[2] for r in rows], pa.binary()),
+                "n": pa.array([r[3] for r in rows], pa.int64()),
+            })
+
+        parts = ds.select_columns([emb_col]) \
+            .map_batches(step, batch_format="pyarrow").to_pandas()
+        new_books = books.copy()
+        g = parts.groupby(["subspace", "cluster"])
+        for (j, ci), grp in g:
+            total = np.zeros(sub, dtype=np.float64)
+            n = 0
+            for blob, cnt in zip(grp["vsum"], grp["n"]):
+                total += np.frombuffer(blob, dtype=np.float64)
+                n += int(cnt)
+            if n > 0:
+                new_books[int(j), int(ci)] = total / n
+        books = new_books
+    return books
+
+
+def pq_topk(ds: "ray.data.Dataset", queries: np.ndarray, dim: int,
+            m: int = 8, k_codebook: int = 16, k: int = 10,
+            iters: int = 6, emb_col: str = "embedding",
+            id_col: str = "vec_id",
+            normalize: bool = True,
+            rerank_factor: int = 10) -> pd.DataFrame:
+    """Approximate top-k by PQ asymmetric distance + exact re-rank
+    (the FAISS production shape): codes are computed per batch against
+    the broadcast codebooks, the query's m×k distance table prices
+    every code in one gather, per-batch partial shortlists of
+    ``k × rerank_factor`` rows reduce through topk_reduce, and ONLY the
+    shortlist's true vectors are re-scored exactly (a broadcast-id
+    filtered scan — the corpus streams as codes, full vectors load for
+    ~k·rerank_factor rows).  Returns (vec_id, score) cosine descending.
+    Recall vs exact is pinned in tests/test_similarity.py;
+    ``rerank_factor=0`` returns the raw ADC ordering (vec_id,
+    adc_dist)."""
+    import ray
+
+    from gruut_ray.pipelines.agg_util import topk_reduce
+
+    books = pq_train(ds, dim=dim, m=m, k=k_codebook, iters=iters,
+                     emb_col=emb_col, id_col=id_col,
+                     normalize=normalize)
+    sub = dim // m
+    q = np.asarray(queries, dtype=np.float64)
+    if normalize:  # unit query + unit vectors: L2 order == cosine order
+        q = _normalize(q)
+    q = q[0]
+    # ADC table: exact distance from the query to every centroid
+    table = np.stack([
+        ((books[j] - q[j * sub:(j + 1) * sub][None, :]) ** 2).sum(axis=1)
+        for j in range(m)])  # (m, k)
+    books_ref = ray.put(books)
+    table_ref = ray.put(table)
+
+    def scan(batch: pa.Table, _cache={}) -> pa.Table:
+        c = _cache.get(books_ref)
+        if c is None:
+            _cache.clear()
+            c = _cache[books_ref] = (ray.get(books_ref),
+                                     ray.get(table_ref))
+        bks, tbl = c
+        emb = np.asarray(batch.column(emb_col).to_pylist(),
+                         dtype=np.float64)
+        if normalize:
+            emb = _normalize(emb)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        dist = np.zeros(len(emb), dtype=np.float64)
+        for j in range(m):
+            sv = emb[:, j * sub:(j + 1) * sub]
+            d = (-2.0 * (sv @ bks[j].T)
+                 + (bks[j] * bks[j]).sum(axis=1)[None, :])
+            codes = np.argmin(d, axis=1)
+            dist += tbl[j][codes]
+        order = np.argsort(dist, kind="stable")[:k]
+        return pa.table({
+            id_col: pa.array(ids[order], type=pa.int64()),
+            "adc_dist": pa.array(dist[order], type=pa.float64()),
+        })
+
+    shortlist_k = k if rerank_factor == 0 else k * rerank_factor
+    parts = ds.select_columns([id_col, emb_col]) \
+        .map_batches(scan, batch_format="pyarrow")
+    out = topk_reduce(parts, shortlist_k, by=["adc_dist", id_col],
+                      ascending=[True, True])
+    out[id_col] = out[id_col].astype("int64")
+    if rerank_factor == 0:
+        return out.reset_index(drop=True)
+
+    # exact re-rank: score only the shortlist's true vectors
+    wanted = pa.array(sorted(out[id_col]), type=pa.int64())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.is_in(batch.column(id_col),
+                                     value_set=wanted))
+
+    short = ds.select_columns([id_col, emb_col]) \
+        .map_batches(pick, batch_format="pyarrow")
+    ranked = brute_force_topk(short, queries, k=k, id_col=id_col,
+                              emb_col=emb_col)
+    return (ranked[[id_col, "score"]]
+            .assign(score=lambda d: d["score"].astype("float64"))
+            .reset_index(drop=True))

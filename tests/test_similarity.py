@@ -253,3 +253,58 @@ def test_kmeans_inertia_monotone_and_recovers_labels(ray_session):
     assert len(set(assign)) == 4
     for c, a in zip(centers, assign):
         assert np.linalg.norm(cent[a] - c) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou 2011): codebook training + ADC search
+# ---------------------------------------------------------------------------
+
+def test_pq_topk_recall_vs_exact(ray_session):
+    import numpy as np
+    import ray.data
+    import pyarrow as pa
+
+    from gruut_ray.pipelines.similarity import brute_force_topk, pq_topk
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"])
+    first = ds.take(1)[0]
+    q = np.asarray([first["embedding"]], dtype=np.float32)
+    exact = set(brute_force_topk(ds, q, k=10)["vec_id"])
+    # 4-dim subspaces (m=16): fine enough codes for the clustered
+    # corpus; ADC shortlist + exact re-rank reaches full recall
+    approx = set(pq_topk(ds, q, dim=len(first["embedding"]),
+                         m=16, k_codebook=16, k=10)["vec_id"])
+    recall = len(exact & approx) / 10
+    assert recall >= 0.9, recall
+    # raw ADC ordering (no re-rank) still finds a usable share
+    raw = set(pq_topk(ds, q, dim=len(first["embedding"]), m=16,
+                      k_codebook=16, k=10, rerank_factor=0)["vec_id"])
+    assert len(exact & raw) / 10 >= 0.2
+
+
+def test_pq_train_shapes_and_planted_clusters(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from gruut_ray.pipelines.similarity import pq_train
+
+    # two tight clusters per subspace: codebooks must separate them
+    rng = np.random.RandomState(5)
+    base = np.where(rng.randint(0, 2, size=(400, 1)) > 0, 10.0, -10.0)
+    vecs = (base + rng.randn(400, 16) * 0.01).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(400), type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })).repartition(4)
+    books = pq_train(ds, dim=16, m=4, k=4, iters=8,
+                     normalize=False)
+    assert books.shape == (4, 4, 4)
+    # each subspace codebook must contain centroids near +10 and -10
+    for j in range(4):
+        mins = books[j].mean(axis=1).min()
+        maxs = books[j].mean(axis=1).max()
+        assert mins < -8 and maxs > 8, (j, mins, maxs)
