@@ -1640,6 +1640,21 @@ def _q_pq_topk(sf_dir: str):
     return out.assign(score=lambda d: d["score"].round(6))
 
 
+def _q_distill_quality_classifier(sf_dir: str):
+    """FineWeb-style distillation: the rule-based quality filter
+    (teacher, labels recomputed in-stream) distills into a hashed-word
+    logistic regression (student) via distributed IRLS — ~8 Newton
+    rounds of broadcast weights + tree-reduced (Hessian, gradient)
+    blob partials; returns student-vs-teacher confusion counts.
+    Model-driven → rows-only; agreement ≥0.93, separable-task fit and
+    partition invariance pinned in tests/test_train_classifier.py."""
+    from gruut_ray.pipelines.train_classifier import \
+        distill_quality_classifier
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return distill_quality_classifier(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract (VERDICT r03 #1): the driver verifies only the
     # FIRST 50 entries, so every oracle-gated query (an entry in
@@ -1755,6 +1770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_routed": _q_quality_filter_routed,
         "host_pagerank": _q_host_pagerank,
         "pq_topk": _q_pq_topk,
+        "distill_quality_classifier": _q_distill_quality_classifier,
     }
 
 
