@@ -57,3 +57,35 @@ def test_driver_window_is_fully_oracle_gated():
     positions = [i for i, n in enumerate(names) if n in oracled]
     assert positions == list(range(len(oracled))), \
         "oracled queries must form a contiguous prefix of queries()"
+
+
+def test_release_job_runs(tmp_path, ray_session, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import release_job
+
+    # documents parquet: copy a slice of the testdata table
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "text", "lang", "source"])
+    docs_path = str(tmp_path / "docs.parquet")
+    bench_path = str(tmp_path / "bench.parquet")
+    mask = pa.array([i % 100 != 0 for i in
+                     src.column("doc_id").to_pylist()])
+    pq.write_table(src.filter(mask), docs_path)
+    pq.write_table(src.filter(pa.array(
+        [not m for m in mask.to_pylist()])), bench_path)
+
+    out = str(tmp_path / "shards")
+    assert release_job.main([
+        "--input", docs_path, "--bench", bench_path, "--output", out,
+        "--rates", '{"src1": 1.0, "src2": 0.5}',
+        "--default-rate", "0.8", "--rows-per-shard", "200"]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_input"] == src.filter(mask).num_rows
+    assert 0 < summary["n_rows_written"] <= summary["n_input"]
+    assert summary["n_shards"] >= 1
+    from gruut_ray.sources.webdataset import read_webdataset_keys
+
+    assert len(read_webdataset_keys(out)) == summary["n_rows_written"]
