@@ -33,7 +33,6 @@ from __future__ import annotations
 import re
 import typing
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 
