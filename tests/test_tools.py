@@ -90,3 +90,48 @@ def test_corpus2db_roundtrip(tmp_path):
         "SELECT word FROM g2p_alignments")}
     conn.close()
     assert words == {"test", "show", "why"}
+
+
+def test_make_sf_tiles_integrity(tmp_path):
+    """The sf1 gate rests on this tool: tiling must preserve referential
+    integrity (offset keys join consistently), modulo-sampling
+    semantics, and fixed dimensions."""
+    import duckdb
+
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import make_sf_tiles
+
+    dst = str(tmp_path / "sf2x")
+    assert make_sf_tiles.main(["--src", "/root/testdata/sf0.001",
+                               "--dst", dst, "--tiles", "2"]) == 0
+    con = duckdb.connect()
+    n = lambda t: con.execute(
+        f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
+    base = lambda t: con.execute(
+        f"SELECT count(*) FROM '/root/testdata/sf0.001/{t}.parquet'"
+    ).fetchone()[0]
+    for t in ("customer", "orders", "lineitem", "documents", "events"):
+        assert n(t) == 2 * base(t), t
+    for t in ("region", "nation"):  # fixed dimensions: single copy
+        assert n(t) == base(t), t
+    # referential integrity across the offset: every order's customer
+    # exists, every lineitem's order exists
+    assert con.execute(f"""
+        SELECT count(*) FROM '{dst}/orders.parquet' o
+        WHERE NOT EXISTS (SELECT 1 FROM '{dst}/customer.parquet' c
+                          WHERE c.c_custkey = o.o_custkey)
+    """).fetchone()[0] == 0
+    assert con.execute(f"""
+        SELECT count(*) FROM '{dst}/lineitem.parquet' l
+        WHERE NOT EXISTS (SELECT 1 FROM '{dst}/orders.parquet' o
+                          WHERE o.o_orderkey = l.l_orderkey)
+    """).fetchone()[0] == 0
+    # doc_id % 100 sampling semantics preserved per tile
+    frac = con.execute(f"""
+        SELECT count(*) FILTER (doc_id % 100 = 0) * 1.0 / count(*)
+        FROM '{dst}/documents.parquet'""").fetchone()[0]
+    base_frac = con.execute("""
+        SELECT count(*) FILTER (doc_id % 100 = 0) * 1.0 / count(*)
+        FROM '/root/testdata/sf0.001/documents.parquet'""").fetchone()[0]
+    assert abs(frac - base_frac) < 1e-9
