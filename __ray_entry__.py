@@ -1689,6 +1689,16 @@ def _q_build_training_shards(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _q_rapid_event_pairs(sf_dir: str):
+    """Interval self-join: same-user event pairs within 60 s — per-user
+    offset trick makes the pair count two vectorized searchsorteds, no
+    pair ever materializes."""
+    from gruut_ray.pipelines.relational import rapid_event_pairs
+
+    return rapid_event_pairs(
+        _read(sf_dir, "events", columns=["user_id", "ts"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract (VERDICT r03 #1): the driver verifies only the
     # FIRST 50 entries, so every oracle-gated query (an entry in
@@ -1775,6 +1785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue_change": _q_forecast_revenue_change,
         "market_share": _q_market_share,
         "sorted_export_events": _q_sorted_export_events,
+        "rapid_event_pairs": _q_rapid_event_pairs,
         # --- rows-only (no SQL oracle; invariants pinned in tests/) ------
         "kmeans_convergence": _q_kmeans_convergence,
         "knn_quantized_top10": _q_knn_quantized_top10,
@@ -1851,6 +1862,18 @@ def oracle_sql() -> dict[str, str]:
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
                    AND CAST(round(l_quantity * 100) AS BIGINT)
                        BETWEEN 2000 AND 6000)
+        """,
+        "rapid_event_pairs": """
+            WITH p AS (
+                SELECT a.user_id
+                FROM events a JOIN events b
+                  ON a.user_id = b.user_id
+                 AND b.ts > a.ts
+                 AND b.ts <= a.ts + INTERVAL 60 SECOND
+            )
+            SELECT count(*) AS n_pairs,
+                   count(DISTINCT user_id) AS n_users
+            FROM p
         """,
         "sorted_export_events": """
             WITH c AS (

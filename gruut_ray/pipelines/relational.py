@@ -2773,3 +2773,66 @@ def market_share(lineitem: "ray.data.Dataset",
     return (out[["o_year", "nation_revenue_c4", "total_revenue_c4",
                  "n_items"]]
             .sort_values("o_year").reset_index(drop=True))
+
+
+def rapid_event_pairs(events: "ray.data.Dataset", window_s: int = 60,
+                      num_partitions: int = 32,
+                      driver_limit: int = 5_000_000) -> pd.DataFrame:
+    """Interval SELF-JOIN family: count same-user event pairs (a, b)
+    with ``a.ts < b.ts <= a.ts + window`` — the burst-detection shape a
+    naive SQL self-join makes quadratic.
+
+    Scale shape: the join never materializes pairs.  Rows sort by
+    (user, ts) per block after a user-keyed repartition; each user's
+    timestamps shift by a per-user offset larger than the global time
+    span, making the concatenated array globally sorted with windows
+    that can never cross users — per-row pair counts are then two
+    vectorized searchsorteds (half-open (ts, ts+W] window, so equal-ts
+    events never pair, matching the SQL ``b.ts > a.ts``).  Only
+    (n_pairs, n_users) partials leave each block; driver cut-over below
+    ``driver_limit`` rows (dual-path identity tested)."""
+    window_us = np.int64(window_s) * 1_000_000
+
+    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"n_pairs": np.array([], np.int64),
+                                 "n_users": np.array([], np.int64)})
+        g = df.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
+        # per-user offset: windows can never cross user boundaries
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        user_idx = np.cumsum(new_user) - 1
+        span = np.int64(ts.max() - ts.min() + window_us + 1)
+        shifted = ts + user_idx * span
+        lo = np.searchsorted(shifted, shifted, side="right")
+        hi = np.searchsorted(shifted, shifted + window_us, side="right")
+        counts = hi - lo
+        users_with = np.unique(uid[counts > 0])
+        return pd.DataFrame({
+            "n_pairs": [int(counts.sum())],
+            "n_users": [len(users_with)],
+        })
+
+    slim = events.select_columns(["user_id", "ts"])
+    if events.count() <= driver_limit:  # metadata-only on parquet reads
+        out = block_counts(slim.to_pandas())
+    else:
+        from ray.data.context import ShuffleStrategy
+
+        prev = slim.context.shuffle_strategy
+        slim.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        try:
+            parts = (slim.repartition(num_partitions, keys=["user_id"])
+                     .map_batches(block_counts, batch_format="pandas",
+                                  batch_size=None)
+                     .to_pandas())
+        finally:
+            slim.context.shuffle_strategy = prev
+        out = pd.DataFrame({
+            "n_pairs": [int(parts["n_pairs"].sum())],
+            "n_users": [int(parts["n_users"].sum())],
+        })
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.reset_index(drop=True)

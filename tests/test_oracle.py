@@ -174,3 +174,18 @@ def test_sole_late_supplier_dual_path_identity(ray_session):
     drv = sole_late_supplier(li, o)
     dist = sole_late_supplier(li, o, driver_limit=0)
     pd.testing.assert_frame_equal(drv, dist)
+
+
+def test_rapid_event_pairs_dual_path_identity(ray_session):
+    """Interval self-join: driver path ≡ distributed keyed path."""
+    import pandas as pd
+    import ray.data
+
+    from gruut_ray.pipelines.relational import rapid_event_pairs
+
+    ev = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet",
+                               columns=["user_id", "ts"])
+    drv = rapid_event_pairs(ev)
+    dist = rapid_event_pairs(ev, driver_limit=0)
+    pd.testing.assert_frame_equal(drv, dist)
+    assert int(drv["n_pairs"][0]) > 0
