@@ -136,6 +136,7 @@ def topk_reduce(
     by: typing.Sequence[str],
     ascending: typing.Sequence[bool],
     width: int = 32,
+    schema: typing.Optional["pa.Schema"] = None,
 ) -> pd.DataFrame:
     """Reduce a dataset of PER-BATCH top-k partials to the global top-k
     with the driver holding at most ``k`` rows.
@@ -154,6 +155,12 @@ def topk_reduce(
     the result is deterministic and partition-invariant.  ``width`` caps
     per-task merge input at (blocks/width) × k rows; add a level (call
     sites never need to today) if blocks/width × k outgrows a worker.
+
+    On a zero-row ``parts`` (empty corpus / fully-filtered input) Ray's
+    map_batches skips empty blocks, so the reduce would yield a
+    column-less frame; pass ``schema`` (or let it derive from
+    ``parts.schema()``) to get a TYPED empty frame instead, so callers
+    indexing columns don't crash (ADVICE r04).
     """
     by = list(by)
     ascending = list(ascending)
@@ -169,6 +176,13 @@ def topk_reduce(
     final = level1.repartition(1).map_batches(
         reduce_block, batch_format="pyarrow", batch_size=None)
     out = final.to_pandas()
+    if out.shape[1] == 0:  # every block was empty → column-less frame
+        if schema is None:
+            s = parts.schema(fetch_if_missing=True)
+            schema = getattr(s, "base_schema", None) if s is not None \
+                else None
+        if schema is not None:
+            out = schema.empty_table().to_pandas()
     if len(out) > k:  # only if a final block was split; never expected
         out = out.sort_values(by, ascending=ascending,
                               kind="mergesort").head(k)

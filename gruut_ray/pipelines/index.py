@@ -11,9 +11,15 @@ Build: one ``map_batches`` pass emits per-batch (term, doc_id, tf)
 partials (tf summed within the batch); a keyed hash repartition on the
 term's bucket co-locates every posting of a term; one kernel per
 bucket merges postings into (term, df, postings list) rows and writes
-``bucket=<i>/part.parquet`` — resumable (a bucket file is the unit of
-work) and never materialized on the driver.  Document rows are read
-once; only (term, doc_id, tf) partials shuffle.
+``bucket=<i>/part-<hash>.parquet`` — written to a temp name then
+``os.replace``d (a crash never leaves a truncated file a resume would
+trust), with a content-hash fragment name so (a) a keyed partition
+that Ray splits into multiple batches writes multiple fragments
+instead of silently overwriting one file, and (b) re-runs are
+idempotent (same content → same name).  The bucket DIRECTORY is the
+resume unit; lookup merges a term's postings (and sums its df) across
+fragments before computing idf.  Document rows are read once; only
+(term, doc_id, tf) partials shuffle.
 
 Lookup: hash the query terms to their buckets and read ONLY those
 parquet files (bucket pruning — at 4096 buckets a 3-term query touches
@@ -87,6 +93,8 @@ def build_inverted_index(ds: "ray.data.Dataset", out_dir: str,
         keyed = parts.repartition(num_buckets, keys=["bucket"])
 
         def write_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            import hashlib
+
             if df.empty:
                 return pd.DataFrame({"bucket": np.array([], np.int64),
                                      "n_terms": np.array([], np.int64)})
@@ -111,8 +119,17 @@ def build_inverted_index(ds: "ray.data.Dataset", out_dir: str,
                             ("doc_id", pa.int64()),
                             ("tf", pa.int64())]))),
                 })
-                pq.write_table(tbl, os.path.join(out_dir,
-                                                 f"bucket={int(b)}.parquet"))
+                h = hashlib.md5()
+                h.update("\x00".join(terms).encode())
+                h.update(np.asarray(dfs, np.int64).tobytes())
+                h.update(g[id_col].to_numpy(dtype=np.int64).tobytes())
+                token = h.hexdigest()[:12]
+                bdir = os.path.join(out_dir, f"bucket={int(b)}")
+                os.makedirs(bdir, exist_ok=True)
+                final = os.path.join(bdir, f"part-{token}.parquet")
+                tmp = os.path.join(bdir, f".tmp-{token}.parquet")
+                pq.write_table(tbl, tmp)
+                os.replace(tmp, final)  # atomic: no truncated fragments
                 out_rows.append((int(b), len(terms)))
             return pd.DataFrame(out_rows, columns=["bucket", "n_terms"])
 
@@ -123,10 +140,27 @@ def build_inverted_index(ds: "ray.data.Dataset", out_dir: str,
     return {
         "num_docs": int(n_docs),
         "num_buckets": num_buckets,
+        # sums per-fragment counts: an upper bound on distinct terms
+        # when Ray split a keyed partition into multiple fragments
         "num_terms": int(stats["n_terms"].sum()) if len(stats) else 0,
-        "buckets_written": sorted(int(b) for b in stats["bucket"])
+        "buckets_written": sorted({int(b) for b in stats["bucket"]})
         if len(stats) else [],
     }
+
+
+def _bucket_fragments(index_dir: str, bucket: int) -> typing.List[str]:
+    """All committed parquet fragments of one bucket (legacy single-file
+    layout still accepted); ``.tmp-*`` files from a crashed writer are
+    never visible because fragments commit via ``os.replace``."""
+    paths = []
+    legacy = os.path.join(index_dir, f"bucket={bucket}.parquet")
+    if os.path.exists(legacy):
+        paths.append(legacy)
+    bdir = os.path.join(index_dir, f"bucket={bucket}")
+    if os.path.isdir(bdir):
+        paths.extend(os.path.join(bdir, f) for f in sorted(os.listdir(bdir))
+                     if f.endswith(".parquet") and not f.startswith("."))
+    return paths
 
 
 def index_lookup(index_dir: str, terms: typing.Sequence[str],
@@ -137,21 +171,29 @@ def index_lookup(index_dir: str, terms: typing.Sequence[str],
     the terms hash to.  Ties break by doc_id ascending."""
     wanted = sorted({t.lower() for t in terms})
     buckets = sorted({_bucket_of(t, num_buckets) for t in wanted})
-    scores: typing.Dict[int, int] = {}
+    # merge each term's fragments FIRST (per-doc tf sums; df = distinct
+    # docs after the merge) so idf is computed from the term's true
+    # document frequency even when a bucket was written as multiple
+    # fragments that both saw the term
+    per_term: typing.Dict[str, typing.Dict[int, int]] = {}
     for b in buckets:
-        path = os.path.join(index_dir, f"bucket={b}.parquet")
-        if not os.path.exists(path):
-            continue
-        tbl = pq.read_table(path)
-        mask = pc.is_in(tbl.column("term"),
-                        value_set=pa.array(wanted, type=pa.string()))
-        tbl = tbl.filter(mask)
-        for df_count, postings in zip(tbl.column("df").to_pylist(),
-                                      tbl.column("postings").to_pylist()):
-            idf_ppm = num_docs * 1_000_000 // df_count
-            for post in postings:
-                d = post["doc_id"]
-                scores[d] = scores.get(d, 0) + post["tf"] * idf_ppm
+        for path in _bucket_fragments(index_dir, b):
+            tbl = pq.read_table(path)
+            mask = pc.is_in(tbl.column("term"),
+                            value_set=pa.array(wanted, type=pa.string()))
+            tbl = tbl.filter(mask)
+            for term, postings in zip(
+                    tbl.column("term").to_pylist(),
+                    tbl.column("postings").to_pylist()):
+                docs = per_term.setdefault(term, {})
+                for post in postings:
+                    d = post["doc_id"]
+                    docs[d] = docs.get(d, 0) + post["tf"]
+    scores: typing.Dict[int, int] = {}
+    for docs in per_term.values():
+        idf_ppm = num_docs * 1_000_000 // len(docs)
+        for d, tf in docs.items():
+            scores[d] = scores.get(d, 0) + tf * idf_ppm
     if not scores:
         return pd.DataFrame(columns=["doc_id", "score_ppm"])
     out = pd.DataFrame(sorted(scores.items()),

@@ -859,6 +859,11 @@ def pq_topk(ds: "ray.data.Dataset", queries: np.ndarray, dim: int,
         for j in range(m)])  # (m, k)
     books_ref = ray.put(books)
     table_ref = ray.put(table)
+    # per-batch shortlists must carry k×rerank_factor rows, not k: the
+    # two-level top-k reduce is only associative over the pool it's
+    # asked for — truncating to k per batch would degenerate the exact
+    # re-rank pool to the ADC top-k when blocks are few (ADVICE r04)
+    shortlist_k = k if rerank_factor == 0 else k * rerank_factor
 
     def scan(batch: pa.Table, _cache={}) -> pa.Table:
         c = _cache.get(books_ref)
@@ -879,13 +884,12 @@ def pq_topk(ds: "ray.data.Dataset", queries: np.ndarray, dim: int,
                  + (bks[j] * bks[j]).sum(axis=1)[None, :])
             codes = np.argmin(d, axis=1)
             dist += tbl[j][codes]
-        order = np.argsort(dist, kind="stable")[:k]
+        order = np.argsort(dist, kind="stable")[:shortlist_k]
         return pa.table({
             id_col: pa.array(ids[order], type=pa.int64()),
             "adc_dist": pa.array(dist[order], type=pa.float64()),
         })
 
-    shortlist_k = k if rerank_factor == 0 else k * rerank_factor
     parts = ds.select_columns([id_col, emb_col]) \
         .map_batches(scan, batch_format="pyarrow")
     out = topk_reduce(parts, shortlist_k, by=["adc_dist", id_col],

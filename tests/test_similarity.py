@@ -284,6 +284,39 @@ def test_pq_topk_recall_vs_exact(ray_session):
     assert len(exact & raw) / 10 >= 0.2
 
 
+def test_pq_topk_shortlist_wider_than_k_on_one_block(ray_session):
+    """ADVICE r04: per-batch ADC shortlists must carry k*rerank_factor
+    candidates.  With a SINGLE block, truncating to k per batch would
+    make the exact re-rank pool identical to the raw ADC top-k — so on
+    a corpus where coarse codebooks distort the ADC order, the
+    re-ranked result must beat the raw ordering and match exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from gruut_ray.pipelines.similarity import brute_force_topk, pq_topk
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(200, 16).astype(np.float64)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(200), type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs]),
+    })).repartition(1)
+    q = vecs[:1] + rng.randn(1, 16) * 0.05
+    exact = list(brute_force_topk(ds, q, k=10)["vec_id"])
+    # coarse codebooks (m=2, 4 centroids) distort the ADC order badly
+    raw = list(pq_topk(ds, q, dim=16, m=2, k_codebook=4, k=10,
+                       iters=8, rerank_factor=0)["vec_id"])
+    raw_recall = len(set(raw) & set(exact)) / 10
+    assert raw_recall < 1.0  # precondition: ADC alone is wrong
+    # shortlist_k=100 of 200 vectors, re-ranked exactly -> beats raw;
+    # before the fix got == raw by construction on a single block
+    got = list(pq_topk(ds, q, dim=16, m=2, k_codebook=4, k=10,
+                       iters=8, rerank_factor=10)["vec_id"])
+    got_recall = len(set(got) & set(exact)) / 10
+    assert got_recall >= 0.9 and got_recall > raw_recall
+
+
 def test_pq_train_shapes_and_planted_clusters(ray_session):
     import numpy as np
     import pyarrow as pa

@@ -60,3 +60,23 @@ def test_topk_reduce_descending_and_short_input(ray_session):
                       ascending=[False, True])
     assert len(out) == 8  # fewer rows than k: all survive
     assert list(out["val"]) == sorted(out["val"], reverse=True)
+
+
+def test_topk_reduce_empty_input_keeps_schema(ray_session):
+    """Zero surviving rows (fully-filtered corpus): the reduce must
+    return a TYPED empty frame, not a column-less one, so callers
+    indexing columns don't crash (ADVICE r04)."""
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([], type=pa.int64()),
+        "val": pa.array([], type=pa.int64())}))
+    # derived from parts.schema()
+    out = topk_reduce(ds, 5, by=["val", "id"], ascending=[True, True])
+    assert list(out.columns) == ["id", "val"] and out.empty
+    # explicit schema wins even when parts can't report one
+    out2 = topk_reduce(ds, 5, by=["val", "id"], ascending=[True, True],
+                       schema=pa.schema([("id", pa.int64()),
+                                         ("val", pa.int64())]))
+    assert list(out2.columns) == ["id", "val"] and out2.empty
+    assert out2["val"].dtype == np.int64
