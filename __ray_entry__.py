@@ -1699,6 +1699,55 @@ def _q_rapid_event_pairs(sf_dir: str):
         _read(sf_dir, "events", columns=["user_id", "ts"]))
 
 
+def _q_part_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape: grouped COUNT DISTINCT suppliers per part
+    attribute triple, NOT-IN deny-list excluded (reference shape:
+    Q16's complaints subquery).  Distinct quadruples are the only rows
+    that shuffle."""
+    from gruut_ray.pipelines.relational import part_supplier_counts
+
+    return part_supplier_counts(
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"]),
+        _read(sf_dir, "part",
+              columns=["p_partkey", "p_brand", "p_type", "p_size"]),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"]))
+
+
+def _q_important_parts(sf_dir: str):
+    """TPC-H Q11 shape: parts whose shipped value exceeds a ppm
+    fraction of the global total — fraction-of-global HAVING with a
+    distributed threshold filter (exact int64 comparison)."""
+    from gruut_ray.pipelines.relational import important_parts
+
+    return important_parts(
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_extendedprice", "l_discount"]))
+
+
+def _q_prominent_part_suppliers(sf_dir: str):
+    """TPC-H Q20 shape: suppliers shipping > threshold units of one
+    part type — semi-join through a grouped-sum threshold; supplier
+    names fetched by a broadcast-filtered scan."""
+    from gruut_ray.pipelines.relational import prominent_part_suppliers
+
+    return prominent_part_suppliers(
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_suppkey", "l_quantity"]),
+        _read(sf_dir, "part", columns=["p_partkey", "p_type"]),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]))
+
+
+def _q_quantity_percentiles(sf_dir: str):
+    """Exact grouped percentile_disc via bounded-domain counting
+    histograms — no sort, no shuffle; matches DuckDB's
+    percentile_disc (1-based ceil(p·n)) bit for bit."""
+    from gruut_ray.pipelines.relational import quantity_percentiles
+
+    return quantity_percentiles(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_quantity"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract (VERDICT r03 #1): the driver verifies only the
     # FIRST 50 entries, so every oracle-gated query (an entry in
@@ -1786,6 +1835,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": _q_market_share,
         "sorted_export_events": _q_sorted_export_events,
         "rapid_event_pairs": _q_rapid_event_pairs,
+        "part_supplier_counts": _q_part_supplier_counts,
+        "important_parts": _q_important_parts,
+        "prominent_part_suppliers": _q_prominent_part_suppliers,
+        "quantity_percentiles": _q_quantity_percentiles,
         # --- rows-only (no SQL oracle; invariants pinned in tests/) ------
         "kmeans_convergence": _q_kmeans_convergence,
         "knn_quantized_top10": _q_knn_quantized_top10,
@@ -1874,6 +1927,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_pairs,
                    count(DISTINCT user_id) AS n_users
             FROM p
+        """,
+        "part_supplier_counts": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "important_parts": """
+            WITH pv AS (
+                SELECT l_partkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100)
+                                     AS BIGINT)
+                                * (100 - CAST(round(l_discount * 100)
+                                              AS BIGINT)))
+                            AS BIGINT) AS value_c4
+                FROM lineitem GROUP BY l_partkey
+            ), t AS (
+                SELECT CAST(sum(value_c4) AS BIGINT) AS total FROM pv
+            )
+            SELECT l_partkey, value_c4 FROM pv, t
+            WHERE value_c4 * 1000000 > total * 800
+            ORDER BY value_c4 DESC, l_partkey
+        """,
+        "prominent_part_suppliers": """
+            WITH q AS (
+                SELECT l_suppkey AS s_suppkey,
+                       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                            AS BIGINT) AS qty_c
+                FROM lineitem
+                WHERE l_partkey IN (
+                    SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name,
+                   CAST(qty_c // 100 AS BIGINT) AS total_qty
+            FROM q JOIN supplier USING (s_suppkey)
+            WHERE qty_c > 50 * 100
+            ORDER BY s_suppkey
+        """,
+        "quantity_percentiles": """
+            SELECT l_returnflag,
+                   CAST(percentile_disc(0.5) WITHIN GROUP (
+                       ORDER BY CAST(round(l_quantity) AS BIGINT))
+                       AS BIGINT) AS p50,
+                   CAST(percentile_disc(0.9) WITHIN GROUP (
+                       ORDER BY CAST(round(l_quantity) AS BIGINT))
+                       AS BIGINT) AS p90
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "sorted_export_events": """
             WITH c AS (

@@ -256,6 +256,56 @@ def _q_kmeans():
     kmeans_fit(_read("embeddings", ["vec_id", "embedding"]), k=10, iters=4)
 
 
+def _q_pq_topk():
+    """PQ ANN (VERDICT r04 #8): distributed codebook training + ADC
+    scan + exact re-rank of the k×rerank_factor shortlist."""
+    import numpy as np
+    from gruut_ray.pipelines.similarity import pq_topk
+    ds = _read("embeddings", ["vec_id", "embedding"])
+    first = ds.take(1)[0]
+    pq_topk(ds, np.asarray([first["embedding"]], dtype=np.float32),
+            dim=len(first["embedding"]), m=16, k_codebook=16, k=10)
+
+
+def _q_distill_classifier():
+    """Quality-classifier distillation: distributed IRLS (broadcast
+    weights, tree-reduced Hessian/gradient blobs, ~8 corpus scans)."""
+    from gruut_ray.pipelines.train_classifier import \
+        distill_quality_classifier
+    distill_quality_classifier(_read("documents",
+                                     ["doc_id", "text", "lang"]))
+
+
+def _q_release_shards():
+    """Capstone release composition: quality → exact dedup →
+    decontaminate → mixture → FFD stats → WebDataset shards."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from gruut_ray.pipelines.release import build_training_shards
+
+    rates = {"src1": 1.0, "src2": 0.5, "src3": 0.25, "src4": 0.1,
+             "src5": 0.75, "src6": 0.0, "src7": 1.0, "src8": 0.33}
+    ds = _read("documents", ["doc_id", "text", "lang", "source"])
+
+    def split(b: pa.Table, want_bench: bool) -> pa.Table:
+        mask = (b.column("doc_id").to_numpy() % 100 == 0)
+        return b.filter(pa.array(mask if want_bench else ~mask))
+
+    bench_ds = ds.map_batches(lambda b: split(b, True),
+                              batch_format="pyarrow")
+    corpus = ds.map_batches(lambda b: split(b, False),
+                            batch_format="pyarrow")
+    out = tempfile.mkdtemp(prefix="gruut_ray_bench_release_", dir="/tmp")
+    try:
+        build_training_shards(corpus, bench_ds, rates, out,
+                              default_rate=0.75, max_hit_frac=0.5)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 SECONDARY = {
     "tokens_by_lang": _q_tokens_by_lang,
     "cc_end_to_end": _q_cc_end_to_end,
@@ -270,23 +320,35 @@ SECONDARY = {
     "semantic_dedup": _q_semantic_dedup,
     "centroid_analytics": _q_centroid_analytics,
     "kmeans": _q_kmeans,
+    "pq_topk": _q_pq_topk,
+    "distill_classifier": _q_distill_classifier,
+    "release_shards": _q_release_shards,
     "rolling_window": _q_rolling_window,
     "sessionize": _q_sessionize,
     "normalize_spoken": _q_normalize,
 }
 
+# --sf1 runs the headline plus the suite's heavy data-volume entries at
+# 10x the sf0.1 row counts (VERDICT r04 #4: anchor throughput-vs-scale)
+SF1_SUBSET = ("cc_end_to_end", "exact_dedup", "minhash_lsh_dedup")
 
-def run_bench(num_cpus: int, headline_only: bool = False) -> dict:
+
+def run_bench(num_cpus: int, headline_only: bool = False,
+              only: "tuple[str, ...] | None" = None,
+              replicate: "int | None" = None) -> dict:
     _ACTIVE_CPUS[0] = num_cpus
     _init_ray(num_cpus)
     queries: dict[str, float] = {}
 
-    rep = SCALING_REPLICATE if headline_only else REPLICATE
+    rep = replicate if replicate is not None else \
+        (SCALING_REPLICATE if headline_only else REPLICATE)
     n_docs, n_kept, headline_sec = run_headline(num_cpus, replicate=rep)
     queries["quality_filter"] = round(headline_sec, 3)
 
     if not headline_only:
         for name, fn in SECONDARY.items():
+            if only is not None and name not in only:
+                continue
             t0 = time.perf_counter()
             fn()
             queries[name] = round(time.perf_counter() - t0, 3)
@@ -411,15 +473,43 @@ def run_scaling(low: int = 8, high: int = 32,
     }
 
 
+def _ensure_sf1(dst: str) -> None:
+    """Regenerate the deterministic sf1 tiling if missing (BASELINE.md
+    §round-4 sf1 gate: sf0.1 tiled 10× with consistent key offsets)."""
+    if os.path.isdir(dst) and os.path.exists(
+            os.path.join(dst, "documents.parquet")):
+        return
+    rc = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "jobs", "make_sf_tiles.py"),
+         "--src", "/root/testdata/sf0.1", "--dst", dst, "--tiles", "10"],
+        capture_output=True, text=True).returncode
+    if rc != 0:
+        raise RuntimeError(f"make_sf_tiles failed rc={rc}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--sf1", action="store_true",
+                    help="headline + heavy suite entries over the 10x "
+                         "sf1 tiling (throughput-vs-scale anchor)")
     ap.add_argument("--child", action="store_true",
                     help="internal: headline-only run in this process")
     ap.add_argument("--num-cpus", type=int, default=NUM_CPUS)
     args = ap.parse_args()
 
-    if args.child:
+    if args.sf1:
+        global SF_DIR
+        SF_DIR = os.environ.get("GRAFT_SF1_DIR", "/tmp/sf1")
+        _ensure_sf1(SF_DIR)
+        out = run_bench(args.num_cpus, only=SF1_SUBSET,
+                        replicate=int(os.environ.get(
+                            "GRAFT_BENCH_SF1_REPLICATE", "8")))
+        out["metric"] = ("gruut_ray bench at sf1 (10x tiling): "
+                        "quality-filter headline + heavy suite entries")
+    elif args.child:
         out = run_bench(args.num_cpus, headline_only=True)
     elif args.scaling:
         out = run_scaling()

@@ -13,10 +13,16 @@ Each iteration broadcasts the rank vector via ``ray.put`` and one
 ``map_batches`` pass over the EDGE table (already reduced: ≤ one row
 per host pair, edges never re-extract from pages) emits per-batch
 (dst, contribution) partials.  The driver holds only per-HOST state
-(rank vector + out-degree) — bounded by the host count, not pages;
-at ≥ ~10⁷ hosts swap the broadcast dict for a keyed join per
-iteration (documented cut-over, same contract as the other broadcast
-operators).
+(rank vector + out-degree) — bounded by the host count, not pages.
+
+Past ``host_broadcast_limit`` hosts (default 10⁷ — the point where an
+O(hosts) float vector stops being broadcastable) the iteration swaps
+to :func:`pagerank_edges_ds`: rank lives as a DATASET keyed by host,
+each step is one keyed join (edges ⋈ rank on src), one groupby-sum on
+dst, and one left-outer join back onto the host table — no O(hosts)
+driver or per-worker array anywhere; only the scalar dangling mass
+reaches the driver per iteration.  All three paths iterate the same
+update rule (tested identical on the same edges).
 """
 
 from __future__ import annotations
@@ -104,17 +110,135 @@ def pagerank_from_edges(edges: pd.DataFrame, damping: float = 0.85,
     return pd.DataFrame({"host": hosts, "rank": rank})
 
 
+def pagerank_edges_ds(edges: "ray.data.Dataset", damping: float = 0.85,
+                      iters: int = 20,
+                      num_partitions: int = 16) -> "ray.data.Dataset":
+    """PageRank where the rank vector itself is a Dataset — the
+    ≥ ``host_broadcast_limit`` path (VERDICT r04 #7).  ``edges`` is a
+    (src, dst, n) Dataset (one row per host pair); returns a
+    (host, rank) Dataset with Σrank = 1.
+
+    Per iteration: edges ⋈ rank keyed on src (each edge picks up its
+    source's current rank), a groupby-sum scatters contributions onto
+    dst, and a left-outer join writes them back onto the static host
+    table; the dangling mass is the only scalar that touches the
+    driver.  Nothing O(hosts) is ever broadcast, closure-captured, or
+    driver-resident; per-iteration ``materialize()`` keeps the lineage
+    one step deep (20 nested joins would otherwise re-execute)."""
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    np_ = num_partitions
+
+    # static prep: per-edge share fraction w_frac = n / out_w(src) —
+    # out_w is only ever needed for hosts that HAVE out-edges, so an
+    # inner join on the groupby result is exact
+    outw = edges.groupby("src").aggregate(Sum("n", alias_name="out_w"))
+    edges_f = (edges.repartition(np_)
+               .join(outw.repartition(np_), join_type="inner",
+                     num_partitions=np_, on=("src",))
+               .map_batches(
+                   lambda b: pa.table({
+                       "src": b.column("src"),
+                       "dst": b.column("dst"),
+                       "w_frac": pa.array(
+                           b.column("n").to_numpy().astype(np.float64)
+                           / b.column("out_w").to_numpy()
+                           .astype(np.float64), type=pa.float64()),
+                   }), batch_format="pyarrow")
+               .materialize())
+
+    # static host table with dangling flag (host never appears as src)
+    def as_host(col: str, has_out: int):
+        return edges.select_columns([col]).rename_columns(
+            {col: "host"}).map_batches(
+            lambda b, h=has_out: b.append_column(
+                "has_out", pa.array([h] * b.num_rows, type=pa.int64())),
+            batch_format="pyarrow")
+
+    hosts = (as_host("src", 1).union(as_host("dst", 0))
+             .groupby("host").aggregate(Max("has_out",
+                                            alias_name="has_out"))
+             .materialize())
+    n = hosts.count()
+
+    def init_state(b: pa.Table) -> pa.Table:
+        dang = (1 - b.column("has_out").to_numpy()).astype(np.float64)
+        return pa.table({
+            "host": b.column("host"),
+            "dangling": pa.array(dang, type=pa.float64()),
+            "rank": pa.array(np.full(b.num_rows, 1.0 / n),
+                             type=pa.float64()),
+        })
+
+    state = hosts.map_batches(init_state,
+                              batch_format="pyarrow").materialize()
+
+    def dang_partial(b: pa.Table) -> pa.Table:
+        m = float(np.sum(b.column("rank").to_numpy()
+                         * b.column("dangling").to_numpy()))
+        return pa.table({"m": pa.array([m], type=pa.float64())})
+
+    for _ in range(iters):
+        dangling = state.map_batches(
+            dang_partial, batch_format="pyarrow").sum("m") or 0.0
+        joined = edges_f.repartition(np_).join(
+            state.select_columns(["host", "rank"]).repartition(np_),
+            join_type="inner", num_partitions=np_,
+            on=("src",), right_on=("host",))
+        # materialized so the inner join's and the left-outer join's
+        # aggregator pools are never alive in the same streaming plan
+        # (chained hash shuffles over-subscribe the fixed CPU
+        # reservation and deadlock — see _product_profit_shuffle)
+        contrib = (joined.map_batches(
+            lambda b: pa.table({
+                "dst": b.column("dst"),
+                "c": pa.array(b.column("rank").to_numpy()
+                              * b.column("w_frac").to_numpy(),
+                              type=pa.float64())}),
+            batch_format="pyarrow")
+            .groupby("dst").aggregate(Sum("c", alias_name="c"))
+            .materialize())
+
+        def update(b: pa.Table, _dang=dangling) -> pa.Table:
+            c = b.column("c").to_numpy(zero_copy_only=False)
+            c = np.nan_to_num(np.asarray(c, dtype=np.float64))
+            rank = (1 - damping) / n + damping * (c + _dang / n)
+            return pa.table({
+                "host": b.column("host"),
+                "dangling": b.column("dangling"),
+                "rank": pa.array(rank, type=pa.float64()),
+            })
+
+        state = (state.select_columns(["host", "dangling"])
+                 .repartition(np_)
+                 .join(contrib.repartition(np_), join_type="left_outer",
+                       num_partitions=np_, on=("host",),
+                       right_on=("dst",))
+                 .map_batches(update, batch_format="pyarrow")
+                 .materialize())
+    return state.select_columns(["host", "rank"])
+
+
 def host_pagerank(pages: "ray.data.Dataset", damping: float = 0.85,
                   iters: int = 20, top_k: int = 20,
-                  driver_edge_limit: int = 2_000_000) -> pd.DataFrame:
+                  driver_edge_limit: int = 2_000_000,
+                  host_broadcast_limit: int = 10_000_000,
+                  join_partitions: int = 16) -> pd.DataFrame:
     """PageRank over the page corpus's host graph; top-k hosts by rank
     (rank reported as ppm ints for stable comparison).
 
     Below ``driver_edge_limit`` edge rows the power iteration runs
     driver-side on the reduced edge table; above it, each iteration
     broadcasts the rank vector and scatters (dst, contribution)
-    partials over the distributed edge Dataset — both paths iterate
-    the same update rule (tested identical on the same edges)."""
+    partials over the distributed edge Dataset; past
+    ``host_broadcast_limit`` hosts the rank vector itself becomes a
+    Dataset and each step is a keyed join (:func:`pagerank_edges_ds`)
+    — all paths iterate the same update rule (tested identical on the
+    same edges).  At true ≥10⁷-host scale feed
+    :func:`pagerank_edges_ds` from a Dataset-valued edge table
+    directly; here the middle tier's host list is already
+    driver-bounded, so the cut-over decision can read it."""
     import ray
     import ray.data
 
@@ -124,8 +248,18 @@ def host_pagerank(pages: "ray.data.Dataset", damping: float = 0.85,
     if edges.empty:
         return pd.DataFrame(columns=["host", "rank_ppm"])
 
+    n_hosts = len(set(edges["src"]) | set(edges["dst"]))
     if len(edges) <= driver_edge_limit:
         ranks = pagerank_from_edges(edges, damping=damping, iters=iters)
+    elif n_hosts > host_broadcast_limit:  # rank-as-Dataset keyed joins
+        eds = ray.data.from_arrow(pa.table({
+            "src": pa.array(edges["src"], type=pa.string()),
+            "dst": pa.array(edges["dst"], type=pa.string()),
+            "n": pa.array(edges["n"], type=pa.int64()),
+        })).repartition(join_partitions)
+        ranks = pagerank_edges_ds(eds, damping=damping, iters=iters,
+                                  num_partitions=join_partitions) \
+            .to_pandas()
     else:  # distributed scatter path (same update rule)
         hosts = sorted(set(edges["src"]) | set(edges["dst"]))
         idx = {h: i for i, h in enumerate(hosts)}
@@ -139,20 +273,26 @@ def host_pagerank(pages: "ray.data.Dataset", damping: float = 0.85,
         np.add.at(out_w, e.column("src").to_numpy(),
                   e.column("n").to_numpy().astype(np.float64))
         eds = ray.data.from_arrow(e)
+        # out_w rides the object store like rank does — closure-
+        # capturing it would re-ship O(hosts) floats with every task
+        # submission each iteration (VERDICT r04 #3)
+        out_ref = ray.put(out_w)
         rank = np.full(n, 1.0 / n)
         for _ in range(iters):
             rank_ref = ray.put(rank)
 
             def scatter(batch: pa.Table, _cache={}) -> pa.Table:
-                r = _cache.get(rank_ref)
-                if r is None:
+                got = _cache.get(rank_ref)
+                if got is None:
                     _cache.clear()
-                    r = _cache[rank_ref] = ray.get(rank_ref)
+                    got = _cache[rank_ref] = (ray.get(rank_ref),
+                                              ray.get(out_ref))
+                r, ow = got
                 s = batch.column("src").to_numpy()
                 d = batch.column("dst").to_numpy()
                 w = batch.column("n").to_numpy().astype(np.float64)
                 contrib = np.zeros(len(r))
-                np.add.at(contrib, d, r[s] * w / out_w[s])
+                np.add.at(contrib, d, r[s] * w / ow[s])
                 nz = np.nonzero(contrib)[0]
                 return pa.table({
                     "dst": pa.array(nz, type=pa.int64()),

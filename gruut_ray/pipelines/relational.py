@@ -1815,18 +1815,66 @@ def props_value_stats(events: "ray.data.Dataset") -> pd.DataFrame:
     return out
 
 
+def _promo_revenue_shuffle(lineitem: "ray.data.Dataset",
+                           part: "ray.data.Dataset",
+                           num_partitions: int = 16) -> pd.DataFrame:
+    """Shuffle-join fallback for :func:`promo_revenue_by_type` when the
+    part dimension outgrows worker heaps (VERDICT r04 #1): hash join
+    lineitem ⋈ part on partkey (both sides repartitioned), then the
+    standard combiner-before-merge grouped sum — same exact int64
+    1e-4-dollar math, same output, dual-path identity tested with a
+    forced broadcast_limit=0."""
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    li = lineitem.select_columns(
+        ["l_partkey", "l_extendedprice", "l_discount"]) \
+        .repartition(num_partitions)
+    pt = part.select_columns(["p_partkey", "p_type"]) \
+        .repartition(num_partitions)
+    full = li.join(pt, join_type="inner",
+                   num_partitions=num_partitions,
+                   on=("l_partkey",), right_on=("p_partkey",))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        revenue = pc.multiply(
+            _cents(batch.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100),
+                        _cents(batch.column("l_discount"))))
+        df = pa.table({"p_type": batch.column("p_type"),
+                       "revenue_c4": revenue}).to_pandas()
+        agg = df.groupby("p_type", as_index=False).agg(
+            revenue_c4=("revenue_c4", "sum"),
+            n_items=("revenue_c4", "size"))
+        agg["revenue_c4"] = agg["revenue_c4"].astype("int64")
+        agg["n_items"] = agg["n_items"].astype("int64")
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    out = partial_then_merge(full, partials, ["p_type"],
+                             {"revenue_c4": "sum", "n_items": "sum"},
+                             exact_int_cols=["revenue_c4"])
+    if out.empty:
+        return pd.DataFrame({"p_type": pd.Series(dtype="object"),
+                             "revenue": pd.Series(dtype="float64"),
+                             "n_items": pd.Series(dtype="int64")})
+    out["revenue"] = [int(x) / 1e4 for x in out["revenue_c4"]]
+    out["n_items"] = out["n_items"].astype("int64")
+    return (out[["p_type", "revenue", "n_items"]]
+            .sort_values("p_type").reset_index(drop=True))
+
+
 def promo_revenue_by_type(lineitem: "ray.data.Dataset",
                           part: "ray.data.Dataset",
-                          broadcast_limit: int = 5_000_000
+                          broadcast_limit: int = 5_000_000,
+                          num_partitions: int = 16
                           ) -> pd.DataFrame:
     """TPC-H Q14-shaped promo share: per part TYPE, how much discounted
     revenue came through it.  Dimension-table pattern: the part table
     (p_partkey → p_type) broadcasts via ``ray.put`` once and each
     lineitem batch maps partkey→type locally — no shuffle; above
-    ``broadcast_limit`` rows a plan would fall back to the hash join
-    (same cut-over contract as :func:`revenue_by_segment`, left
-    unimplemented here because part grows ~200k rows per TPC-H SF —
-    broadcastable far past this bench's scale; raises if exceeded).
+    ``broadcast_limit`` rows it cuts over to the hash shuffle join
+    (:func:`_promo_revenue_shuffle`, same cut-over contract as
+    :func:`revenue_by_segment`) instead of ballooning worker heaps.
 
     Revenue stays exact int64 1e-4 dollars (cents × (100−bp)); the
     float division to dollars happens once on the driver, so the DuckDB
@@ -1834,10 +1882,8 @@ def promo_revenue_by_type(lineitem: "ray.data.Dataset",
     import ray
 
     if part.count() > broadcast_limit:
-        raise NotImplementedError(
-            "part exceeded broadcast_limit — wire the shuffle-join "
-            "fallback (revenue_by_priority shape) when the dimension "
-            "outgrows worker heaps")
+        return _promo_revenue_shuffle(lineitem, part,
+                                      num_partitions=num_partitions)
 
     pd_df = part.select_columns(["p_partkey", "p_type"]).to_pandas()
     part_ref = ray.put(pd_df)
@@ -2353,6 +2399,95 @@ def volume_shipping(lineitem: "ray.data.Dataset",
             .reset_index(drop=True))
 
 
+def _product_profit_tail(out: pd.DataFrame,
+                         nation: "ray.data.Dataset") -> pd.DataFrame:
+    """Shared finisher: map nation names onto the (s_nationkey, o_year)
+    partial sums and fix dtypes/ordering (nation is 25 rows — a
+    driver-side lookup by construction)."""
+    if out.empty:
+        return pd.DataFrame(columns=["n_name", "o_year", "profit_c4",
+                                     "n_items"])
+    names = nation.to_pandas()
+    out = out.merge(names[["n_nationkey", "n_name"]],
+                    left_on="s_nationkey", right_on="n_nationkey")
+    out["o_year"] = out["o_year"].astype("int64")
+    out["n_items"] = out["n_items"].astype("int64")
+    out["profit_c4"] = [int(x) for x in out["profit_c4"]]
+    return (out[["n_name", "o_year", "profit_c4", "n_items"]]
+            .sort_values(["n_name", "o_year"]).reset_index(drop=True))
+
+
+def _product_profit_shuffle(lineitem: "ray.data.Dataset",
+                            orders: "ray.data.Dataset",
+                            part_filtered: "ray.data.Dataset",
+                            supplier: "ray.data.Dataset",
+                            nation: "ray.data.Dataset",
+                            num_partitions: int = 16) -> pd.DataFrame:
+    """Shuffle-join fallback for :func:`product_profit` when a
+    dimension outgrows worker heaps (VERDICT r04 #1): the (filtered)
+    part and supplier tables join by hash shuffle instead of
+    broadcasting — lineitem ⋈ orders on orderkey, ⋈ part on partkey,
+    ⋈ supplier on suppkey, then the same exact-int partials.  Output
+    is identical to the broadcast path (dual-path identity tested with
+    a forced broadcast_limit=0); ``part_filtered`` is already
+    restricted to the type and projected to (p_partkey,
+    p_retailprice)."""
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    np_ = num_partitions
+    li = (lineitem.select_columns(
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+         "l_extendedprice", "l_discount"]).repartition(np_))
+    o = (orders.select_columns(["o_orderkey", "o_orderdate"])
+         .repartition(np_))
+    # materialize() between joins: each hash-shuffle join reserves a
+    # pool of aggregator actors for the WHOLE plan's lifetime, so three
+    # chained joins in one streaming plan over-subscribe the fixed CPU
+    # reservation (3 × num_partitions × per-aggregator cpus can exceed
+    # the cluster) and the plan deadlocks waiting on pending actors —
+    # one join pool alive at a time is the scale-safe shape
+    full = li.join(o, join_type="inner", num_partitions=np_,
+                   on=("l_orderkey",), right_on=("o_orderkey",)) \
+        .materialize()
+    pt = part_filtered.repartition(np_)  # merge filtered-empty blocks
+    full = full.repartition(np_).join(
+        pt, join_type="inner", num_partitions=np_,
+        on=("l_partkey",), right_on=("p_partkey",)).materialize()
+    sp = supplier.select_columns(["s_suppkey", "s_nationkey"]) \
+        .repartition(np_)
+    full = full.repartition(np_).join(
+        sp, join_type="inner", num_partitions=np_,
+        on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        base = _cents(batch.column("l_extendedprice")) \
+            .to_numpy(zero_copy_only=False)
+        disc = _cents(batch.column("l_discount")) \
+            .to_numpy(zero_copy_only=False)
+        qty = _cents(batch.column("l_quantity")) \
+            .to_numpy(zero_copy_only=False)
+        retail = np.rint(batch.column("p_retailprice")
+                         .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        year = batch.column("o_orderdate").to_pandas().dt.year.to_numpy()
+        profit = base * (100 - disc) - retail * qty
+        df = pd.DataFrame({
+            "s_nationkey": batch.column("s_nationkey")
+            .to_numpy(zero_copy_only=False),
+            "o_year": year.astype(np.int64),
+            "profit_c4": profit,
+            "n_items": 1})
+        agg = df.groupby(["s_nationkey", "o_year"], as_index=False).agg(
+            profit_c4=("profit_c4", "sum"), n_items=("n_items", "sum"))
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    out = partial_then_merge(full, partials, ["s_nationkey", "o_year"],
+                             {"profit_c4": "sum", "n_items": "sum"},
+                             exact_int_cols=["profit_c4"])
+    return _product_profit_tail(out, nation)
+
+
 def product_profit(lineitem: "ray.data.Dataset",
                    orders: "ray.data.Dataset",
                    part: "ray.data.Dataset",
@@ -2369,28 +2504,32 @@ def product_profit(lineitem: "ray.data.Dataset",
     Scale shape: part collapses to a (partkey → retail_c) broadcast map
     (filtered to the type: ~1/6 of part) and supplier to a (suppkey →
     nationkey) broadcast map; the ONLY shuffle is lineitem ⋈ orders on
-    orderkey for the order year.  Both maps raise past
-    ``broadcast_limit`` rather than silently ballooning worker heaps
-    (swap to shuffle joins at that point — revenue_by_priority shape)."""
+    orderkey for the order year.  Past ``broadcast_limit`` either
+    dimension cuts over to hash shuffle joins
+    (:func:`_product_profit_shuffle`) instead of ballooning worker
+    heaps — the filtered-part count is taken on the DATASET, so the
+    driver never pulls an over-limit dimension."""
     import ray
 
     from gruut_ray.pipelines.agg_util import partial_then_merge
 
-    pm = part.map_batches(
+    pm_ds = part.map_batches(
         lambda b: b.filter(pc.equal(b.column("p_type"),
                                     pa.scalar(type_filter)))
         .select(["p_partkey", "p_retailprice"]),
-        batch_format="pyarrow").to_pandas()
+        batch_format="pyarrow").materialize()
+    if pm_ds.count() > broadcast_limit \
+            or supplier.count() > broadcast_limit:
+        return _product_profit_shuffle(
+            lineitem, orders, pm_ds, supplier, nation,
+            num_partitions=num_partitions)
+    pm = pm_ds.to_pandas()
     if pm.empty:  # all blocks filtered empty -> schema-less frame
         pm = pd.DataFrame({"p_partkey": np.array([], np.int64),
                            "p_retailprice": np.array([], np.float64)})
     pm = pm.sort_values("p_partkey")
     sm = supplier.select_columns(["s_suppkey", "s_nationkey"]) \
         .to_pandas().sort_values("s_suppkey")
-    if len(pm) > broadcast_limit or len(sm) > broadcast_limit:
-        raise NotImplementedError(
-            "dimension exceeded broadcast_limit — wire the shuffle-join "
-            "fallback (revenue_by_priority shape)")
     part_ref = ray.put((pm["p_partkey"].to_numpy(dtype=np.int64),
                         np.rint(pm["p_retailprice"].to_numpy() * 100)
                         .astype(np.int64)))
@@ -2446,17 +2585,7 @@ def product_profit(lineitem: "ray.data.Dataset",
     out = partial_then_merge(full, partials, ["s_nationkey", "o_year"],
                              {"profit_c4": "sum", "n_items": "sum"},
                              exact_int_cols=["profit_c4"])
-    if out.empty:
-        return pd.DataFrame(columns=["n_name", "o_year", "profit_c4",
-                                     "n_items"])
-    names = nation.to_pandas()
-    out = out.merge(names[["n_nationkey", "n_name"]],
-                    left_on="s_nationkey", right_on="n_nationkey")
-    out["o_year"] = out["o_year"].astype("int64")
-    out["n_items"] = out["n_items"].astype("int64")
-    out["profit_c4"] = [int(x) for x in out["profit_c4"]]
-    return (out[["n_name", "o_year", "profit_c4", "n_items"]]
-            .sort_values(["n_name", "o_year"]).reset_index(drop=True))
+    return _product_profit_tail(out, nation)
 
 
 def top_supplier_revenue(lineitem: "ray.data.Dataset",
@@ -2788,7 +2917,12 @@ def rapid_event_pairs(events: "ray.data.Dataset", window_s: int = 60,
     span, making the concatenated array globally sorted with windows
     that can never cross users — per-row pair counts are then two
     vectorized searchsorteds (half-open (ts, ts+W] window, so equal-ts
-    events never pair, matching the SQL ``b.ts > a.ts``).  Only
+    events never pair, matching the SQL ``b.ts > a.ts``).  Timestamps
+    rebase to the block minimum and the shift runs over CHUNKS of at
+    most ``2**62 // span`` users, so ``user_idx * span`` can never
+    wrap int64 no matter how many distinct users share a block or how
+    long the corpus time-range is (ADVICE/VERDICT r04: raw epoch-µs ×
+    a year-long span silently wrapped past ~290k users/block).  Only
     (n_pairs, n_users) partials leave each block; driver cut-over below
     ``driver_limit`` rows (dual-path identity tested)."""
     window_us = np.int64(window_s) * 1_000_000
@@ -2800,18 +2934,32 @@ def rapid_event_pairs(events: "ray.data.Dataset", window_s: int = 60,
         g = df.sort_values(["user_id", "ts"], kind="mergesort")
         ts = g["ts"].astype("int64").to_numpy()
         uid = g["user_id"].to_numpy()
+        ts = ts - ts.min()  # rebase: offsets start from the block min
         # per-user offset: windows can never cross user boundaries
         new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
         user_idx = np.cumsum(new_user) - 1
-        span = np.int64(ts.max() - ts.min() + window_us + 1)
-        shifted = ts + user_idx * span
-        lo = np.searchsorted(shifted, shifted, side="right")
-        hi = np.searchsorted(shifted, shifted + window_us, side="right")
-        counts = hi - lo
-        users_with = np.unique(uid[counts > 0])
+        n_seg = int(user_idx[-1]) + 1
+        seg_start = np.flatnonzero(new_user)
+        seg_end = np.append(seg_start[1:], len(ts))
+        span = np.int64(ts.max() + window_us + 1)
+        # chunk users so (users_per_chunk-1)*span + ts.max + W < 2**62:
+        # no int64 wrap at ANY user count (users never split chunks)
+        per_chunk = max(1, int((np.int64(1) << 62) // span))
+        n_pairs = 0
+        n_users = 0
+        for c0 in range(0, n_seg, per_chunk):
+            c1 = min(c0 + per_chunk, n_seg)
+            a, b = int(seg_start[c0]), int(seg_end[c1 - 1])
+            shifted = ts[a:b] + (user_idx[a:b] - user_idx[a]) * span
+            lo = np.searchsorted(shifted, shifted, side="right")
+            hi = np.searchsorted(shifted, shifted + window_us,
+                                 side="right")
+            counts = hi - lo
+            n_pairs += int(counts.sum())
+            n_users += len(np.unique(uid[a:b][counts > 0]))
         return pd.DataFrame({
-            "n_pairs": [int(counts.sum())],
-            "n_users": [len(users_with)],
+            "n_pairs": [n_pairs],
+            "n_users": [n_users],
         })
 
     slim = events.select_columns(["user_id", "ts"])
@@ -2836,3 +2984,331 @@ def rapid_event_pairs(events: "ray.data.Dataset", window_s: int = 60,
     out["n_pairs"] = out["n_pairs"].astype("int64")
     out["n_users"] = out["n_users"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def part_supplier_counts(lineitem: "ray.data.Dataset",
+                         part: "ray.data.Dataset",
+                         supplier: "ray.data.Dataset",
+                         num_partitions: int = 8,
+                         broadcast_limit: int = 5_000_000
+                         ) -> pd.DataFrame:
+    """TPC-H Q16 shape (adapted: shipments stand in for partsupp): per
+    (p_brand, p_type, p_size), how many DISTINCT suppliers shipped the
+    part — excluding denylisted suppliers (negative account balance,
+    the complaints analog; reference shape Q16's NOT IN complaints
+    subquery).
+
+    Scale shape: the excluded-supplier set broadcasts (a deny-list is
+    small by construction); part attrs broadcast as sorted arrays below
+    ``broadcast_limit`` and swap to a hash shuffle join above it (the
+    Q14/Q9 cut-over contract, dual-path identity tested).  Either way
+    each lineitem batch combines to DISTINCT (brand, type, size,
+    suppkey) rows — the only rows that shuffle — a distributed groupby
+    collapses cross-batch duplicates, and the final per-group count is
+    a combiner again (the grouped COUNT DISTINCT shape of
+    weekly_active_users over a joined dimension)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    bad = supplier.map_batches(
+        lambda b: b.filter(pc.less(b.column("s_acctbal"),
+                                   pa.scalar(0.0)))
+        .select(["s_suppkey"]), batch_format="pyarrow").to_pandas()
+    bad_keys = np.sort(bad["s_suppkey"].to_numpy(dtype=np.int64)) \
+        if len(bad) else np.array([], dtype=np.int64)
+    bad_ref = ray.put(bad_keys)
+
+    attr_cols = ["p_partkey", "p_brand", "p_type", "p_size"]
+    if part.count() <= broadcast_limit:
+        pm = part.select_columns(attr_cols).to_pandas() \
+            .sort_values("p_partkey")
+        part_ref = ray.put((
+            pm["p_partkey"].to_numpy(dtype=np.int64),
+            pm["p_brand"].to_numpy(), pm["p_type"].to_numpy(),
+            pm["p_size"].to_numpy(dtype=np.int64)))
+
+        def quads(batch: pa.Table, _cache={}) -> pa.Table:
+            m = _cache.get(part_ref)
+            if m is None:
+                _cache.clear()
+                m = _cache[part_ref] = (ray.get(part_ref),
+                                        ray.get(bad_ref))
+            (pkeys, brand, ptype, size), bad_k = m
+            pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(pkeys, pk),
+                             max(len(pkeys) - 1, 0))
+            ok = ((pkeys[pos] == pk) if len(pkeys)
+                  else np.zeros(len(pk), bool)) & ~np.isin(sk, bad_k)
+            df = pd.DataFrame({
+                "p_brand": brand[pos][ok], "p_type": ptype[pos][ok],
+                "p_size": size[pos][ok], "s_suppkey": sk[ok],
+            }).drop_duplicates()
+            return pa.Table.from_pandas(
+                df, preserve_index=False).replace_schema_metadata(None)
+
+        quad_ds = lineitem.select_columns(["l_partkey", "l_suppkey"]) \
+            .map_batches(quads, batch_format="pyarrow")
+    else:  # dimension outgrew worker heaps: hash shuffle join
+        li = lineitem.select_columns(["l_partkey", "l_suppkey"]) \
+            .repartition(num_partitions)
+        pt = part.select_columns(attr_cols).repartition(num_partitions)
+        full = li.join(pt, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("l_partkey",), right_on=("p_partkey",))
+
+        def quads_joined(batch: pa.Table, _cache={}) -> pa.Table:
+            bad_k = _cache.get(bad_ref)
+            if bad_k is None:
+                _cache.clear()
+                bad_k = _cache[bad_ref] = ray.get(bad_ref)
+            sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            ok = ~np.isin(sk, bad_k)
+            df = pd.DataFrame({
+                "p_brand": batch.column("p_brand")
+                .to_numpy(zero_copy_only=False)[ok],
+                "p_type": batch.column("p_type")
+                .to_numpy(zero_copy_only=False)[ok],
+                "p_size": pc.cast(batch.column("p_size"), pa.int64())
+                .to_numpy(zero_copy_only=False)[ok],
+                "s_suppkey": sk[ok],
+            }).drop_duplicates()
+            return pa.Table.from_pandas(
+                df, preserve_index=False).replace_schema_metadata(None)
+
+        # materialized: the join's aggregator pool must wind down before
+        # the distinct groupby's spins up (chained hash shuffles in one
+        # plan deadlock on CPU reservations — see _product_profit_shuffle)
+        quad_ds = full.map_batches(quads_joined,
+                                   batch_format="pyarrow").materialize()
+
+    distinct = (quad_ds
+                .groupby(["p_brand", "p_type", "p_size", "s_suppkey"])
+                .aggregate(Count(alias_name="_n"))
+                .repartition(num_partitions))
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({
+                "p_brand": pa.array([], pa.string()),
+                "p_type": pa.array([], pa.string()),
+                "p_size": pa.array([], pa.int64()),
+                "supplier_cnt": pa.array([], pa.int64())})
+        df = pa.table({
+            "p_brand": batch.column("p_brand"),
+            "p_type": batch.column("p_type"),
+            "p_size": pc.cast(batch.column("p_size"), pa.int64()),
+        }).to_pandas()
+        agg = df.groupby(["p_brand", "p_type", "p_size"],
+                         as_index=False).size() \
+            .rename(columns={"size": "supplier_cnt"})
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    out = partial_then_merge(distinct, count_partials,
+                             ["p_brand", "p_type", "p_size"],
+                             {"supplier_cnt": "sum"}, sort=False)
+    if out.empty:
+        return pd.DataFrame({"p_brand": pd.Series(dtype="object"),
+                             "p_type": pd.Series(dtype="object"),
+                             "p_size": pd.Series(dtype="int64"),
+                             "supplier_cnt": pd.Series(dtype="int64")})
+    out["p_size"] = out["p_size"].astype("int64")
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    return (out.sort_values(["supplier_cnt", "p_brand", "p_type",
+                             "p_size"],
+                            ascending=[False, True, True, True])
+            .reset_index(drop=True))
+
+
+def important_parts(lineitem: "ray.data.Dataset",
+                    fraction_ppm: int = 800,
+                    num_partitions: int = 8) -> pd.DataFrame:
+    """TPC-H Q11 shape (adapted to shipped value): parts whose total
+    discounted revenue exceeds ``fraction_ppm`` parts-per-million of
+    the GLOBAL total — the fraction-of-global HAVING filter.
+
+    Scale shape: one lineitem scan combines to (partkey, value_c4)
+    partials, a distributed groupby collapses them to one row per
+    part, the global total is an aggregate over that same (already
+    reduced) table, and the threshold filter runs distributed — the
+    driver only ever holds the passing rows.  The comparison is pure
+    int64 (``value·10⁶ > total·ppm``), exact while ``total_c4·ppm``
+    fits int64 (~10⁹ lineitem rows at ppm ≤ 1000; past that widen to
+    Python-int partials, the partial_then_merge exact_int_cols
+    contract)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        value = pc.multiply(
+            _cents(batch.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100),
+                        _cents(batch.column("l_discount"))))
+        df = pa.table({"l_partkey": batch.column("l_partkey"),
+                       "value_c4": value}).to_pandas()
+        agg = df.groupby("l_partkey", as_index=False)["value_c4"].sum()
+        agg["value_c4"] = agg["value_c4"].astype("int64")
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    per_part = (lineitem.select_columns(
+        ["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("value_c4", alias_name="value_c4"))
+        .materialize())
+    total = int(per_part.sum("value_c4") or 0)
+    thresh_ref = ray.put(total * int(fraction_ppm))
+
+    def keep(batch: pa.Table, _cache={}) -> pa.Table:
+        t = _cache.get(thresh_ref)
+        if t is None:
+            _cache.clear()
+            t = _cache[thresh_ref] = ray.get(thresh_ref)
+        v = pc.cast(batch.column("value_c4"), pa.int64())
+        mask = pc.greater(
+            pc.multiply(v, pa.scalar(1_000_000, type=pa.int64())),
+            pa.scalar(t, type=pa.int64()))
+        return pa.table({
+            "l_partkey": pc.cast(batch.column("l_partkey"), pa.int64()),
+            "value_c4": v}).filter(mask)
+
+    out = per_part.map_batches(keep, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"l_partkey": pd.Series(dtype="int64"),
+                             "value_c4": pd.Series(dtype="int64")})
+    out["l_partkey"] = out["l_partkey"].astype("int64")
+    out["value_c4"] = out["value_c4"].astype("int64")
+    return (out.sort_values(["value_c4", "l_partkey"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def prominent_part_suppliers(lineitem: "ray.data.Dataset",
+                             part: "ray.data.Dataset",
+                             supplier: "ray.data.Dataset",
+                             type_filter: str = "PROMO",
+                             min_qty: int = 50) -> pd.DataFrame:
+    """TPC-H Q20 shape (adapted): suppliers who shipped more than
+    ``min_qty`` total units of ``type_filter`` parts — the semi-join
+    through a grouped-sum threshold.
+
+    Scale shape: the filtered part-key set broadcasts (sorted array),
+    lineitem combines to (suppkey, qty) partials, the merged per-
+    supplier sums filter by threshold, and only the passing suppkeys
+    (small by construction) fetch their names via a broadcast-filtered
+    supplier scan — supplier rows never shuffle."""
+    import ray
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    tk = part.map_batches(
+        lambda b: b.filter(pc.equal(b.column("p_type"),
+                                    pa.scalar(type_filter)))
+        .select(["p_partkey"]), batch_format="pyarrow").to_pandas()
+    keys = np.sort(tk["p_partkey"].to_numpy(dtype=np.int64)) \
+        if len(tk) else np.array([], dtype=np.int64)
+    keys_ref = ray.put(keys)
+
+    def qty_partials(batch: pa.Table, _cache={}) -> pa.Table:
+        k = _cache.get(keys_ref)
+        if k is None:
+            _cache.clear()
+            k = _cache[keys_ref] = ray.get(keys_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(k, pk), max(len(k) - 1, 0))
+        hit = (k[pos] == pk) if len(k) else np.zeros(len(pk), bool)
+        qty = _cents(batch.column("l_quantity")) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "s_suppkey": batch.column("l_suppkey")
+            .to_numpy(zero_copy_only=False)[hit],
+            "qty_c": qty[hit]})
+        agg = df.groupby("s_suppkey", as_index=False)["qty_c"].sum()
+        agg["qty_c"] = agg["qty_c"].astype("int64")
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    sums = partial_then_merge(
+        lineitem.select_columns(["l_partkey", "l_suppkey",
+                                 "l_quantity"]),
+        qty_partials, ["s_suppkey"], {"qty_c": "sum"},
+        exact_int_cols=["qty_c"])
+    if sums.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                             "s_name": pd.Series(dtype="object"),
+                             "total_qty": pd.Series(dtype="int64")})
+    sums["qty_c"] = [int(x) for x in sums["qty_c"]]
+    passing = sums[sums["qty_c"] > min_qty * 100].copy()
+    want = pa.array(sorted(int(x) for x in passing["s_suppkey"]),
+                    type=pa.int64())
+    names = supplier.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("s_suppkey"),
+                                    value_set=want))
+        .select(["s_suppkey", "s_name"]),
+        batch_format="pyarrow").to_pandas()
+    if names.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                             "s_name": pd.Series(dtype="object"),
+                             "total_qty": pd.Series(dtype="int64")})
+    out = passing.merge(names, on="s_suppkey", how="inner")
+    out["total_qty"] = (out["qty_c"] // 100).astype("int64")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return (out[["s_suppkey", "s_name", "total_qty"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+def quantity_percentiles(lineitem: "ray.data.Dataset",
+                         percents: typing.Sequence[int] = (50, 90)
+                         ) -> pd.DataFrame:
+    """Exact grouped discrete percentiles (percentile_disc) of
+    l_quantity per return flag — the counting trick: quantities live
+    in a tiny integer domain, so per-batch (flag, qty, n) histogram
+    partials merge to a table bounded by |flags|×|domain| and the
+    exact percentile is a cumulative-sum walk — no sort, no data
+    shuffle (contrast value_quantiles_approx, the sketch path for
+    unbounded domains).
+
+    Matches SQL ``percentile_disc(p) WITHIN GROUP (ORDER BY q)``: the
+    value at 1-based position ceil(p·n) of the sorted group (DuckDB
+    semantics, calibrated)."""
+    import math
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    def hist_partials(batch: pa.Table) -> pa.Table:
+        df = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "q": pc.cast(pc.round(batch.column("l_quantity")),
+                         pa.int64()),
+        }).to_pandas()
+        agg = df.groupby(["l_returnflag", "q"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    hist = partial_then_merge(
+        lineitem.select_columns(["l_returnflag", "l_quantity"]),
+        hist_partials, ["l_returnflag", "q"], {"n": "sum"})
+    if hist.empty:
+        return pd.DataFrame({"l_returnflag": pd.Series(dtype="object"),
+                             **{f"p{p}": pd.Series(dtype="int64")
+                                for p in percents}})
+    cols = {f"p{p}": [] for p in percents}
+    flags = []
+    for flag, grp in hist.groupby("l_returnflag", sort=True):
+        g = grp.sort_values("q")
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        flags.append(flag)
+        for p in percents:
+            pos = max(1, math.ceil(p / 100.0 * total))
+            idx = int(np.searchsorted(cum, pos, side="left"))
+            cols[f"p{p}"].append(int(g["q"].iloc[idx]))
+    out = pd.DataFrame({"l_returnflag": flags, **cols})
+    for p in percents:
+        out[f"p{p}"] = out[f"p{p}"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
