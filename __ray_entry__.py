@@ -1737,6 +1737,16 @@ def _q_prominent_part_suppliers(sf_dir: str):
         _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]))
 
 
+def _q_full_coverage_customers(sf_dir: str):
+    """Relational DIVISION (for-all): customers ordering in every
+    quarter of 1995 — distinct (cust, quarter) pairs shuffle once,
+    the nq == 4 predicate applies to the reduced table."""
+    from gruut_ray.pipelines.relational import full_coverage_customers
+
+    return full_coverage_customers(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]))
+
+
 def _q_quantity_percentiles(sf_dir: str):
     """Exact grouped percentile_disc via bounded-domain counting
     histograms — no sort, no shuffle; matches DuckDB's
@@ -1839,6 +1849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "important_parts": _q_important_parts,
         "prominent_part_suppliers": _q_prominent_part_suppliers,
         "quantity_percentiles": _q_quantity_percentiles,
+        "full_coverage_customers": _q_full_coverage_customers,
         # --- rows-only (no SQL oracle; invariants pinned in tests/) ------
         "kmeans_convergence": _q_kmeans_convergence,
         "knn_quantized_top10": _q_knn_quantized_top10,
@@ -1969,6 +1980,13 @@ def oracle_sql() -> dict[str, str]:
             FROM q JOIN supplier USING (s_suppkey)
             WHERE qty_c > 50 * 100
             ORDER BY s_suppkey
+        """,
+        "full_coverage_customers": """
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders WHERE year(o_orderdate) = 1995
+            GROUP BY o_custkey
+            HAVING count(DISTINCT quarter(o_orderdate)) = 4
+            ORDER BY o_custkey
         """,
         "quantity_percentiles": """
             SELECT l_returnflag,

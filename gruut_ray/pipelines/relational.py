@@ -3312,3 +3312,64 @@ def quantity_percentiles(lineitem: "ray.data.Dataset",
     for p in percents:
         out[f"p{p}"] = out[f"p{p}"].astype("int64")
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def full_coverage_customers(orders: "ray.data.Dataset",
+                            year: int = 1995,
+                            num_partitions: int = 8) -> pd.DataFrame:
+    """Relational DIVISION: customers who placed orders in EVERY
+    quarter of ``year`` (the "for all" shape — SQL's double NOT EXISTS
+    or HAVING count(DISTINCT …) = |divisor|).
+
+    Scale shape: per-batch distinct (custkey, quarter, n) partials, a
+    distributed groupby collapses cross-batch duplicates to one row
+    per pair, then a per-customer combiner sums quarter coverage and
+    order counts — only distinct pairs ever shuffle, and the division
+    predicate (nq == 4) applies to the already-reduced table."""
+    from ray.data.aggregate import Sum
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").to_pandas()
+        mask = (d.dt.year == year).to_numpy()
+        df = pd.DataFrame({
+            "o_custkey": batch.column("o_custkey")
+            .to_numpy(zero_copy_only=False)[mask],
+            "q": d.dt.quarter.to_numpy()[mask],
+        })
+        agg = df.groupby(["o_custkey", "q"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    pairs = (orders.select_columns(["o_custkey", "o_orderdate"])
+             .map_batches(pair_partials, batch_format="pyarrow")
+             .groupby(["o_custkey", "q"])
+             .aggregate(Sum("n", alias_name="n"))
+             .repartition(num_partitions))
+
+    def cust_partials(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "nq": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64())})
+        df = pa.table({
+            "o_custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+            "n": pc.cast(batch.column("n"), pa.int64()),
+        }).to_pandas()
+        agg = df.groupby("o_custkey", as_index=False).agg(
+            nq=("n", "size"), n_orders=("n", "sum"))
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    out = partial_then_merge(pairs, cust_partials, ["o_custkey"],
+                             {"nq": "sum", "n_orders": "sum"})
+    if out.empty:
+        return pd.DataFrame({"o_custkey": pd.Series(dtype="int64"),
+                             "n_orders": pd.Series(dtype="int64")})
+    out = out[out["nq"] == 4].copy()
+    out["o_custkey"] = out["o_custkey"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (out[["o_custkey", "n_orders"]]
+            .sort_values("o_custkey").reset_index(drop=True))

