@@ -1758,6 +1758,42 @@ def _q_quantity_percentiles(sf_dir: str):
               columns=["l_returnflag", "l_quantity"]))
 
 
+def _q_lineitem_cube(sf_dir: str):
+    """CUBE grouping sets from ONE distributed aggregation — the three
+    coarser sets are driver-side re-sums of the tiny finest table
+    (exact integer math, 'ALL' sentinels; ROLLUP sibling:
+    lang_source_rollup)."""
+    from gruut_ray.pipelines.relational import lineitem_cube
+
+    return lineitem_cube(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_linestatus", "l_quantity"]))
+
+
+def _q_event_value_ntile(sf_dir: str):
+    """Exact NTILE(4) windowed aggregate without ranking any row: the
+    (type, tile) counts/sums are tie-break-invariant, so they follow
+    from the per-(type, value) histogram alone — only distinct pairs
+    shuffle."""
+    from gruut_ray.pipelines.relational import event_value_ntile
+
+    return event_value_ntile(
+        _read(sf_dir, "events", columns=["event_type", "value"]))
+
+
+def _q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape: correlated min-subquery as ONE grouped min over
+    a packed (price, suppkey) int64 — the argmin witness rides the
+    same combiner, no self-join second pass."""
+    from gruut_ray.pipelines.relational import min_cost_supplier
+
+    return min_cost_supplier(
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_suppkey", "l_extendedprice"]),
+        _read(sf_dir, "part", columns=["p_partkey", "p_size"]),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract (VERDICT r03 #1): the driver verifies only the
     # FIRST 50 entries, so every oracle-gated query (an entry in
@@ -1850,6 +1886,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prominent_part_suppliers": _q_prominent_part_suppliers,
         "quantity_percentiles": _q_quantity_percentiles,
         "full_coverage_customers": _q_full_coverage_customers,
+        "lineitem_cube": _q_lineitem_cube,
+        "event_value_ntile": _q_event_value_ntile,
+        "min_cost_supplier": _q_min_cost_supplier,
         # --- rows-only (no SQL oracle; invariants pinned in tests/) ------
         "kmeans_convergence": _q_kmeans_convergence,
         "knn_quantized_top10": _q_knn_quantized_top10,
@@ -1997,6 +2036,54 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY CAST(round(l_quantity) AS BIGINT))
                        AS BIGINT) AS p90
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "lineitem_cube": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS sum_qty_c
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY 1, 2
+        """,
+        "event_value_ntile": """
+            WITH t AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS v_c,
+                       ntile(4) OVER (
+                           PARTITION BY event_type
+                           ORDER BY CAST(round(value * 100) AS BIGINT),
+                                    event_id) AS tile
+                FROM events)
+            SELECT event_type, CAST(tile AS BIGINT) AS tile,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(v_c) AS BIGINT) AS sum_value_c
+            FROM t GROUP BY event_type, tile ORDER BY 1, 2
+        """,
+        "min_cost_supplier": """
+            WITH l AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS price_c
+                FROM lineitem
+                WHERE l_partkey IN (
+                    SELECT p_partkey FROM part WHERE p_size = 15)
+            ), m AS (
+                SELECT l_partkey AS p_partkey,
+                       min(price_c) AS min_price_c
+                FROM l GROUP BY 1
+            ), w AS (
+                SELECT l.l_partkey AS p_partkey,
+                       CAST(min(l.l_suppkey) AS BIGINT) AS s_suppkey
+                FROM l JOIN m ON l.l_partkey = m.p_partkey
+                             AND l.price_c = m.min_price_c
+                GROUP BY 1
+            )
+            SELECT w.p_partkey, m.min_price_c, w.s_suppkey, s.s_name
+            FROM w JOIN m USING (p_partkey)
+                   JOIN supplier s USING (s_suppkey)
+            ORDER BY w.p_partkey
         """,
         "sorted_export_events": """
             WITH c AS (

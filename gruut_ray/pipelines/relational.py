@@ -3373,3 +3373,213 @@ def full_coverage_customers(orders: "ray.data.Dataset",
     out["n_orders"] = out["n_orders"].astype("int64")
     return (out[["o_custkey", "n_orders"]]
             .sort_values("o_custkey").reset_index(drop=True))
+
+
+def lineitem_cube(lineitem: "ray.data.Dataset") -> pd.DataFrame:
+    """CUBE grouping sets — SQL ``GROUP BY CUBE(l_returnflag,
+    l_linestatus)`` — from ONE distributed aggregation: the finest
+    grouping (flag, status) reduces via combiner partials, then the
+    three coarser sets ((flag), (status), ()) are pure driver-side
+    re-sums of that already-tiny table (≤ |flags|×|statuses| rows),
+    never a second pass over data.  Exact integer sums throughout
+    (count + fixed-point quantity cents), so every grouping-set row is
+    the bit-exact re-aggregation of the same partials.  Grouped-out
+    levels surface as ``'ALL'`` (the oracle COALESCEs NULL to the same
+    marker) — the ROLLUP sibling is ``lang_source_rollup``."""
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty_c": _cents(batch.column("l_quantity")),
+        })
+        agg = (t.group_by(["l_returnflag", "l_linestatus"])
+               .aggregate([("qty_c", "sum"), ("qty_c", "count")])
+               .rename_columns(["l_returnflag", "l_linestatus",
+                                "sum_qty_c", "n_rows"]))
+        return agg
+
+    fine = partial_then_merge(
+        lineitem.select_columns(["l_returnflag", "l_linestatus",
+                                 "l_quantity"]),
+        partials, ["l_returnflag", "l_linestatus"],
+        {"sum_qty_c": "sum", "n_rows": "sum"},
+        exact_int_cols=["sum_qty_c"])
+    if fine.empty:
+        return pd.DataFrame({
+            "l_returnflag": pd.Series(dtype="object"),
+            "l_linestatus": pd.Series(dtype="object"),
+            "n_rows": pd.Series(dtype="int64"),
+            "sum_qty_c": pd.Series(dtype="int64")})
+    vals = ["sum_qty_c", "n_rows"]
+    by_flag = fine.groupby("l_returnflag", as_index=False)[vals].sum()
+    by_flag["l_linestatus"] = "ALL"
+    by_status = fine.groupby("l_linestatus", as_index=False)[vals].sum()
+    by_status["l_returnflag"] = "ALL"
+    total = pd.DataFrame({"l_returnflag": ["ALL"],
+                          "l_linestatus": ["ALL"],
+                          "sum_qty_c": [fine["sum_qty_c"].sum()],
+                          "n_rows": [fine["n_rows"].sum()]})
+    out = pd.concat([fine, by_flag, by_status, total], ignore_index=True)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["sum_qty_c"] = [int(x) for x in out["sum_qty_c"]]
+    out["sum_qty_c"] = out["sum_qty_c"].astype("int64")
+    return (out[["l_returnflag", "l_linestatus", "n_rows", "sum_qty_c"]]
+            .sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True))
+
+
+def event_value_ntile(events: "ray.data.Dataset",
+                      k: int = 4) -> pd.DataFrame:
+    """Exact NTILE(k) windowed aggregate — SQL ``ntile(k) OVER
+    (PARTITION BY event_type ORDER BY value, event_id)`` rolled up to
+    (type, tile) counts and sums — WITHOUT ranking any row.
+
+    The insight: the aggregate is invariant to how ties are broken
+    (rows with equal (type, value) are interchangeable for count/sum),
+    so the exact answer is a function of the per-(type, value)
+    histogram alone.  Scale shape: per-batch (type, value_c, n)
+    partials shuffle only distinct pairs (bounded by |types| × the
+    fixed-point value domain); the driver walks each type's cumulative
+    histogram with prefix sums, splitting a value run that straddles a
+    tile boundary arithmetically (count × value).  DuckDB tile-size
+    semantics: the first n % k tiles hold ceil(n/k) rows."""
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "v_c": _cents(batch.column("value")),
+        })
+        return (t.group_by(["event_type", "v_c"])
+                .aggregate([("v_c", "count")])
+                .rename_columns(["event_type", "v_c", "n"]))
+
+    hist = partial_then_merge(
+        events.select_columns(["event_type", "value"]),
+        partials, ["event_type", "v_c"], {"n": "sum"})
+    if hist.empty:
+        return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                             "tile": pd.Series(dtype="int64"),
+                             "n_rows": pd.Series(dtype="int64"),
+                             "sum_value_c": pd.Series(dtype="int64")})
+    rows = []
+    for etype, grp in hist.groupby("event_type", sort=True):
+        g = grp.sort_values("v_c")
+        n_arr = g["n"].to_numpy(dtype=np.int64)
+        v_arr = g["v_c"].to_numpy(dtype=np.int64)
+        cum_n = np.cumsum(n_arr)
+        cum_v = np.cumsum(n_arr * v_arr)
+        total = int(cum_n[-1])
+
+        def prefix_sum(p: int) -> int:
+            # Sum of value_c over the first p rows in (value, id) order.
+            if p <= 0:
+                return 0
+            i = int(np.searchsorted(cum_n, p, side="left"))
+            before_n = int(cum_n[i - 1]) if i else 0
+            before_v = int(cum_v[i - 1]) if i else 0
+            return before_v + (p - before_n) * int(v_arr[i])
+
+        base, rem = divmod(total, k)
+        start = 0
+        for tile in range(1, k + 1):
+            size = base + (1 if tile <= rem else 0)
+            if size == 0:
+                continue
+            end = start + size
+            rows.append((etype, tile, size,
+                         prefix_sum(end) - prefix_sum(start)))
+            start = end
+    out = pd.DataFrame(rows, columns=["event_type", "tile",
+                                      "n_rows", "sum_value_c"])
+    for c in ("tile", "n_rows", "sum_value_c"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["event_type", "tile"])
+            .reset_index(drop=True))
+
+
+# The packed-argmin shift: price_c * 2**32 + suppkey fits int64 while
+# price_c < 2**30 (~$10.7M in cents) and suppkey < 2**32 — both hold
+# with wide margin for TPC-H-shaped data (l_extendedprice ≤ ~$105k).
+_ARGMIN_SHIFT = 1 << 32
+
+
+def min_cost_supplier(lineitem: "ray.data.Dataset",
+                      part: "ray.data.Dataset",
+                      supplier: "ray.data.Dataset",
+                      size: int = 15) -> pd.DataFrame:
+    """TPC-H Q2 shape (adapted to lineitem as the supply table): for
+    each part of the chosen size, the minimum sale price and the
+    lowest-numbered supplier achieving it (Q2's correlated
+    ``= (SELECT min(...))`` subquery with a deterministic tie-break).
+
+    Scale shape: the filtered part-key set broadcasts; the correlated
+    argmin is ONE grouped MIN over a packed int64
+    (price_c * 2**32 + suppkey) — min of the packed key IS
+    (min price, then min suppkey), so the combiner stays a plain
+    column-wise min and no second pass or self-join re-finds the
+    witnesses.  Winner names come from a broadcast-filtered supplier
+    scan; supplier rows never shuffle."""
+    import ray
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    tk = part.map_batches(
+        lambda b: b.filter(pc.equal(b.column("p_size"),
+                                    pa.scalar(size, pa.int32())))
+        .select(["p_partkey"]), batch_format="pyarrow").to_pandas()
+    keys = np.sort(tk["p_partkey"].to_numpy(dtype=np.int64)) \
+        if len(tk) else np.array([], dtype=np.int64)
+    keys_ref = ray.put(keys)
+
+    def argmin_partials(batch: pa.Table, _cache={}) -> pa.Table:
+        kk = _cache.get(keys_ref)
+        if kk is None:
+            _cache.clear()
+            kk = _cache[keys_ref] = ray.get(keys_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(kk, pk), max(len(kk) - 1, 0))
+        hit = (kk[pos] == pk) if len(kk) else np.zeros(len(pk), bool)
+        price = _cents(batch.column("l_extendedprice")) \
+            .to_numpy(zero_copy_only=False)[hit]
+        supp = batch.column("l_suppkey") \
+            .to_numpy(zero_copy_only=False)[hit]
+        if len(price) and int(price.max()) >= _ARGMIN_SHIFT:
+            raise ValueError("price_c exceeds packed-argmin headroom")
+        df = pd.DataFrame({
+            "p_partkey": pk[hit],
+            "packed": price * _ARGMIN_SHIFT + supp})
+        agg = df.groupby("p_partkey", as_index=False)["packed"].min()
+        agg["packed"] = agg["packed"].astype("int64")
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    packed = partial_then_merge(
+        lineitem.select_columns(["l_partkey", "l_suppkey",
+                                 "l_extendedprice"]),
+        argmin_partials, ["p_partkey"], {"packed": "min"})
+    empty = pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                          "min_price_c": pd.Series(dtype="int64"),
+                          "s_suppkey": pd.Series(dtype="int64"),
+                          "s_name": pd.Series(dtype="object")})
+    if packed.empty:
+        return empty
+    packed["min_price_c"] = (packed["packed"] //
+                             _ARGMIN_SHIFT).astype("int64")
+    packed["s_suppkey"] = (packed["packed"] %
+                           _ARGMIN_SHIFT).astype("int64")
+    want = pa.array(sorted(set(int(x) for x in packed["s_suppkey"])),
+                    type=pa.int64())
+    names = supplier.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("s_suppkey"),
+                                    value_set=want))
+        .select(["s_suppkey", "s_name"]),
+        batch_format="pyarrow").to_pandas()
+    if names.empty:
+        return empty
+    out = packed.merge(names, on="s_suppkey", how="inner")
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    return (out[["p_partkey", "min_price_c", "s_suppkey", "s_name"]]
+            .sort_values("p_partkey").reset_index(drop=True))
