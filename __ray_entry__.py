@@ -1794,6 +1794,20 @@ def _q_min_cost_supplier(sf_dir: str):
         _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]))
 
 
+def _q_full_outer_user_activity(sf_dir: str):
+    """FULL OUTER JOIN of two aggregates without a join operator:
+    tagged-union partials + one groupby(key) reproduce the COALESCE
+    semantics; a second combiner rolls the per-key table up to ≤3
+    coverage-class rows so the driver never holds per-key state."""
+    from gruut_ray.pipelines.relational import full_outer_user_activity
+
+    return full_outer_user_activity(
+        _read(sf_dir, "orders",
+              columns=["o_custkey", "o_orderdate", "o_totalprice"]),
+        _read(sf_dir, "events",
+              columns=["user_id", "event_type", "value"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract (VERDICT r03 #1): the driver verifies only the
     # FIRST 50 entries, so every oracle-gated query (an entry in
@@ -1889,6 +1903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_cube": _q_lineitem_cube,
         "event_value_ntile": _q_event_value_ntile,
         "min_cost_supplier": _q_min_cost_supplier,
+        "full_outer_user_activity": _q_full_outer_user_activity,
         # --- rows-only (no SQL oracle; invariants pinned in tests/) ------
         "kmeans_convergence": _q_kmeans_convergence,
         "knn_quantized_top10": _q_knn_quantized_top10,
@@ -2084,6 +2099,36 @@ def oracle_sql() -> dict[str, str]:
             FROM w JOIN m USING (p_partkey)
                    JOIN supplier s USING (s_suppkey)
             ORDER BY w.p_partkey
+        """,
+        "full_outer_user_activity": """
+            WITH o AS (
+                SELECT o_custkey AS k,
+                       CAST(count(*) AS BIGINT) AS n_orders,
+                       CAST(sum(CAST(round(o_totalprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS orders_c
+                FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+            ), e AS (
+                SELECT user_id AS k,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       CAST(sum(CAST(round(value * 100)
+                                     AS BIGINT)) AS BIGINT) AS events_c
+                FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ), f AS (
+                SELECT coalesce(o.n_orders, 0) AS n_orders,
+                       coalesce(o.orders_c, 0) AS orders_c,
+                       coalesce(e.n_events, 0) AS n_events,
+                       coalesce(e.events_c, 0) AS events_c
+                FROM o FULL OUTER JOIN e ON o.k = e.k
+            )
+            SELECT CASE WHEN n_orders > 0 AND n_events > 0 THEN 'both'
+                        WHEN n_orders > 0 THEN 'orders_only'
+                        ELSE 'events_only' END AS side,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(n_orders) AS BIGINT) AS n_orders,
+                   CAST(sum(orders_c) AS BIGINT) AS orders_c,
+                   CAST(sum(n_events) AS BIGINT) AS n_events,
+                   CAST(sum(events_c) AS BIGINT) AS events_c
+            FROM f GROUP BY 1 ORDER BY 1
         """,
         "sorted_export_events": """
             WITH c AS (

@@ -3583,3 +3583,108 @@ def min_cost_supplier(lineitem: "ray.data.Dataset",
     out["p_partkey"] = out["p_partkey"].astype("int64")
     return (out[["p_partkey", "min_price_c", "s_suppkey", "s_name"]]
             .sort_values("p_partkey").reset_index(drop=True))
+
+
+def full_outer_user_activity(orders: "ray.data.Dataset",
+                             events: "ray.data.Dataset",
+                             year: int = 1995,
+                             etype: str = "purchase") -> pd.DataFrame:
+    """FULL OUTER JOIN of two aggregates — 1995 order activity vs
+    purchase-event activity per user — rolled up by coverage class
+    ('both' / 'orders_only' / 'events_only').
+
+    Scale shape: a full outer join of AGGREGATES needs no join
+    operator at all — each side maps to per-key partials carrying
+    zeros for the other side's measures, the two Datasets UNION, and
+    ONE distributed groupby(key) sums all measures (a key missing on
+    a side simply contributes its zeros — exactly the COALESCE
+    semantics of the outer join).  The per-key table never lands on
+    the driver: a second combiner classifies each key row into its
+    coverage class and reduces to ≤3 rows.  Only distinct keys
+    shuffle once; both fact tables stream."""
+    from ray.data.aggregate import Sum
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    MEASURES = ["n_orders", "orders_c", "n_events", "events_c"]
+
+    def order_partials(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").to_pandas()
+        mask = (d.dt.year == year).to_numpy()
+        price = _cents(batch.column("o_totalprice")) \
+            .to_numpy(zero_copy_only=False)[mask]
+        df = pd.DataFrame({
+            "k": batch.column("o_custkey")
+            .to_numpy(zero_copy_only=False)[mask],
+            "orders_c": price})
+        agg = df.groupby("k", as_index=False).agg(
+            n_orders=("orders_c", "size"), orders_c=("orders_c", "sum"))
+        agg["n_events"] = np.int64(0)
+        agg["events_c"] = np.int64(0)
+        for c in MEASURES:
+            agg[c] = agg[c].astype("int64")
+        return pa.Table.from_pandas(
+            agg[["k"] + MEASURES],
+            preserve_index=False).replace_schema_metadata(None)
+
+    def event_partials(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("event_type"),
+                        pa.scalar(etype)).to_numpy(zero_copy_only=False)
+        val = _cents(batch.column("value")) \
+            .to_numpy(zero_copy_only=False)[mask]
+        df = pd.DataFrame({
+            "k": batch.column("user_id")
+            .to_numpy(zero_copy_only=False)[mask],
+            "events_c": val})
+        agg = df.groupby("k", as_index=False).agg(
+            n_events=("events_c", "size"), events_c=("events_c", "sum"))
+        agg["n_orders"] = np.int64(0)
+        agg["orders_c"] = np.int64(0)
+        for c in MEASURES:
+            agg[c] = agg[c].astype("int64")
+        return pa.Table.from_pandas(
+            agg[["k"] + MEASURES],
+            preserve_index=False).replace_schema_metadata(None)
+
+    left = (orders.select_columns(["o_custkey", "o_orderdate",
+                                   "o_totalprice"])
+            .map_batches(order_partials, batch_format="pyarrow"))
+    right = (events.select_columns(["user_id", "event_type", "value"])
+             .map_batches(event_partials, batch_format="pyarrow"))
+    per_key = left.union(right).groupby("k").aggregate(
+        *[Sum(c, alias_name=c) for c in MEASURES])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({"side": pa.array([], pa.string()),
+                             "n_users": pa.array([], pa.int64()),
+                             **{c: pa.array([], pa.int64())
+                                for c in MEASURES}})
+        df = batch.to_pandas()
+        has_o = df["n_orders"].to_numpy() > 0
+        has_e = df["n_events"].to_numpy() > 0
+        df["side"] = np.where(has_o & has_e, "both",
+                              np.where(has_o, "orders_only",
+                                       "events_only"))
+        agg = df.groupby("side", as_index=False).agg(
+            n_users=("k", "size"),
+            **{c: (c, "sum") for c in MEASURES})
+        for c in ["n_users"] + MEASURES:
+            agg[c] = agg[c].astype("int64")
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    out = partial_then_merge(
+        per_key, classify, ["side"],
+        {c: "sum" for c in ["n_users"] + MEASURES},
+        exact_int_cols=["orders_c", "events_c"])
+    if out.empty:
+        return pd.DataFrame({"side": pd.Series(dtype="object"),
+                             "n_users": pd.Series(dtype="int64"),
+                             **{c: pd.Series(dtype="int64")
+                                for c in MEASURES}})
+    for c in ["n_users"] + MEASURES:
+        out[c] = [int(x) for x in out[c]]
+        out[c] = out[c].astype("int64")
+    return (out[["side", "n_users"] + MEASURES]
+            .sort_values("side").reset_index(drop=True))

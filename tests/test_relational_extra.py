@@ -151,3 +151,43 @@ def test_min_cost_supplier_tiebreak_and_guard(ray_session):
             ray.data.from_pandas(li_big).repartition(1),
             ray.data.from_pandas(part),
             ray.data.from_pandas(supp), size=15)
+
+
+def test_full_outer_activity_one_side_empty(ray_session):
+    import ray.data
+
+    from gruut_ray.pipelines.relational import full_outer_user_activity
+
+    orders = pd.DataFrame({
+        "o_custkey": [1, 1, 2],
+        "o_orderdate": pd.to_datetime(
+            ["1995-02-01", "1995-07-01", "1995-03-15"]),
+        "o_totalprice": [10.0, 20.0, 5.5],
+    })
+    # No 'purchase' events at all → the union's right side contributes
+    # zero rows; every key must classify orders_only.
+    events = pd.DataFrame({
+        "user_id": [1, 3],
+        "event_type": ["click", "view"],
+        "value": [1.0, 2.0],
+    })
+    got = full_outer_user_activity(
+        ray.data.from_pandas(orders).repartition(2),
+        ray.data.from_pandas(events).repartition(2))
+    assert got["side"].tolist() == ["orders_only"]
+    assert got["n_users"].tolist() == [2]
+    assert got["n_orders"].tolist() == [3]
+    assert got["orders_c"].tolist() == [3550]
+    assert got["n_events"].tolist() == [0]
+    assert got["events_c"].tolist() == [0]
+
+    # And the mirror: no 1995 orders.
+    orders2 = orders.assign(o_orderdate=pd.to_datetime(
+        ["1994-02-01", "1994-07-01", "1996-03-15"]))
+    events2 = events.assign(event_type=["purchase", "purchase"])
+    got2 = full_outer_user_activity(
+        ray.data.from_pandas(orders2).repartition(2),
+        ray.data.from_pandas(events2).repartition(2))
+    assert got2["side"].tolist() == ["events_only"]
+    assert got2["n_users"].tolist() == [2]
+    assert got2["events_c"].tolist() == [300]
