@@ -1102,3 +1102,160 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _levenshtein_banded(a: str, b: str, k: int) -> int:
+    """Unit-cost edit distance, early-abandoned past ``k`` (returns
+    k + 1 when the true distance exceeds k).  Matches DuckDB's
+    ``levenshtein`` within the band.  O(min(len)·(2k+1))."""
+    la, lb = len(a), len(b)
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la > k:
+        return k + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        if lo > 1:
+            cur[lo - 1] = k + 1
+        row_min = k + 1
+        ca = a[i - 1]
+        for j in range(lo, hi + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            cur[j] = v
+            if v < row_min:
+                row_min = v
+        if hi < lb:
+            cur[hi + 1:] = [k + 1] * (lb - hi)
+        if row_min > k:
+            return k + 1
+        prev = cur
+    return min(prev[lb], k + 1)
+
+
+def edit_distance_name_pairs(ds: "ray.data.Dataset",
+                             name_col: str = "p_name",
+                             max_dist: int = 2,
+                             grid_block: int = 2048) -> pd.DataFrame:
+    """Fuzzy string-similarity SELF-JOIN: distinct-name pairs within
+    Levenshtein distance ``max_dist``, weighted by the product of the
+    names' row counts (the cardinality the row-level fuzzy join WOULD
+    produce, without materializing it).
+
+    Scale shape: rows reduce to a (name, count) table first — one
+    combiner groupby bounded by the NAME VOCABULARY, not the row count
+    (catalog/entity names, the realistic use case; free-text columns
+    should go through the MinHash/ngram-Jaccard family instead).  The
+    pairing then runs as a length-sorted THETA-JOIN GRID: names sort
+    by length, split into blocks, and only block pairs whose length
+    ranges can reach within ``max_dist`` become Ray tasks (a cell
+    whose min-gap exceeds the band prunes away) — never an all-pairs
+    row join.  Below ``grid_block`` names the same kernel runs once on
+    the driver (dual-path identity tested).  The per-pair DP is
+    banded + early-abandoned at max_dist."""
+    import ray
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        return (batch.select([name_col]).group_by([name_col])
+                .aggregate([([], "count_all")])
+                .rename_columns([name_col, "n_rows"]))
+
+    counts = partial_then_merge(
+        ds.select_columns([name_col]), count_partials,
+        [name_col], {"n_rows": "sum"})
+    empty = pd.DataFrame({"name_a": pd.Series(dtype="object"),
+                          "name_b": pd.Series(dtype="object"),
+                          "dist": pd.Series(dtype="int64"),
+                          "pair_weight": pd.Series(dtype="int64")})
+    if len(counts) < 2:
+        return empty
+
+    counts = counts.copy()
+    counts["_len"] = counts[name_col].str.len()
+    counts = (counts.sort_values(["_len", name_col], kind="mergesort")
+              .reset_index(drop=True))
+    names = counts[name_col].tolist()
+    nrows = counts["n_rows"].to_numpy(dtype=np.int64)
+    lens = counts["_len"].to_numpy(dtype=np.int64)
+
+    def cell_pairs(ai: int, aj: int, bi: int, bj: int) -> list:
+        """All qualifying pairs with the first index in [ai, aj) and
+        the second in [bi, bj), first < second."""
+        out = []
+        for i in range(ai, aj):
+            jstart = max(bi, i + 1)
+            for j in range(jstart, bj):
+                if lens[j] - lens[i] > max_dist:
+                    break  # length-sorted: later j only grow
+                d = _levenshtein_banded(names[i], names[j], max_dist)
+                if d <= max_dist:
+                    a, b = names[i], names[j]
+                    w = int(nrows[i]) * int(nrows[j])
+                    if b < a:
+                        a, b = b, a
+                    out.append((a, b, d, w))
+        return out
+
+    n = len(names)
+    if n <= grid_block:
+        rows = cell_pairs(0, n, 0, n)
+    else:
+        bounds = list(range(0, n, grid_block)) + [n]
+        cells = []
+        for bi in range(len(bounds) - 1):
+            for bj in range(bi, len(bounds) - 1):
+                # Prune cells the length band can never bridge.
+                if lens[bounds[bj]] - lens[bounds[bi + 1] - 1] > max_dist:
+                    break
+                cells.append({"ai": bounds[bi], "aj": bounds[bi + 1],
+                              "bi": bounds[bj], "bj": bounds[bj + 1]})
+        state_ref = ray.put((names, nrows, lens))
+
+        def run_cell(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+            st = _cache.get(state_ref)
+            if st is None:
+                _cache.clear()
+                st = _cache[state_ref] = ray.get(state_ref)
+            c_names, c_rows, c_lens = st
+            out = []
+            for ai, aj, bi, bj in zip(batch["ai"], batch["aj"],
+                                      batch["bi"], batch["bj"]):
+                for i in range(int(ai), int(aj)):
+                    jstart = max(int(bi), i + 1)
+                    for j in range(jstart, int(bj)):
+                        if c_lens[j] - c_lens[i] > max_dist:
+                            break
+                        d = _levenshtein_banded(c_names[i], c_names[j],
+                                                max_dist)
+                        if d <= max_dist:
+                            a, b = c_names[i], c_names[j]
+                            w = int(c_rows[i]) * int(c_rows[j])
+                            if b < a:
+                                a, b = b, a
+                            out.append((a, b, d, w))
+            return pd.DataFrame(out, columns=["name_a", "name_b",
+                                              "dist", "pair_weight"]) \
+                if out else pd.DataFrame({
+                    "name_a": pd.Series(dtype="object"),
+                    "name_b": pd.Series(dtype="object"),
+                    "dist": pd.Series(dtype="int64"),
+                    "pair_weight": pd.Series(dtype="int64")})
+
+        cell_ds = ray.data.from_items(cells).repartition(
+            max(1, min(len(cells), 32)))
+        rows = [tuple(r) for r in cell_ds.map_batches(
+            run_cell, batch_format="pandas").to_pandas().itertuples(
+                index=False)]
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["name_a", "name_b",
+                                      "dist", "pair_weight"])
+    out["dist"] = out["dist"].astype("int64")
+    out["pair_weight"] = out["pair_weight"].astype("int64")
+    return (out.sort_values(["name_a", "name_b"])
+            .reset_index(drop=True))

@@ -439,3 +439,35 @@ def test_ngram_jaccard_pairs_dual_path_identity(ray_session):
     dist = ngram_jaccard_pairs(ds, driver_limit=0)
     pd.testing.assert_frame_equal(drv, dist)
     assert len(drv) > 0  # blocking key must yield real candidates
+
+
+def test_edit_distance_pairs_dual_path_and_bruteforce(ray_session):
+    import duckdb
+    import ray.data
+
+    from gruut_ray.pipelines.dedup import edit_distance_name_pairs
+
+    rng = np.random.default_rng(19)
+    vocab = ["red widget", "red midget", "blue bolt", "blue belt",
+             "blue bolts", "large gear", "large year", "small gizmo",
+             "smol gizmo", "x", "xy", "abcdefghij", "abcdefghiz"]
+    names = rng.choice(vocab, 400)
+    df = pd.DataFrame({"p_name": names})
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    driver = edit_distance_name_pairs(ds, grid_block=2048)
+    grid = edit_distance_name_pairs(ds, grid_block=3)  # force grid path
+    pd.testing.assert_frame_equal(driver, grid)
+
+    want = duckdb.sql("""
+        WITH n AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n_rows
+                   FROM df GROUP BY 1)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+               CAST(a.n_rows * b.n_rows AS BIGINT) AS pair_weight
+        FROM n a JOIN n b ON a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+        ORDER BY 1, 2
+    """).df()
+    pd.testing.assert_frame_equal(driver, want.astype(
+        driver.dtypes.to_dict()))
