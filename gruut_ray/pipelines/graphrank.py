@@ -32,6 +32,7 @@ import typing
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 if typing.TYPE_CHECKING:
     import ray.data
@@ -313,3 +314,118 @@ def host_pagerank(pages: "ray.data.Dataset", damping: float = 0.85,
            .head(top_k)[["host", "rank_ppm"]]
            .reset_index(drop=True))
     return out
+
+
+def bfs_depth_histogram(orders: "ray.data.Dataset",
+                        lineitem: "ray.data.Dataset",
+                        min_qty: int = 45,
+                        max_depth: int = 8,
+                        num_partitions: int = 8) -> pd.DataFrame:
+    """Breadth-first shortest-path depths over the bipartite
+    customer–part co-purchase graph (edges: high-quantity lineitems),
+    rolled up to a (depth, n_nodes, node_sum) histogram — the Ray dual
+    of a SQL ``WITH RECURSIVE`` BFS.
+
+    Node encoding disambiguates the bipartite sides (cust·2, part·2+1);
+    the seed is the smallest customer node.  Scale shape: the edge
+    list is built by ONE pre-projected shuffle join + a distinct
+    groupby, materialized once, and each BFS level is a single
+    broadcast-frontier scan of the undirected edges (frontier rides
+    ``ray.put``; per-batch semi-join via searchsorted) producing the
+    next frontier as a distinct pull — per-level driver state is the
+    visited set, bounded by reachable nodes (same documented bound and
+    Dataset-native cut-over note as ``host_pagerank``'s rank vector;
+    a ≥10⁷-node BFS would keep (node, depth) as a Dataset and
+    anti-join each level instead)."""
+    import ray
+    from ray.data.aggregate import Min
+
+    o = orders.select_columns(["o_orderkey", "o_custkey"]) \
+        .repartition(num_partitions)
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_partkey", "l_quantity"]).map_batches(
+        lambda b: b.filter(pc.greater_equal(
+            b.column("l_quantity"),
+            pa.scalar(float(min_qty)))).select(
+                ["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow").repartition(num_partitions)
+    joined = li.join(o, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        a = batch.column("o_custkey") \
+            .to_numpy(zero_copy_only=False).astype(np.int64) * 2
+        b = batch.column("l_partkey") \
+            .to_numpy(zero_copy_only=False).astype(np.int64) * 2 + 1
+        # Undirected: emit both directions; distinct-ness comes from
+        # the groupby below.
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    edges = (joined.map_batches(to_edges, batch_format="pyarrow")
+             .groupby(["src", "dst"]).aggregate(Min("dst",
+                                                    alias_name="_d"))
+             .select_columns(["src", "dst"])
+             .materialize())
+
+    def seed_partial(b: pa.Table) -> pa.Table:
+        src = b.column("src").to_numpy(zero_copy_only=False)
+        cust = src[src % 2 == 0]
+        if len(cust) == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        return pa.table({"m": pa.array([int(cust.min())], pa.int64())})
+
+    seed_df = edges.map_batches(
+        seed_partial, batch_format="pyarrow").to_pandas()
+    seeds = seed_df["m"].dropna() if "m" in seed_df.columns \
+        else pd.Series(dtype="int64")
+    if seeds.empty:
+        return pd.DataFrame({"depth": pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64"),
+                             "s": pd.Series(dtype="int64")})
+    seed = int(seeds.min())
+
+    dist = {seed: 0}
+    frontier = np.array([seed], dtype=np.int64)
+    for depth in range(1, max_depth + 1):
+        f_ref = ray.put(np.sort(frontier))
+
+        def next_hop(batch: pa.Table, _cache={}) -> pa.Table:
+            f = _cache.get(f_ref)
+            if f is None:
+                _cache.clear()
+                f = _cache[f_ref] = ray.get(f_ref)
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(f, src),
+                             max(len(f) - 1, 0))
+            hit = (f[pos] == src) if len(f) else \
+                np.zeros(len(src), bool)
+            dst = np.unique(batch.column("dst")
+                            .to_numpy(zero_copy_only=False)[hit])
+            return pa.table({"dst": pa.array(dst, pa.int64())})
+
+        reached = (edges.map_batches(next_hop, batch_format="pyarrow")
+                   .groupby("dst").aggregate(Min("dst",
+                                                 alias_name="_m"))
+                   .select_columns(["dst"]).to_pandas())
+        nxt = [int(v) for v in reached["dst"] if int(v) not in dist] \
+            if len(reached) else []
+        if not nxt:
+            break
+        for v in nxt:
+            dist[v] = depth
+        frontier = np.array(nxt, dtype=np.int64)
+
+    depths = pd.Series(list(dist.values()), dtype="int64")
+    nodes = pd.Series(list(dist.keys()), dtype="int64")
+    out = (pd.DataFrame({"depth": depths, "node": nodes})
+           .groupby("depth", as_index=False)
+           .agg(n=("node", "size"), s=("node", "sum")))
+    for c in ("depth", "n", "s"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("depth").reset_index(drop=True)

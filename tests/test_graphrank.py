@@ -99,3 +99,29 @@ def test_pagerank_edges_ds_known_graphs(ray_session):
                .to_pandas().sort_values("host").reset_index(drop=True))
         assert abs(got["rank"].sum() - 1.0) < 1e-9
         pd.testing.assert_frame_equal(got, want, atol=1e-12, rtol=0)
+
+
+def test_bfs_depth_histogram_synthetic(ray_session):
+    import ray.data
+
+    from gruut_ray.pipelines.graphrank import bfs_depth_histogram
+
+    # Orders o1..o3 link cust 1 -> parts {10, 11}; cust 2 -> part 11;
+    # cust 3's only lineitem is below min_qty -> unreachable.
+    orders = pd.DataFrame({"o_orderkey": [1, 2, 3],
+                           "o_custkey": [1, 2, 3]})
+    li = pd.DataFrame({
+        "l_orderkey": [1, 1, 2, 3],
+        "l_partkey": [10, 11, 11, 12],
+        "l_quantity": [50.0, 50.0, 50.0, 1.0],
+    })
+    got = bfs_depth_histogram(
+        ray.data.from_pandas(orders).repartition(2),
+        ray.data.from_pandas(li).repartition(2),
+        min_qty=45, max_depth=8, num_partitions=2)
+    # seed = cust1 (node 2); depth1 = parts 10,11 (nodes 21,23);
+    # depth2 = cust2 (node 4); BFS exhausts at depth 2 (< max_depth);
+    # cust3/part12 never appear.
+    assert got["depth"].tolist() == [0, 1, 2]
+    assert got["n"].tolist() == [1, 2, 1]
+    assert got["s"].tolist() == [2, 44, 4]
