@@ -1832,6 +1832,19 @@ def _q_bfs_depth_counts(sf_dir: str):
               columns=["l_orderkey", "l_partkey", "l_quantity"]))
 
 
+def _q_ccnet_perplexity_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail perplexity bucketing per language
+    (arXiv:1911.00359): one actor-pool scoring scan produces a
+    quantized (lang, ppl_d) histogram; exact tercile thresholds and
+    the bucket rollup are arithmetic on that histogram (rows-only —
+    the char-LM score is not SQL-expressible; partition invariance and
+    a single-thread oracle are pinned in tests/test_quality.py)."""
+    from gruut_ray.pipelines.quality_filter import ccnet_perplexity_buckets
+
+    return ccnet_perplexity_buckets(
+        _read(sf_dir, "documents", columns=["lang", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract (VERDICT r03 #1): the driver verifies only the
     # FIRST 50 entries, so every oracle-gated query (an entry in
@@ -1961,6 +1974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_topk": _q_pq_topk,
         "distill_quality_classifier": _q_distill_quality_classifier,
         "build_training_shards": _q_build_training_shards,
+        "ccnet_perplexity_buckets": _q_ccnet_perplexity_buckets,
     }
 
 

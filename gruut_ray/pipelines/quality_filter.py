@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import typing
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from gruut_ray.quality.heuristics import (
@@ -449,3 +451,96 @@ def cc_end_to_end(pages: "ray.data.Dataset",
         "n_kept": [n_kept],
         "n_unique_per_host": [n_unique],
     })
+
+
+class _PplHistStage:
+    """Actor-pool stage: per-batch (lang, ppl_d, n) histogram partials
+    of the char-trigram LM perplexity, quantized to deci-perplexity
+    (round(ppl·10)) — models load once per actor."""
+
+    def __init__(self, text_col: str = "text", lang_col: str = "lang"):
+        from gruut_ray.quality.ngram_lm import PerplexityScorer
+
+        self.scorer = PerplexityScorer()
+        self.text_col = text_col
+        self.lang_col = lang_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = batch.column(self.lang_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        ppl_d = np.array(
+            [int(round(self.scorer.perplexity(t or "", lg) * 10))
+             for t, lg in zip(texts, langs)], dtype=np.int64)
+        df = pd.DataFrame({"lang": langs, "ppl_d": ppl_d})
+        agg = df.groupby(["lang", "ppl_d"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        agg["n"] = agg["n"].astype("int64")
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+
+def ccnet_perplexity_buckets(ds: "ray.data.Dataset",
+                             text_col: str = "text",
+                             lang_col: str = "lang",
+                             concurrency: typing.Union[
+                                 int, typing.Tuple[int, int]] = (1, 4),
+                             ) -> pd.DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020, arXiv:1911.00359): score every document with the per-lang
+    char-trigram LM, compute EXACT per-lang tercile thresholds, and
+    label head / middle / tail.  Returns (lang, bucket, n_docs,
+    sum_ppl_d) — the corpus-curation summary; the same thresholds
+    drive a keep-head/middle filter in a release pipeline.
+
+    Scale shape: perplexity quantizes to deci-points, so the score
+    domain is BOUNDED and the threshold pass is the exact counting-
+    histogram quantile of ``quantity_percentiles`` (only distinct
+    (lang, ppl_d) pairs reach the driver — |langs|×|domain|, not
+    docs).  Thresholds use percentile_disc ceil(p·n) semantics at
+    p=1/3, 2/3.  The bucket rollup is pure arithmetic on the SAME
+    histogram — the corpus is scanned exactly once, and the result is
+    partition-invariant by construction (tested)."""
+    import math
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    hist = partial_then_merge(
+        ds.select_columns([lang_col, text_col]).map_batches(
+            _PplHistStage,
+            fn_constructor_kwargs={"text_col": text_col,
+                                   "lang_col": lang_col},
+            batch_format="pyarrow", concurrency=concurrency,
+            num_cpus=1),
+        lambda b: b, ["lang", "ppl_d"], {"n": "sum"})
+    if hist.empty:
+        return pd.DataFrame({"lang": pd.Series(dtype="object"),
+                             "bucket": pd.Series(dtype="object"),
+                             "n_docs": pd.Series(dtype="int64"),
+                             "sum_ppl_d": pd.Series(dtype="int64")})
+    rows = []
+    for lang, grp in hist.groupby("lang", sort=True):
+        g = grp.sort_values("ppl_d")
+        n_arr = g["n"].to_numpy(dtype=np.int64)
+        v_arr = g["ppl_d"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(n_arr)
+        total = int(cum[-1])
+        # percentile_disc thresholds at 1/3 and 2/3 (ceil(p*n), 1-based)
+        t_pos = [max(1, math.ceil(total / 3.0)),
+                 max(1, math.ceil(2.0 * total / 3.0))]
+        t_val = [int(v_arr[int(np.searchsorted(cum, p, side="left"))])
+                 for p in t_pos]
+        head = v_arr <= t_val[0]
+        tail = v_arr > t_val[1]
+        mid = ~head & ~tail
+        for bucket, mask in (("head", head), ("middle", mid),
+                             ("tail", tail)):
+            if not mask.any():
+                continue
+            rows.append((lang, bucket, int(n_arr[mask].sum()),
+                         int((n_arr[mask] * v_arr[mask]).sum())))
+    out = pd.DataFrame(rows, columns=["lang", "bucket", "n_docs",
+                                      "sum_ppl_d"])
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_ppl_d"] = out["sum_ppl_d"].astype("int64")
+    return (out.sort_values(["lang", "bucket"])
+            .reset_index(drop=True))

@@ -471,3 +471,32 @@ def test_edit_distance_pairs_dual_path_and_bruteforce(ray_session):
     """).df()
     pd.testing.assert_frame_equal(driver, want.astype(
         driver.dtypes.to_dict()))
+
+
+def test_levenshtein_banded_matches_full_dp():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gruut_ray.pipelines.dedup import _levenshtein_banded
+
+    def full_dp(a, b):
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[lb]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="abcx ", max_size=12),
+           st.text(alphabet="abcx ", max_size=12),
+           st.integers(min_value=0, max_value=4))
+    def check(a, b, k):
+        d = full_dp(a, b)
+        got = _levenshtein_banded(a, b, k)
+        assert got == (d if d <= k else k + 1)
+
+    check()

@@ -1,6 +1,7 @@
 """Quality-filter unit tests: PII scrub, toxicity, langid, heuristics,
 perplexity ordering, fused stage behavior."""
 
+import pandas as pd
 import pyarrow as pa
 
 from gruut_ray.quality.heuristics import (
@@ -157,3 +158,55 @@ def test_quality_filter_tasks_vs_actors_identical(ray_session):
 
     import pandas as pd
     pd.testing.assert_frame_equal(rows("actors"), rows("tasks"))
+
+
+def test_ccnet_buckets_partition_invariant_and_oracle(ray_session):
+    import math
+
+    import ray.data
+
+    from gruut_ray.pipelines.quality_filter import ccnet_perplexity_buckets
+    from gruut_ray.quality.ngram_lm import PerplexityScorer
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["lang", "text"])
+    df = tbl.to_pandas().head(300)
+
+    got1 = ccnet_perplexity_buckets(
+        ray.data.from_pandas(df).repartition(1))
+    got7 = ccnet_perplexity_buckets(
+        ray.data.from_pandas(df).repartition(7))
+    pd.testing.assert_frame_equal(got1, got7)
+
+    # Single-thread oracle: same quantization, same percentile_disc
+    # tercile semantics, same rollup.
+    scorer = PerplexityScorer()
+    ref = df.copy()
+    ref["ppl_d"] = [int(round(scorer.perplexity(t or "", lg) * 10))
+                    for t, lg in zip(ref["text"], ref["lang"])]
+    rows = []
+    for lang, grp in ref.groupby("lang", sort=True):
+        v = grp["ppl_d"].sort_values().to_numpy()
+        n = len(v)
+        t1 = v[max(1, math.ceil(n / 3.0)) - 1]
+        t2 = v[max(1, math.ceil(2.0 * n / 3.0)) - 1]
+        for bucket, mask in (("head", v <= t1),
+                             ("middle", (v > t1) & (v <= t2)),
+                             ("tail", v > t2)):
+            if not mask.any():
+                continue
+            rows.append((lang, bucket, int(mask.sum()),
+                         int(v[mask].sum())))
+    want = pd.DataFrame(rows, columns=["lang", "bucket", "n_docs",
+                                       "sum_ppl_d"])
+    want = want.sort_values(["lang", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got1, want.astype(
+        got1.dtypes.to_dict()))
+
+    # Tercile balance: each lang's head/middle/tail within ties of n/3.
+    for lang, grp in got1.groupby("lang"):
+        n = grp["n_docs"].sum()
+        head = int(grp.loc[grp.bucket == "head", "n_docs"].sum())
+        assert head >= math.ceil(n / 3.0) * 0.5
