@@ -1832,6 +1832,17 @@ def _q_bfs_depth_counts(sf_dir: str):
               columns=["l_orderkey", "l_partkey", "l_quantity"]))
 
 
+def _q_unigram_vocab_summary(sf_dir: str):
+    """Unigram-LM tokenizer induction (SentencePiece, arXiv:1804.10959):
+    distributed capped word counts → driver EM+prune over the capped
+    table only → broadcast-vocab Viterbi encode scan (rows-only —
+    invariants pinned in tests/test_unigram.py)."""
+    from gruut_ray.pipelines.unigram import unigram_vocab_summary
+
+    return unigram_vocab_summary(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _q_ccnet_perplexity_buckets(sf_dir: str):
     """CCNet-style head/middle/tail perplexity bucketing per language
     (arXiv:1911.00359): one actor-pool scoring scan produces a
@@ -1975,6 +1986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distill_quality_classifier": _q_distill_quality_classifier,
         "build_training_shards": _q_build_training_shards,
         "ccnet_perplexity_buckets": _q_ccnet_perplexity_buckets,
+        "unigram_vocab_summary": _q_unigram_vocab_summary,
     }
 
 

@@ -16,12 +16,23 @@ any_text = st.text(max_size=200)
 # are legitimately DROPPED by the pipeline (reference is_non_word filter,
 # gruut/lang.py:274,377), so they are excluded from the byte-fidelity
 # property
+def _is_en_abbreviation(w: str) -> bool:
+    # abbreviation expansion ("vs" -> "versus") is a rewrite like
+    # verbalization (reference text_processor.py:1731-1772) — excluded
+    # from the byte-fidelity property, exactly like initialisms
+    from gruut_ray.profiles import get_compiled
+
+    trig = get_compiled("en").abbrev_trigger
+    return trig is not None and trig.match(w) is not None
+
+
 _word = st.text(alphabet=st.sampled_from(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJäöüßéàçñабвгд你好"),
     min_size=1, max_size=12).filter(
     # all-caps tokens are initialisms ("AA" -> "A A", a rewrite like
     # verbalization, reference text_processor.py:1774-1820) — excluded
-    lambda w: w.strip() and not (len(w) >= 2 and w.isupper()))
+    lambda w: w.strip() and not (len(w) >= 2 and w.isupper())
+    and not _is_en_abbreviation(w))
 _decorated = st.tuples(
     st.sampled_from(["", '"', "«", "("]), _word,
     st.sampled_from(["", ",", ";", "?", "!", ")", "»", '"'])).map("".join)
