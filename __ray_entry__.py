@@ -1832,6 +1832,17 @@ def _q_bfs_depth_counts(sf_dir: str):
               columns=["l_orderkey", "l_partkey", "l_quantity"]))
 
 
+def _q_mode_quantity_by_flag(sf_dir: str):
+    """Grouped MODE via the bounded-domain counting histogram —
+    argmax-of-counts with a deterministic smallest-value tie-break; no
+    sort, no data shuffle."""
+    from gruut_ray.pipelines.relational import mode_quantity_by_flag
+
+    return mode_quantity_by_flag(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_quantity"]))
+
+
 def _q_unigram_vocab_summary(sf_dir: str):
     """Unigram-LM tokenizer induction (SentencePiece, arXiv:1804.10959):
     distributed capped word counts → driver EM+prune over the capped
@@ -1954,6 +1965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_user_activity": _q_full_outer_user_activity,
         "edit_distance_name_pairs": _q_edit_distance_name_pairs,
         "bfs_depth_counts": _q_bfs_depth_counts,
+        "mode_quantity_by_flag": _q_mode_quantity_by_flag,
         # --- rows-only (no SQL oracle; invariants pinned in tests/) ------
         "kmeans_convergence": _q_kmeans_convergence,
         "knn_quantized_top10": _q_knn_quantized_top10,
@@ -2218,6 +2230,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(node) AS BIGINT) AS s
             FROM (SELECT node, min(d) AS d FROM walk GROUP BY node)
             GROUP BY 1 ORDER BY 1
+        """,
+        "mode_quantity_by_flag": """
+            WITH h AS (
+                SELECT l_returnflag,
+                       CAST(round(l_quantity) AS BIGINT) AS q,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM lineitem GROUP BY 1, 2
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY l_returnflag
+                    ORDER BY n DESC, q) AS rn
+                FROM h
+            )
+            SELECT l_returnflag, q AS mode_qty, n AS n_rows
+            FROM r WHERE rn = 1 ORDER BY l_returnflag
         """,
         "sorted_export_events": """
             WITH c AS (

@@ -3688,3 +3688,42 @@ def full_outer_user_activity(orders: "ray.data.Dataset",
         out[c] = out[c].astype("int64")
     return (out[["side", "n_users"] + MEASURES]
             .sort_values("side").reset_index(drop=True))
+
+
+def mode_quantity_by_flag(lineitem: "ray.data.Dataset") -> pd.DataFrame:
+    """Grouped MODE (most frequent value, ties broken toward the
+    smallest) of l_quantity per return flag — the argmax-of-counts
+    statistical aggregate, computed from the same bounded-domain
+    counting histogram as ``quantity_percentiles``: per-batch
+    (flag, qty, n) partials merge distributively, and the mode is a
+    driver-side argmax over the |flags|×|domain| table.  No sort, no
+    data shuffle."""
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    def hist_partials(batch: pa.Table) -> pa.Table:
+        df = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "q": pc.cast(pc.round(batch.column("l_quantity")),
+                         pa.int64()),
+        }).to_pandas()
+        agg = df.groupby(["l_returnflag", "q"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    hist = partial_then_merge(
+        lineitem.select_columns(["l_returnflag", "l_quantity"]),
+        hist_partials, ["l_returnflag", "q"], {"n": "sum"})
+    if hist.empty:
+        return pd.DataFrame({"l_returnflag": pd.Series(dtype="object"),
+                             "mode_qty": pd.Series(dtype="int64"),
+                             "n_rows": pd.Series(dtype="int64")})
+    hist = hist.sort_values(["l_returnflag", "n", "q"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+    out = hist.groupby("l_returnflag", as_index=False).first() \
+        .rename(columns={"q": "mode_qty", "n": "n_rows"})
+    out["mode_qty"] = out["mode_qty"].astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return (out[["l_returnflag", "mode_qty", "n_rows"]]
+            .sort_values("l_returnflag").reset_index(drop=True))
