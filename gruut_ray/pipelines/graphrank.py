@@ -320,7 +320,9 @@ def bfs_depth_histogram(orders: "ray.data.Dataset",
                         lineitem: "ray.data.Dataset",
                         min_qty: int = 45,
                         max_depth: int = 8,
-                        num_partitions: int = 8) -> pd.DataFrame:
+                        num_partitions: int = 8,
+                        node_ds_limit: int = 10_000_000,
+                        force_ds: bool = False) -> pd.DataFrame:
     """Breadth-first shortest-path depths over the bipartite
     customer–part co-purchase graph (edges: high-quantity lineitems),
     rolled up to a (depth, n_nodes, node_sum) histogram — the Ray dual
@@ -329,14 +331,16 @@ def bfs_depth_histogram(orders: "ray.data.Dataset",
     Node encoding disambiguates the bipartite sides (cust·2, part·2+1);
     the seed is the smallest customer node.  Scale shape: the edge
     list is built by ONE pre-projected shuffle join + a distinct
-    groupby, materialized once, and each BFS level is a single
-    broadcast-frontier scan of the undirected edges (frontier rides
-    ``ray.put``; per-batch semi-join via searchsorted) producing the
-    next frontier as a distinct pull — per-level driver state is the
-    visited set, bounded by reachable nodes (same documented bound and
-    Dataset-native cut-over note as ``host_pagerank``'s rank vector;
-    a ≥10⁷-node BFS would keep (node, depth) as a Dataset and
-    anti-join each level instead)."""
+    groupby, materialized once.  Below ``node_ds_limit`` edges each
+    BFS level is a single broadcast-frontier scan of the undirected
+    edges (frontier rides ``ray.put``; per-batch semi-join via
+    searchsorted) with the visited set on the driver — bounded by
+    reachable nodes, the same bound as ``host_pagerank``'s rank
+    vector.  At or past the limit (or ``force_ds``) the visited set
+    lives as a DATASET: each level is one keyed join (frontier ⋈
+    edges) + one left-anti join against visited (``_bfs_levels_ds``),
+    nothing O(nodes) ever driver-resident — the same cut-over contract
+    as ``pagerank_edges_ds`` (dual-path identity tested)."""
     import ray
     from ray.data.aggregate import Min
 
@@ -390,6 +394,9 @@ def bfs_depth_histogram(orders: "ray.data.Dataset",
                              "s": pd.Series(dtype="int64")})
     seed = int(seeds.min())
 
+    if force_ds or edges.count() >= node_ds_limit:
+        return _bfs_levels_ds(edges, seed, max_depth, num_partitions)
+
     dist = {seed: 0}
     frontier = np.array([seed], dtype=np.int64)
     for depth in range(1, max_depth + 1):
@@ -429,3 +436,74 @@ def bfs_depth_histogram(orders: "ray.data.Dataset",
     for c in ("depth", "n", "s"):
         out[c] = out[c].astype("int64")
     return out.sort_values("depth").reset_index(drop=True)
+
+
+def _bfs_levels_ds(edges: "ray.data.Dataset", seed: int,
+                   max_depth: int,
+                   num_partitions: int) -> pd.DataFrame:
+    """Dataset-native BFS level loop (the ≥``node_ds_limit`` path):
+    visited (node, depth) and the frontier are Datasets; each level is
+    frontier ⋈ edges (keyed inner join) → distinct dst → left-anti
+    join against visited.  Only the per-level histogram partials reach
+    the driver.  ``materialize()`` between levels keeps lineage one
+    step deep and one hash-shuffle aggregator pool alive at a time
+    (BASELINE.md chained-join deadlock note)."""
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    np_ = num_partitions
+    visited = ray.data.from_items(
+        [{"node": seed, "depth": 0}]).materialize()
+    frontier = visited.select_columns(["node"]).materialize()
+
+    for depth in range(1, max_depth + 1):
+        hop = (edges.repartition(np_)
+               .join(frontier.repartition(np_), join_type="inner",
+                     num_partitions=np_, on=("src",),
+                     right_on=("node",))
+               .select_columns(["dst"])
+               .groupby("dst").aggregate(Min("dst", alias_name="_m"))
+               .select_columns(["dst"])
+               .rename_columns({"dst": "node"})
+               .materialize())
+        new = (hop.repartition(np_)
+               .join(visited.select_columns(["node"])
+                     .repartition(np_),
+                     join_type="left_anti", num_partitions=np_,
+                     on=("node",))
+               .materialize())
+        if new.count() == 0:
+            break
+
+        def tag(b: pa.Table, _d=depth) -> pa.Table:
+            return pa.table({
+                "node": b.column("node"),
+                "depth": pa.array([_d] * b.num_rows, pa.int64())})
+
+        visited = visited.union(
+            new.map_batches(tag, batch_format="pyarrow")).materialize()
+        frontier = new.materialize()
+
+    def hist_partials(b: pa.Table) -> pa.Table:
+        df = pa.table({"depth": pc.cast(b.column("depth"), pa.int64()),
+                       "node": pc.cast(b.column("node"),
+                                       pa.int64())}).to_pandas()
+        agg = df.groupby("depth", as_index=False).agg(
+            n=("node", "size"), s=("node", "sum"))
+        for c in ("n", "s"):
+            agg[c] = agg[c].astype("int64")
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    out = partial_then_merge(visited, hist_partials, ["depth"],
+                             {"n": "sum", "s": "sum"})
+    if out.empty:
+        return pd.DataFrame({"depth": pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64"),
+                             "s": pd.Series(dtype="int64")})
+    for c in ("depth", "n", "s"):
+        out[c] = out[c].astype("int64")
+    return (out[["depth", "n", "s"]]
+            .sort_values("depth").reset_index(drop=True))

@@ -125,3 +125,22 @@ def test_bfs_depth_histogram_synthetic(ray_session):
     assert got["depth"].tolist() == [0, 1, 2]
     assert got["n"].tolist() == [1, 2, 1]
     assert got["s"].tolist() == [2, 44, 4]
+
+
+def test_bfs_dataset_native_path_identity(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from gruut_ray.pipelines.graphrank import bfs_depth_histogram
+
+    d = "/root/testdata/sf0.001"
+    orders = ray.data.read_parquet(
+        f"{d}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = ray.data.read_parquet(
+        f"{d}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"])
+    broadcast = bfs_depth_histogram(orders, li, num_partitions=4)
+    ds_native = bfs_depth_histogram(orders, li, num_partitions=4,
+                                    force_ds=True)
+    pd.testing.assert_frame_equal(broadcast, ds_native)
+    assert len(broadcast) >= 3  # real depth spread at sf0.001
