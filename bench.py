@@ -306,6 +306,30 @@ def _q_release_shards():
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _q_ccnet_buckets():
+    """CCNet head/middle/tail perplexity bucketing: one actor-pool
+    scoring scan → quantized (lang, ppl_d) histogram → exact tercile
+    arithmetic on the histogram."""
+    from gruut_ray.pipelines.quality_filter import ccnet_perplexity_buckets
+    ccnet_perplexity_buckets(_read("documents", ["lang", "text"]))
+
+
+def _q_bfs_depth():
+    """Recursive-CTE dual: one shuffle-joined distinct edge build +
+    one broadcast-frontier semi-join scan per BFS level."""
+    from gruut_ray.pipelines.graphrank import bfs_depth_histogram
+    bfs_depth_histogram(
+        _read("orders", ["o_orderkey", "o_custkey"]),
+        _read("lineitem", ["l_orderkey", "l_partkey", "l_quantity"]))
+
+
+def _q_unigram_vocab():
+    """SentencePiece-style unigram-LM induction: capped distributed
+    word counts → driver EM+prune → broadcast-vocab Viterbi encode."""
+    from gruut_ray.pipelines.unigram import unigram_vocab_summary
+    unigram_vocab_summary(_read("documents", ["doc_id", "text"]))
+
+
 SECONDARY = {
     "tokens_by_lang": _q_tokens_by_lang,
     "cc_end_to_end": _q_cc_end_to_end,
@@ -321,6 +345,9 @@ SECONDARY = {
     "centroid_analytics": _q_centroid_analytics,
     "kmeans": _q_kmeans,
     "pq_topk": _q_pq_topk,
+    "ccnet_buckets": _q_ccnet_buckets,
+    "bfs_depth": _q_bfs_depth,
+    "unigram_vocab": _q_unigram_vocab,
     "distill_classifier": _q_distill_classifier,
     "release_shards": _q_release_shards,
     "rolling_window": _q_rolling_window,
