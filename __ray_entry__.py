@@ -1867,6 +1867,28 @@ def _q_ccnet_perplexity_buckets(sf_dir: str):
         _read(sf_dir, "documents", columns=["lang", "text"]))
 
 
+def _q_order_stats_by_flag(sf_dir: str):
+    """Grouped stddev_samp / corr / regr_slope via exact integer raw
+    moments (qty integral, price exact cents; Σy² split into 32-bit
+    halves so no block size can wrap int64): pure combiner, closed-form
+    float finish on the driver — deterministic vs the DuckDB oracle."""
+    from gruut_ray.pipelines.relational import order_stats_by_flag
+
+    return order_stats_by_flag(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_quantity", "l_extendedprice"]))
+
+
+def _q_term_cooccurrence(sf_dir: str):
+    """Market-basket support counting: document frequencies → global
+    top-20 term set (bounded topk_reduce) → broadcast-vocab per-batch
+    pair-count partials → tiny ≤C(20,2)-key groupby."""
+    from gruut_ray.pipelines.text_stats import term_cooccurrence
+
+    return term_cooccurrence(_read(sf_dir, "documents",
+                                   columns=["text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract (VERDICT r03 #1): the driver verifies only the
     # FIRST 50 entries, so every oracle-gated query (an entry in
@@ -1966,6 +1988,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_name_pairs": _q_edit_distance_name_pairs,
         "bfs_depth_counts": _q_bfs_depth_counts,
         "mode_quantity_by_flag": _q_mode_quantity_by_flag,
+        "order_stats_by_flag": _q_order_stats_by_flag,
+        "term_cooccurrence": _q_term_cooccurrence,
         # --- rows-only (no SQL oracle; invariants pinned in tests/) ------
         "kmeans_convergence": _q_kmeans_convergence,
         "knn_quantized_top10": _q_knn_quantized_top10,
@@ -2245,6 +2269,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_returnflag, q AS mode_qty, n AS n_rows
             FROM r WHERE rn = 1 ORDER BY l_returnflag
+        """,
+        "order_stats_by_flag": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   stddev_samp(CAST(round(l_quantity) AS BIGINT))
+                       AS qty_stddev,
+                   corr(CAST(round(l_quantity) AS BIGINT),
+                        CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS qty_price_corr,
+                   regr_slope(
+                       CAST(round(l_extendedprice * 100) AS BIGINT),
+                       CAST(round(l_quantity) AS BIGINT)) / 100.0
+                       AS price_per_qty
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "term_cooccurrence": """
+            WITH tokens AS (
+                SELECT doc_id,
+                       lower(unnest(regexp_split_to_array(trim(text),
+                                                          '\\s+')))
+                           AS term
+                FROM documents
+            ), tok AS (
+                SELECT DISTINCT doc_id, term FROM tokens
+                WHERE term <> ''
+            ), df AS (
+                SELECT term, count(*) AS n FROM tok GROUP BY term
+            ), topn AS (
+                SELECT term FROM df ORDER BY n DESC, term LIMIT 20
+            ), ft AS (
+                SELECT doc_id, term FROM tok
+                WHERE term IN (SELECT term FROM topn)
+            ), pairs AS (
+                SELECT a.term AS term_a, b.term AS term_b,
+                       CAST(count(*) AS BIGINT) AS n_docs
+                FROM ft a JOIN ft b
+                  ON a.doc_id = b.doc_id AND a.term < b.term
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT term_a, term_b, n_docs FROM pairs
+            ORDER BY n_docs DESC, term_a, term_b LIMIT 50
         """,
         "sorted_export_events": """
             WITH c AS (

@@ -3727,3 +3727,76 @@ def mode_quantity_by_flag(lineitem: "ray.data.Dataset") -> pd.DataFrame:
     out["n_rows"] = out["n_rows"].astype("int64")
     return (out[["l_returnflag", "mode_qty", "n_rows"]]
             .sort_values("l_returnflag").reset_index(drop=True))
+
+
+def order_stats_by_flag(lineitem: "ray.data.Dataset") -> pd.DataFrame:
+    """Grouped second-moment statistical aggregates per return flag:
+    sample stddev of quantity, Pearson correlation of quantity vs
+    extended price, and the regression slope price-per-quantity —
+    the stddev_samp / corr / regr_slope SQL aggregate family
+    (reference analog: gruut has no relational layer; this rounds out
+    the engine's aggregate surface next to SUM/MIN/MAX/MODE/percentile).
+
+    Exactness: quantity is integral and price carries exactly two
+    decimals, so the five raw moments (Σx, Σx², Σy, Σy², Σxy in
+    qty/cent units) are EXACT integers — int64 per batch, merged with
+    arbitrary-precision Python ints by ``partial_then_merge``'s
+    exact_int_cols path (Σy² reaches ~1e14 per row, past int64 at
+    corpus scale).  The closed-form results are then each a handful of
+    correctly-rounded float ops on exact integers, deterministic and
+    partition-invariant — no order-of-summation noise vs the DuckDB
+    oracle.  Scale shape: pure combiner, only |flags|×blocks moment
+    rows ever move; no shuffle, no sort."""
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    def moment_partials(batch: pa.Table) -> pa.Table:
+        flag = batch.column("l_returnflag").to_pandas()
+        x = pc.cast(pc.round(batch.column("l_quantity")),
+                    pa.int64()).to_numpy()
+        y = _cents(batch.column("l_extendedprice")).to_numpy()
+        # y² reaches ~1e14 per row: a multi-million-row block would wrap
+        # int64 summing it directly, so split into 32-bit halves — each
+        # half's per-block sum stays ≤ 2^32·rows ≪ 2^63, and the exact
+        # value is rebuilt as hi·2^32 + lo after the Python-int merge.
+        y2 = y * y
+        df = pd.DataFrame({
+            "l_returnflag": flag,
+            "n": np.int64(1), "sx": x, "sxx": x * x,
+            "sy": y, "syy_hi": y2 >> 32, "syy_lo": y2 & 0xFFFFFFFF,
+            "sxy": x * y,
+        })
+        agg = df.groupby("l_returnflag", as_index=False).sum()
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    cols = ["n", "sx", "sxx", "sy", "syy_hi", "syy_lo", "sxy"]
+    m = partial_then_merge(
+        lineitem.select_columns(["l_returnflag", "l_quantity",
+                                 "l_extendedprice"]),
+        moment_partials, ["l_returnflag"],
+        {c: "sum" for c in cols}, exact_int_cols=cols)
+    if m.empty:
+        return pd.DataFrame({
+            "l_returnflag": pd.Series(dtype="object"),
+            "n_rows": pd.Series(dtype="int64"),
+            "qty_stddev": pd.Series(dtype="float64"),
+            "qty_price_corr": pd.Series(dtype="float64"),
+            "price_per_qty": pd.Series(dtype="float64")})
+    rows = []
+    for r in m.itertuples(index=False):
+        n, sx, sxx = int(r.n), int(r.sx), int(r.sxx)
+        sy, sxy = int(r.sy), int(r.sxy)
+        syy = (int(r.syy_hi) << 32) + int(r.syy_lo)
+        # exact integer central second moments: n·Σx² − (Σx)² etc.
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        cov = n * sxy - sx * sy
+        stddev = (vx / (n * (n - 1))) ** 0.5 if n > 1 else None
+        corr = cov / (vx * vy) ** 0.5 if n > 1 and vx and vy else None
+        # slope in cents/qty → dollars/qty (y was exact cents)
+        slope = cov / vx / 100.0 if n > 1 and vx else None
+        rows.append((r.l_returnflag, n, stddev, corr, slope))
+    out = pd.DataFrame(rows, columns=[
+        "l_returnflag", "n_rows", "qty_stddev", "qty_price_corr",
+        "price_per_qty"])
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)

@@ -704,3 +704,82 @@ def sorted_rank_band(ds: "ray.data.Dataset", offset: int = 100,
         "doc_id": [r["doc_id"] for r in rows],
         "n_chars": [r["n_chars"] for r in rows],
     })
+
+
+def term_cooccurrence(ds: "ray.data.Dataset", top_n: int = 20,
+                      min_support: int = 2, limit: int = 50,
+                      text_col: str = "text"):
+    """Market-basket term co-occurrence mining: among the corpus's
+    ``top_n`` terms by DOCUMENT frequency, count the documents in which
+    each unordered pair co-occurs, keep pairs with support ≥
+    ``min_support`` and return the ``limit`` strongest (n_docs desc,
+    then lexicographic) — the A-priori support-counting primitive
+    (reference analog: none; this is the pattern-mining family of the
+    engine's text-analysis surface).
+
+    Scale shape: pass 1 computes document frequencies with per-batch
+    distinct-per-doc Counter partials (combiner before the groupby, so
+    only batch-vocab rows shuffle) and takes the global top-n via the
+    bounded ``topk_reduce``; pass 2 broadcasts that ≤top_n-term set via
+    ``ray.put`` and emits per-batch pair-count partials — the pair key
+    space is ≤ C(top_n, 2), so the final groupby is tiny and documents
+    never move.  Ties at the top-n boundary and in the output break by
+    term ascending, matching the SQL oracle's row_number order."""
+    import collections
+
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from gruut_ray.pipelines.agg_util import topk_reduce
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for text in batch.column(text_col).to_pylist():
+            c.update({t.lower() for t in (text or "").split()})
+        return pa.table({
+            "term": pa.array(list(c), type=pa.string()),
+            "n": pa.array(list(c.values()), type=pa.int64()),
+        })
+
+    doc_freq = (ds.select_columns([text_col])
+                .map_batches(df_partials, batch_format="pyarrow")
+                .groupby("term")
+                .aggregate(Sum("n", alias_name="n")))
+    top = topk_reduce(doc_freq, top_n, by=["n", "term"],
+                      ascending=[False, True])
+    vocab_ref = ray.put(frozenset(top["term"].tolist()))
+
+    def pair_partials(batch: pa.Table, _cache={}) -> pa.Table:
+        vocab = _cache.get("v")
+        if vocab is None:
+            vocab = _cache["v"] = ray.get(vocab_ref)
+        c: collections.Counter = collections.Counter()
+        for text in batch.column(text_col).to_pylist():
+            present = sorted(
+                {t.lower() for t in (text or "").split()} & vocab)
+            for i, a in enumerate(present):
+                for b in present[i + 1:]:
+                    c[(a, b)] += 1
+        keys = list(c)
+        return pa.table({
+            "term_a": pa.array([k[0] for k in keys], type=pa.string()),
+            "term_b": pa.array([k[1] for k in keys], type=pa.string()),
+            "n_docs": pa.array([c[k] for k in keys], type=pa.int64()),
+        })
+
+    pairs = (ds.select_columns([text_col])
+             .map_batches(pair_partials, batch_format="pyarrow")
+             .groupby(["term_a", "term_b"])
+             .aggregate(Sum("n_docs", alias_name="n_docs"))
+             .to_pandas())  # ≤ C(top_n, 2) rows by construction
+    if pairs.empty:
+        return pd.DataFrame({"term_a": pd.Series(dtype="object"),
+                             "term_b": pd.Series(dtype="object"),
+                             "n_docs": pd.Series(dtype="int64")})
+    pairs = pairs[pairs["n_docs"] >= min_support]
+    pairs["n_docs"] = pairs["n_docs"].astype("int64")
+    return (pairs.sort_values(["n_docs", "term_a", "term_b"],
+                              ascending=[False, True, True],
+                              kind="mergesort")
+            .head(limit).reset_index(drop=True))

