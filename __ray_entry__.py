@@ -1843,6 +1843,26 @@ def _q_mode_quantity_by_flag(sf_dir: str):
               columns=["l_returnflag", "l_quantity"]))
 
 
+def _q_quantile_cont_by_flag(sf_dir: str):
+    """Grouped interpolated quantiles (SQL quantile_cont) from the
+    bounded-domain counting histogram — exact p25/median/p75 including
+    fractional midpoints; no sort, no data shuffle."""
+    from gruut_ray.pipelines.relational import quantile_cont_by_flag
+
+    return quantile_cont_by_flag(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_quantity"]))
+
+
+def _q_geomean_chars_by_lang(sf_dir: str):
+    """Grouped geometric mean of document length (log-domain combiner
+    partials), the heavy-tail-robust central tendency for web corpora."""
+    from gruut_ray.pipelines.text_stats import geomean_chars_by_lang
+
+    return geomean_chars_by_lang(
+        _read(sf_dir, "documents", columns=["lang", "n_chars"]))
+
+
 def _q_unigram_vocab_summary(sf_dir: str):
     """Unigram-LM tokenizer induction (SentencePiece, arXiv:1804.10959):
     distributed capped word counts → driver EM+prune over the capped
@@ -1990,6 +2010,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_quantity_by_flag": _q_mode_quantity_by_flag,
         "order_stats_by_flag": _q_order_stats_by_flag,
         "term_cooccurrence": _q_term_cooccurrence,
+        "quantile_cont_by_flag": _q_quantile_cont_by_flag,
+        "geomean_chars_by_lang": _q_geomean_chars_by_lang,
         # --- rows-only (no SQL oracle; invariants pinned in tests/) ------
         "kmeans_convergence": _q_kmeans_convergence,
         "knn_quantized_top10": _q_knn_quantized_top10,
@@ -2283,6 +2305,25 @@ def oracle_sql() -> dict[str, str]:
                        CAST(round(l_quantity) AS BIGINT)) / 100.0
                        AS price_per_qty
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "quantile_cont_by_flag": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   quantile_cont(CAST(round(l_quantity) AS BIGINT), 0.25)
+                       AS qty_p25,
+                   quantile_cont(CAST(round(l_quantity) AS BIGINT), 0.50)
+                       AS qty_median,
+                   quantile_cont(CAST(round(l_quantity) AS BIGINT), 0.75)
+                       AS qty_p75
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "geomean_chars_by_lang": """
+            SELECT lang,
+                   round(exp(avg(ln(CAST(n_chars AS DOUBLE)))), 4)
+                       AS geo_mean_chars,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents WHERE n_chars > 0
+            GROUP BY lang ORDER BY lang
         """,
         "term_cooccurrence": """
             WITH tokens AS (

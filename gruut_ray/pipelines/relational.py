@@ -3800,3 +3800,66 @@ def order_stats_by_flag(lineitem: "ray.data.Dataset") -> pd.DataFrame:
         "price_per_qty"])
     out["n_rows"] = out["n_rows"].astype("int64")
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def quantile_cont_by_flag(lineitem: "ray.data.Dataset") -> pd.DataFrame:
+    """Grouped INTERPOLATED quantiles (SQL ``quantile_cont`` /
+    ``percentile_cont(p) WITHIN GROUP``) of l_quantity per return flag
+    — p25 / median / p75 with the standard linear interpolation at
+    rank h = (n-1)·p, computed EXACTLY from the same bounded-domain
+    counting histogram as ``mode_quantity_by_flag``: per-batch
+    (flag, qty, n) partials merge distributively, and the driver walks
+    the |flags|×|domain| cumulative table (a few hundred rows) to read
+    off the two bracketing order statistics per target.  This differs
+    from ``quantity_percentiles`` (nearest-rank discrete percentiles)
+    in returning the continuous-interpolation definition DuckDB's
+    ``quantile_cont`` uses, including fractional midpoints for even
+    group sizes.  No sort, no data shuffle; exact because counts are
+    integers and the interpolation is one float op on two exact values."""
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    def hist_partials(batch: pa.Table) -> pa.Table:
+        df = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "q": pc.cast(pc.round(batch.column("l_quantity")),
+                         pa.int64()),
+        }).to_pandas()
+        agg = df.groupby(["l_returnflag", "q"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    hist = partial_then_merge(
+        lineitem.select_columns(["l_returnflag", "l_quantity"]),
+        hist_partials, ["l_returnflag", "q"], {"n": "sum"})
+    cols = ["l_returnflag", "n_rows", "qty_p25", "qty_median", "qty_p75"]
+    if hist.empty:
+        return pd.DataFrame({
+            "l_returnflag": pd.Series(dtype="object"),
+            "n_rows": pd.Series(dtype="int64"),
+            "qty_p25": pd.Series(dtype="float64"),
+            "qty_median": pd.Series(dtype="float64"),
+            "qty_p75": pd.Series(dtype="float64")})
+
+    def interp(vals: np.ndarray, cum: np.ndarray, h: float) -> float:
+        # value of the 0-indexed order statistic floor(h)/ceil(h),
+        # linearly interpolated: cum[k] is the count of rows ≤ vals[k],
+        # so order statistic i lives at the first k with cum[k] > i.
+        lo, hi = int(np.floor(h)), int(np.ceil(h))
+        v_lo = vals[np.searchsorted(cum, lo, side="right")]
+        v_hi = vals[np.searchsorted(cum, hi, side="right")]
+        return float(v_lo) + (h - lo) * (float(v_hi) - float(v_lo))
+
+    rows = []
+    for flag, grp in hist.sort_values(["l_returnflag", "q"]) \
+                         .groupby("l_returnflag", sort=True):
+        vals = grp["q"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(grp["n"].to_numpy(dtype=np.int64))
+        n = int(cum[-1])
+        rows.append((flag, n,
+                     interp(vals, cum, (n - 1) * 0.25),
+                     interp(vals, cum, (n - 1) * 0.50),
+                     interp(vals, cum, (n - 1) * 0.75)))
+    out = pd.DataFrame(rows, columns=cols)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)

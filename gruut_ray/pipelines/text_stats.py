@@ -783,3 +783,44 @@ def term_cooccurrence(ds: "ray.data.Dataset", top_n: int = 20,
                               ascending=[False, True, True],
                               kind="mergesort")
             .head(limit).reset_index(drop=True))
+
+
+def geomean_chars_by_lang(ds: "ray.data.Dataset", lang_col: str = "lang",
+                          len_col: str = "n_chars"):
+    """Grouped GEOMETRIC MEAN of document length per language — the
+    log-domain mean aggregate (SQL ``exp(avg(ln(x)))``), the right
+    central-tendency statistic for the heavy-tailed length
+    distributions web corpora have (arithmetic means are dominated by
+    the few megabyte-long pages).  Combiner shape: per-batch
+    (lang, Σln(x), n) partials — one vectorized ``pc.ln`` over the
+    Arrow column — merge distributively; only |langs|×blocks tiny rows
+    ever move.  The result is rounded to 4 decimals on BOTH sides
+    (here and in the oracle) so the float compare is anchored; the
+    underlying double drift across summation orders is ~1e-9 relative.
+    Requires x > 0 (n_chars ≥ 1 for non-empty docs); zero/negative
+    lengths are excluded exactly like SQL ``ln`` would reject them,
+    via an explicit filter mirrored in the oracle's WHERE."""
+    import pandas as pd
+
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([lang_col, len_col])
+        t = t.filter(pc.greater(t.column(len_col), 0))
+        ln = pc.ln(pc.cast(t.column(len_col), pa.float64()))
+        return (pa.table({lang_col: t.column(lang_col), "sum_ln": ln})
+                .group_by([lang_col])
+                .aggregate([("sum_ln", "sum"), ("sum_ln", "count")])
+                .rename_columns([lang_col, "sum_ln", "n_docs"]))
+
+    m = partial_then_merge(ds.select_columns([lang_col, len_col]),
+                           partial, [lang_col],
+                           {"sum_ln": "sum", "n_docs": "sum"})
+    if m.empty:
+        return pd.DataFrame({lang_col: pd.Series(dtype="object"),
+                             "geo_mean_chars": pd.Series(dtype="float64"),
+                             "n_docs": pd.Series(dtype="int64")})
+    m["geo_mean_chars"] = np.round(np.exp(m["sum_ln"] / m["n_docs"]), 4)
+    m["n_docs"] = m["n_docs"].astype("int64")
+    return (m[[lang_col, "geo_mean_chars", "n_docs"]]
+            .sort_values(lang_col).reset_index(drop=True))

@@ -137,3 +137,75 @@ def test_term_cooccurrence_empty_and_null(ray_session):
     got = term_cooccurrence(ray.data.from_pandas(df), top_n=5)
     assert list(got.columns) == ["term_a", "term_b", "n_docs"]
     assert got.empty
+
+
+def test_quantile_cont_matches_numpy_and_partition_invariant(ray_session):
+    """Interpolated quantiles from the counting histogram must equal
+    numpy's linear-interpolation quantile (the quantile_cont definition)
+    at any partitioning, including even/odd group sizes."""
+    import ray.data
+
+    from gruut_ray.pipelines.relational import quantile_cont_by_flag
+
+    df = _lineitem_df(n=401, seed=11)  # odd total -> mixed parities
+    want_rows = []
+    for flag, g in df.groupby("l_returnflag", sort=True):
+        q = np.round(g["l_quantity"].to_numpy()).astype(np.int64)
+        want_rows.append((flag, len(g),
+                          float(np.quantile(q, 0.25)),
+                          float(np.quantile(q, 0.50)),
+                          float(np.quantile(q, 0.75))))
+    want = pd.DataFrame(want_rows, columns=[
+        "l_returnflag", "n_rows", "qty_p25", "qty_median", "qty_p75"])
+    for parts in (1, 7):
+        got = quantile_cont_by_flag(ray.data.from_pandas(df)
+                                    .repartition(parts))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_exact=False,
+            rtol=0, atol=1e-12)
+
+
+def test_quantile_cont_even_group_fractional_midpoint(ray_session):
+    """A 2-row group's median is the exact midpoint (x.5), the case
+    nearest-rank percentiles get wrong by definition."""
+    import ray.data
+
+    from gruut_ray.pipelines.relational import quantile_cont_by_flag
+
+    df = pd.DataFrame({"l_returnflag": ["A", "A", "B"],
+                       "l_quantity": [10.0, 15.0, 7.0]})
+    got = quantile_cont_by_flag(ray.data.from_pandas(df))
+    a = got[got["l_returnflag"] == "A"].iloc[0]
+    assert a["qty_median"] == 12.5 and a["qty_p25"] == 11.25
+    b = got[got["l_returnflag"] == "B"].iloc[0]
+    assert b["qty_median"] == 7.0
+
+
+def test_geomean_matches_scipy_style_oracle(ray_session):
+    """Log-domain grouped mean equals exp(mean(ln(x))) per group and is
+    partition-invariant to the 4-decimal anchor; zero lengths drop."""
+    import ray.data
+
+    from gruut_ray.pipelines.text_stats import geomean_chars_by_lang
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "lang": rng.choice(["en", "de", "sw"], 500),
+        "n_chars": rng.integers(1, 5000, 500),
+    })
+    df.loc[:4, "n_chars"] = 0  # excluded rows
+    want_rows = []
+    for lang, g in df[df["n_chars"] > 0].groupby("lang", sort=True):
+        want_rows.append((lang,
+                          round(float(np.exp(np.mean(
+                              np.log(g["n_chars"].to_numpy(dtype=float))))),
+                              4),
+                          len(g)))
+    want = pd.DataFrame(want_rows,
+                        columns=["lang", "geo_mean_chars", "n_docs"])
+    for parts in (1, 5):
+        got = geomean_chars_by_lang(ray.data.from_pandas(df)
+                                    .repartition(parts))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_exact=False,
+            rtol=0, atol=2e-4)
