@@ -1854,6 +1854,17 @@ def _q_quantile_cont_by_flag(sf_dir: str):
               columns=["l_returnflag", "l_quantity"]))
 
 
+def _q_exact_median_price_by_flag(sf_dir: str):
+    """Exact grouped median over an UNBOUNDED domain (~1e9 cent values)
+    via iterative histogram refinement — the multi-pass distributed
+    selection algorithm; ≤4 combiner scans, no sort, no shuffle."""
+    from gruut_ray.pipelines.relational import exact_median_price_by_flag
+
+    return exact_median_price_by_flag(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_extendedprice"]))
+
+
 def _q_geomean_chars_by_lang(sf_dir: str):
     """Grouped geometric mean of document length (log-domain combiner
     partials), the heavy-tail-robust central tendency for web corpora."""
@@ -2012,6 +2023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_cooccurrence": _q_term_cooccurrence,
         "quantile_cont_by_flag": _q_quantile_cont_by_flag,
         "geomean_chars_by_lang": _q_geomean_chars_by_lang,
+        "exact_median_price_by_flag": _q_exact_median_price_by_flag,
         # --- rows-only (no SQL oracle; invariants pinned in tests/) ------
         "kmeans_convergence": _q_kmeans_convergence,
         "knn_quantized_top10": _q_knn_quantized_top10,
@@ -2315,6 +2327,14 @@ def oracle_sql() -> dict[str, str]:
                        AS qty_median,
                    quantile_cont(CAST(round(l_quantity) AS BIGINT), 0.75)
                        AS qty_p75
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "exact_median_price_by_flag": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   quantile_cont(
+                       CAST(round(l_extendedprice * 100) AS BIGINT),
+                       0.5) / 100.0 AS price_median
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "geomean_chars_by_lang": """

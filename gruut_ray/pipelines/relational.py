@@ -3863,3 +3863,192 @@ def quantile_cont_by_flag(lineitem: "ray.data.Dataset") -> pd.DataFrame:
     out = pd.DataFrame(rows, columns=cols)
     out["n_rows"] = out["n_rows"].astype("int64")
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def exact_median_price_by_flag(lineitem: "ray.data.Dataset",
+                               bins: int = 4096,
+                               max_rounds: int = 8) -> pd.DataFrame:
+    """Grouped EXACT interpolated median of l_extendedprice — an
+    UNBOUNDED value domain (~1e9 distinct cent values), where the
+    counting-histogram trick behind ``quantile_cont_by_flag`` cannot
+    enumerate the domain.  Classic distributed selection by iterative
+    histogram refinement: round 0 scans once for per-flag
+    (count, min, max); each later round scans once counting per-(flag,
+    bin) rows over each group's CURRENT candidate range split into
+    ``bins`` equal integer-cent buckets (plus one below-range bucket,
+    so ranks are recomputed from the scan itself — no drift-prone
+    driver bookkeeping), then the driver walks the tiny |flags|×bins
+    table to find the buckets holding the two bracketing order
+    statistics (ranks ⌊(n−1)/2⌋ and ⌈(n−1)/2⌉) and shrinks the range
+    to their union.  Ranges shrink ×(bins/2) per round, so a 1e9-cent
+    domain pins to ≤ ``bins`` distinct values in ≤ 3 data passes; a
+    final in-range counting histogram reads the exact values off and
+    interpolates.  Scale shape: every pass is a combiner over the same
+    pruned 2-column read — only |flags|×bins partial rows move, no
+    sort, no shuffle; driver state is O(|flags|).  All arithmetic on
+    exact integer cents → partition-invariant, hash-stable vs the SQL
+    ``quantile_cont(…, 0.5)`` oracle.  Rows above a group's candidate
+    range may spill into its top buckets (the range end is not a bucket
+    boundary); that inflates cumulative counts only at/after the
+    target bucket, which cannot move the crossing point, so the
+    narrowing stays correct."""
+    from gruut_ray.pipelines.agg_util import partial_then_merge
+
+    slim = lineitem.select_columns(["l_returnflag", "l_extendedprice"])
+
+    def _flag_cents(batch: pa.Table):
+        return (batch.column("l_returnflag").to_pandas().to_numpy(),
+                _cents(batch.column("l_extendedprice")).to_numpy())
+
+    def minmax_partials(batch: pa.Table) -> pa.Table:
+        flag, c = _flag_cents(batch)
+        df = pd.DataFrame({"flag": flag, "c": c})
+        agg = df.groupby("flag", as_index=False).agg(
+            n=("c", "size"), lo=("c", "min"), hi=("c", "max"))
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    mm = partial_then_merge(slim, minmax_partials, ["flag"],
+                            {"n": "sum", "lo": "min", "hi": "max"})
+    if mm.empty:
+        return pd.DataFrame({
+            "l_returnflag": pd.Series(dtype="object"),
+            "n_rows": pd.Series(dtype="int64"),
+            "price_median": pd.Series(dtype="float64")})
+
+    # per-flag state: candidate integer-cent range [lo, hi] containing
+    # both target order statistics (0-indexed global ranks k_lo ≤ k_hi).
+    state = {}
+    for r in mm.itertuples(index=False):
+        n = int(r.n)
+        state[r.flag] = {"lo": int(r.lo), "hi": int(r.hi), "n": n,
+                         "k_lo": (n - 1) // 2, "k_hi": n // 2}
+
+    def _counts_table(frames) -> pa.Table:
+        if frames:
+            allp = pd.concat(frames, ignore_index=True)
+        else:
+            allp = pd.DataFrame({"flag": [], "b": [], "cnt": []})
+        return pa.table({
+            "flag": pa.array(allp["flag"], pa.string()),
+            "b": pa.array(allp["b"], pa.int64()),
+            "cnt": pa.array(allp["cnt"], pa.int64()),
+        })
+
+    for _ in range(max_rounds):
+        ranges = {f: (st["lo"],
+                      (st["hi"] - st["lo"] + 1 + bins - 1) // bins)
+                  for f, st in state.items()
+                  if "split" not in st and st["hi"] - st["lo"] + 1 > bins}
+        if not ranges:
+            break
+
+        def bin_partials(batch: pa.Table, _ranges=ranges) -> pa.Table:
+            flag, c = _flag_cents(batch)
+            out = []
+            for f, (lo, w) in _ranges.items():
+                cf = c[flag == f]
+                # bucket -1 = below range (exact rank offset, recounted
+                # every round); above-range rows clamp into the top
+                # buckets (see docstring: provably harmless).
+                b = np.where(cf < lo, np.int64(-1),
+                             np.minimum((cf - lo) // w, bins - 1))
+                u, cnt = np.unique(b, return_counts=True)
+                out.append(pd.DataFrame({"flag": f, "b": u, "cnt": cnt}))
+            return _counts_table(out)
+
+        h = partial_then_merge(slim, bin_partials, ["flag", "b"],
+                               {"cnt": "sum"})
+        for f, (lo, w) in ranges.items():
+            st = state[f]
+            g = h[(h["flag"] == f) & (h["b"] >= 0)].sort_values("b")
+            bidx = g["b"].to_numpy(dtype=np.int64)
+            below = int(h[(h["flag"] == f) & (h["b"] < 0)]["cnt"].sum())
+            cum = np.cumsum(g["cnt"].to_numpy(dtype=np.int64)) + below
+            i_lo = int(np.searchsorted(cum, st["k_lo"], side="right"))
+            i_hi = int(np.searchsorted(cum, st["k_hi"], side="right"))
+            b_lo, b_hi = int(bidx[i_lo]), int(bidx[i_hi])
+            if b_lo != b_hi:
+                # The two bracketing ranks landed in DIFFERENT buckets:
+                # cum(b_lo) = k_lo+1 and cum(b_hi−1) = k_hi exactly, so
+                # rank k_lo is the LARGEST in-range value of bucket b_lo
+                # and rank k_hi the SMALLEST of bucket b_hi — a union
+                # range would stop shrinking, but one conditional
+                # min/max scan resolves both exactly.  Bucket ends clamp
+                # to the group's hi so above-range clamped rows can't
+                # pollute the max.
+                st["split"] = (lo + b_lo * w,
+                               min(st["hi"], lo + (b_lo + 1) * w - 1),
+                               lo + b_hi * w,
+                               min(st["hi"], lo + (b_hi + 1) * w - 1))
+            else:
+                st["lo"], st["hi"] = (lo + b_lo * w,
+                                      min(st["hi"],
+                                          lo + (b_hi + 1) * w - 1))
+    assert all("split" in st or st["hi"] - st["lo"] + 1 <= bins
+               for st in state.values()), \
+        "median refinement did not converge within max_rounds"
+
+    split = {f: st["split"] for f, st in state.items() if "split" in st}
+    if split:
+        BIG = np.int64(2 ** 62)
+
+        def split_partials(batch: pa.Table, _sp=split) -> pa.Table:
+            flag, c = _flag_cents(batch)
+            rows = {"flag": [], "vmax": [], "vmin": []}
+            for f, (a1, b1, a2, b2) in _sp.items():
+                cf = c[flag == f]
+                in1 = cf[(cf >= a1) & (cf <= b1)]
+                in2 = cf[(cf >= a2) & (cf <= b2)]
+                rows["flag"].append(f)
+                rows["vmax"].append(in1.max() if in1.size else -BIG)
+                rows["vmin"].append(in2.min() if in2.size else BIG)
+            return pa.table({
+                "flag": pa.array(rows["flag"], pa.string()),
+                "vmax": pa.array(rows["vmax"], pa.int64()),
+                "vmin": pa.array(rows["vmin"], pa.int64()),
+            })
+
+        sp = partial_then_merge(slim, split_partials, ["flag"],
+                                {"vmax": "max", "vmin": "min"})
+        split_vals = {r.flag: (int(r.vmax), int(r.vmin))
+                      for r in sp.itertuples(index=False)}
+
+    fr = {f: (st["lo"], st["hi"]) for f, st in state.items()
+          if "split" not in st}
+
+    def final_partials(batch: pa.Table, _fr=fr) -> pa.Table:
+        flag, c = _flag_cents(batch)
+        out = []
+        for f, (lo, hi) in _fr.items():
+            cf = c[flag == f]
+            below = np.int64((cf < lo).sum())
+            u, cnt = np.unique(cf[(cf >= lo) & (cf <= hi)],
+                               return_counts=True)
+            out.append(pd.DataFrame({
+                "flag": f,
+                "b": np.concatenate(([np.int64(-1)], u)),
+                "cnt": np.concatenate(([below], cnt))}))
+        return _counts_table(out)
+
+    fh = (partial_then_merge(slim, final_partials, ["flag", "b"],
+                             {"cnt": "sum"})
+          if fr else pd.DataFrame({"flag": [], "b": [], "cnt": []}))
+    rows = []
+    for f, st in state.items():
+        if "split" in st:
+            v_lo, v_hi = split_vals[f]
+        else:
+            g = fh[(fh["flag"] == f) & (fh["b"] >= 0)].sort_values("b")
+            below = int(fh[(fh["flag"] == f) & (fh["b"] < 0)]["cnt"].sum())
+            vals = g["b"].to_numpy(dtype=np.int64)
+            cum = np.cumsum(g["cnt"].to_numpy(dtype=np.int64)) + below
+            v_lo = int(vals[np.searchsorted(cum, st["k_lo"],
+                                            side="right")])
+            v_hi = int(vals[np.searchsorted(cum, st["k_hi"],
+                                            side="right")])
+        rows.append((f, st["n"], (v_lo + v_hi) / 2.0 / 100.0))
+    out = pd.DataFrame(rows, columns=["l_returnflag", "n_rows",
+                                      "price_median"])
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)

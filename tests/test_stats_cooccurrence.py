@@ -209,3 +209,57 @@ def test_geomean_matches_scipy_style_oracle(ray_session):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want, check_exact=False,
             rtol=0, atol=2e-4)
+
+
+def _median_oracle(df):
+    rows = []
+    for flag, g in df.groupby("l_returnflag", sort=True):
+        c = np.round(g["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        c.sort()
+        n = len(c)
+        rows.append((flag, n,
+                     (int(c[(n - 1) // 2]) + int(c[n // 2])) / 2.0 / 100.0))
+    return pd.DataFrame(rows, columns=["l_returnflag", "n_rows",
+                                       "price_median"])
+
+
+def test_exact_median_refinement_matches_sorted_oracle(ray_session):
+    """Unbounded-domain exact median: multi-round refinement (tiny
+    bins force ≥3 narrowing rounds over a ~1e9-wide cent domain) must
+    equal the sort-based oracle at any partitioning."""
+    import ray.data
+
+    from gruut_ray.pipelines.relational import exact_median_price_by_flag
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({
+        "l_returnflag": rng.choice(["A", "N", "R"], 3001),
+        # heavy-tailed, ~1e9-cent span, duplicates at the low end
+        "l_extendedprice": np.round(
+            np.exp(rng.uniform(0, 16, 3001)) + rng.integers(0, 3, 3001),
+            2),
+    })
+    want = _median_oracle(df)
+    for parts, b in ((1, 4096), (9, 16)):
+        got = exact_median_price_by_flag(
+            ray.data.from_pandas(df).repartition(parts), bins=b)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_exact=True)
+
+
+def test_exact_median_degenerate_groups(ray_session):
+    """Single-row group, all-equal group, and a 2-row group whose
+    median is a fractional midpoint between far-apart values."""
+    import ray.data
+
+    from gruut_ray.pipelines.relational import exact_median_price_by_flag
+
+    df = pd.DataFrame({
+        "l_returnflag": ["A", "B", "B", "B", "C", "C"],
+        "l_extendedprice": [7.77, 5.0, 5.0, 5.0, 1.0, 90000.50],
+    })
+    got = exact_median_price_by_flag(ray.data.from_pandas(df)
+                                     .repartition(3), bins=4)
+    want = _median_oracle(df)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_exact=True)
