@@ -330,6 +330,14 @@ def _q_unigram_vocab():
     unigram_vocab_summary(_read("documents", ["doc_id", "text"]))
 
 
+def _q_exact_median():
+    """Distributed selection over an unbounded domain: min/max scan +
+    ≤3 refinement combiner scans + final in-range histogram."""
+    from gruut_ray.pipelines.relational import exact_median_price_by_flag
+    exact_median_price_by_flag(
+        _read("lineitem", ["l_returnflag", "l_extendedprice"]))
+
+
 SECONDARY = {
     "tokens_by_lang": _q_tokens_by_lang,
     "cc_end_to_end": _q_cc_end_to_end,
@@ -348,6 +356,7 @@ SECONDARY = {
     "ccnet_buckets": _q_ccnet_buckets,
     "bfs_depth": _q_bfs_depth,
     "unigram_vocab": _q_unigram_vocab,
+    "exact_median": _q_exact_median,
     "distill_classifier": _q_distill_classifier,
     "release_shards": _q_release_shards,
     "rolling_window": _q_rolling_window,
