@@ -1854,6 +1854,16 @@ def _q_quantile_cont_by_flag(sf_dir: str):
               columns=["l_returnflag", "l_quantity"]))
 
 
+def _q_vocab_except(sf_dir: str):
+    """Distributed SET DIFFERENCE (SQL EXCEPT family) of per-language
+    vocabularies: one term-keyed groupby over combiner partials, anti
+    filter, bounded top-k reduce — driver holds O(k)."""
+    from gruut_ray.pipelines.text_stats import vocab_except
+
+    return vocab_except(_read(sf_dir, "documents",
+                              columns=["lang", "text"]))
+
+
 def _q_exact_median_price_by_flag(sf_dir: str):
     """Exact grouped median over an UNBOUNDED domain (~1e9 cent values)
     via iterative histogram refinement — the multi-pass distributed
@@ -2024,6 +2034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_cont_by_flag": _q_quantile_cont_by_flag,
         "geomean_chars_by_lang": _q_geomean_chars_by_lang,
         "exact_median_price_by_flag": _q_exact_median_price_by_flag,
+        "vocab_except": _q_vocab_except,
         # --- rows-only (no SQL oracle; invariants pinned in tests/) ------
         "kmeans_convergence": _q_kmeans_convergence,
         "knn_quantized_top10": _q_knn_quantized_top10,
@@ -2328,6 +2339,25 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(CAST(round(l_quantity) AS BIGINT), 0.75)
                        AS qty_p75
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "vocab_except": """
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       lower(unnest(regexp_split_to_array(trim(text),
+                                                          '\\s+')))
+                           AS term
+                FROM documents WHERE lang IN ('en', 'de')
+            ), d AS (
+                SELECT DISTINCT doc_id, lang, term FROM tok
+                WHERE term <> ''
+            ), en AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS en_docs
+                FROM d WHERE lang = 'en' GROUP BY term
+            )
+            SELECT term, en_docs FROM en
+            WHERE term NOT IN (SELECT DISTINCT term FROM d
+                               WHERE lang = 'de')
+            ORDER BY en_docs DESC, term LIMIT 15
         """,
         "exact_median_price_by_flag": """
             SELECT l_returnflag,

@@ -824,3 +824,60 @@ def geomean_chars_by_lang(ds: "ray.data.Dataset", lang_col: str = "lang",
     m["n_docs"] = m["n_docs"].astype("int64")
     return (m[[lang_col, "geo_mean_chars", "n_docs"]]
             .sort_values(lang_col).reset_index(drop=True))
+
+
+def vocab_except(ds: "ray.data.Dataset", lang_a: str = "en",
+                 lang_b: str = "de", k: int = 15,
+                 text_col: str = "text", lang_col: str = "lang"):
+    """Distributed SET DIFFERENCE on a derived relation (SQL ``EXCEPT``
+    family): the ``k`` highest-document-frequency terms that occur in
+    ``lang_a`` documents but in NO ``lang_b`` document.  Scale shape:
+    per-batch combiner partials emit one row per distinct batch term —
+    (term, a_docs = distinct-per-doc count in lang_a, in_b = 0/1
+    presence flag in lang_b) — then ONE keyed groupby (Sum, Max) builds
+    the per-term truth table; the anti-filter ``in_b = 0`` and the
+    bounded ``topk_reduce`` keep the driver at O(k).  The term-keyed
+    shuffle is inherent to set difference (both sides must meet per
+    term); everything around it is a combiner.  Ties break term
+    ascending, matching the oracle's ORDER BY."""
+    import collections
+
+    import pandas as pd
+    from ray.data.aggregate import Max, Sum
+
+    from gruut_ray.pipelines.agg_util import topk_reduce
+
+    def partials(batch: pa.Table) -> pa.Table:
+        a_cnt: collections.Counter = collections.Counter()
+        b_seen: set = set()
+        langs = batch.column(lang_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        for lang, text in zip(langs, texts):
+            if lang == lang_a:
+                a_cnt.update({t.lower() for t in (text or "").split()})
+            elif lang == lang_b:
+                b_seen.update(t.lower() for t in (text or "").split())
+        terms = sorted(set(a_cnt) | b_seen)
+        return pa.table({
+            "term": pa.array(terms, type=pa.string()),
+            "a_docs": pa.array([a_cnt.get(t, 0) for t in terms],
+                               type=pa.int64()),
+            "in_b": pa.array([int(t in b_seen) for t in terms],
+                             type=pa.int64()),
+        })
+
+    per_term = (ds.select_columns([lang_col, text_col])
+                .map_batches(partials, batch_format="pyarrow")
+                .groupby("term")
+                .aggregate(Sum("a_docs", alias_name="a_docs"),
+                           Max("in_b", alias_name="in_b")))
+    only_a = per_term.filter(
+        expr="in_b == 0 and a_docs > 0")
+    top = topk_reduce(only_a, k, by=["a_docs", "term"],
+                      ascending=[False, True])
+    if top.empty:
+        return pd.DataFrame({"term": pd.Series(dtype="object"),
+                             "en_docs": pd.Series(dtype="int64")})
+    out = top.rename(columns={"a_docs": "en_docs"})[["term", "en_docs"]]
+    out["en_docs"] = out["en_docs"].astype("int64")
+    return out.reset_index(drop=True)

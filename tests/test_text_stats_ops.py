@@ -160,3 +160,52 @@ def test_stratified_sample_block_invariant(ray_session):
     again = stratified_sample(ray.data.from_pandas(df).repartition(5),
                               n_per_group=7)
     pd.testing.assert_frame_equal(outs[0], again)
+
+
+def test_vocab_except_matches_bruteforce(ray_session):
+    """Set-difference vocabulary: terms in lang_a docs absent from every
+    lang_b doc, ranked by lang_a document frequency; partition-invariant
+    and tie-stable."""
+    import collections
+
+    import pandas as pd
+    import ray.data
+
+    from gruut_ray.pipelines.text_stats import vocab_except
+
+    docs = pd.DataFrame({
+        "lang": ["en", "en", "en", "de", "de", "fr"],
+        "text": ["apple banana apple", "banana cherry", "apple durian",
+                 "banana kirsche", "durian apfel", "apple pomme"],
+    })
+    # brute force: en DF per term minus any term seen in de
+    en_df = collections.Counter()
+    for t in docs[docs["lang"] == "en"]["text"]:
+        en_df.update(set(t.split()))
+    de_terms = set()
+    for t in docs[docs["lang"] == "de"]["text"]:
+        de_terms.update(t.split())
+    want = sorted(((term, n) for term, n in en_df.items()
+                   if term not in de_terms),
+                  key=lambda kv: (-kv[1], kv[0]))[:15]
+    for parts in (1, 3):
+        got = vocab_except(ray.data.from_pandas(docs).repartition(parts))
+        assert list(map(tuple, got.to_numpy())) == want
+    # apple: 2 en docs, not in de -> top; banana/durian excluded (in de)
+    assert want[0] == ("apple", 2) and "banana" not in dict(want)
+
+
+def test_vocab_except_empty_side(ray_session):
+    """No lang_b docs at all -> plain top-k of lang_a vocabulary; no
+    lang_a docs -> typed empty frame."""
+    import pandas as pd
+    import ray.data
+
+    from gruut_ray.pipelines.text_stats import vocab_except
+
+    only_en = pd.DataFrame({"lang": ["en"], "text": ["x y x"]})
+    got = vocab_except(ray.data.from_pandas(only_en))
+    assert list(map(tuple, got.to_numpy())) == [("x", 1), ("y", 1)]
+    only_de = pd.DataFrame({"lang": ["de"], "text": ["x y"]})
+    got = vocab_except(ray.data.from_pandas(only_de))
+    assert got.empty and list(got.columns) == ["term", "en_docs"]
